@@ -1,0 +1,200 @@
+"""Atlas (registration/curation) profiles.
+
+Preserves the key vocabulary of the reference ``magmap/settings/atlas_prof.py``
+(``RegParamMap :13``, ``AtlasProfile :36``): three registration stages
+(translation 2048 iters -> affine 1024 -> B-spline 512 w/ 50-voxel grid),
+label-curation groups (mirroring, edge extension, smoothing), and edge-aware
+reannotation parameters. The values here drive the JAX registration engine
+(``magellanmapper_tpu.atlas.reg_engine``) instead of Elastix.
+"""
+
+from __future__ import annotations
+
+from magellanmapper_tpu.settings.profiles import Profile
+
+
+#: nested-dict keys reused across profile groups (reference
+#: ``profiles.py:25`` ``RegKeys``).
+class RegKeys:
+    ACTIVE = "active"
+    SAVE_STEPS = "save_steps"
+    MARKER_EROSION = "marker_erosion"
+    MARKER_EROSION_MIN = "marker_erosion_min"
+    MARKER_EROSION_USE_MIN = "marker_erosion_use_min"
+    SKELETON_EROSION = "skeleton_erosion"
+    WATERSHED_MASK_FILTER = "watershed_mask_filter"
+    EDGE_AWARE_REANNOTATION = "edge_aware_reannotation"
+    METRICS_CLUSTER = "metrics_cluster"
+    DBSCAN_EPS = "dbscan_eps"
+    DBSCAN_MINPTS = "dbscan_minpts"
+    KNN_N = "knn_n"
+
+
+def make_reg_param_map(
+        map_name: str, max_iter: int, metric="AdvancedMattesMutualInformation",
+        num_resolutions: int = 4, grid_space_voxels=None,
+        grid_spacing_schedule=None, erode_mask=False, point_based=False,
+        learning_rate=None) -> dict:
+    """One registration stage's parameters as a plain dict.
+
+    Key names follow the reference ``RegParamMap`` so YAML atlas profiles
+    carry over unchanged.
+    """
+    return {
+        "map_name": map_name,
+        "metric_similarity": metric,
+        "max_iter": int(max_iter),
+        "num_resolutions": int(num_resolutions),
+        "grid_space_voxels": grid_space_voxels,
+        "grid_spacing_schedule": grid_spacing_schedule,
+        "erode_mask": erode_mask,
+        "point_based": point_based,
+        "learning_rate": learning_rate,
+    }
+
+
+class AtlasProfile(Profile):
+    """Registration + atlas-curation settings profile."""
+
+    PATH_PREFIX = "atlas"
+
+    def __init__(self, *args, **kwargs):
+        super().__init__()
+
+        # registration stages (defaults per reference atlas_prof.py:53-69)
+        self["reg_translation"] = make_reg_param_map("translation", 2048)
+        self["reg_affine"] = make_reg_param_map("affine", 1024)
+        self["reg_bspline"] = make_reg_param_map(
+            "bspline", 512, grid_space_voxels=50)
+        self["metric_sim_fallback"] = None
+        self["groupwise_iter_max"] = 1024
+        self["preprocess"] = False
+        self["curate"] = True
+        self["truncate_labels"] = None
+
+        # label curation
+        self["smoothing_mode"] = "opening"
+        self["smooth"] = None
+        self["labels_mirror"] = {
+            RegKeys.ACTIVE: False,
+            "start": None,
+            "neg_labels": True,
+            "atlas_mirror": True,
+        }
+        self["labels_edge"] = {
+            RegKeys.ACTIVE: False,
+            RegKeys.SAVE_STEPS: False,
+            "start": None,
+            "surr_size": 5,
+            "smoothing_size": 3,
+            "in_paint": True,
+            RegKeys.MARKER_EROSION: 10,
+            RegKeys.MARKER_EROSION_MIN: None,
+            RegKeys.MARKER_EROSION_USE_MIN: False,
+            "wt_lat": 0,
+        }
+        self["labels_dup"] = None
+        self["expand_labels"] = None
+        self["crop_out_labels"] = None
+        self["rotate"] = {"rotation": None, "resize": False, "order": 1}
+        self["atlas_threshold"] = 10.0
+        self["atlas_threshold_all"] = 10.0
+        self["target_size"] = None
+        self["rescale"] = None
+        self["carve_threshold"] = None
+        self["holes_area"] = None
+        self["extend_borders"] = None
+        self["affine"] = None
+        self["log_sigma"] = 5
+        self["log_atlas_thresh"] = False
+        self[RegKeys.EDGE_AWARE_REANNOTATION] = {
+            RegKeys.MARKER_EROSION: 8,
+            RegKeys.MARKER_EROSION_MIN: 1,
+            RegKeys.SKELETON_EROSION: None,
+            RegKeys.WATERSHED_MASK_FILTER: ("opening", 2),
+        }
+        self["erosion_frac"] = 0.5
+        self["erode_labels"] = {"markers": True, "interior": False}
+        self["crop_to_labels"] = False
+        self["crop_to_orig"] = 1
+        self["crop_to_first_image"] = False
+        self["combine_sides"] = False
+        self["make_far_hem_neg"] = False
+        self["pre_plane"] = None
+        self["overlap_meas_add_lbls"] = None
+
+        # metrics
+        self["meas_smoothing"] = True
+        self["meas_edge_dists"] = True
+        self["extra_metric_groups"] = None
+        self[RegKeys.METRICS_CLUSTER] = {
+            RegKeys.KNN_N: 5,
+            RegKeys.DBSCAN_EPS: 20,
+            RegKeys.DBSCAN_MINPTS: 6,
+        }
+        self["unit_factor"] = None
+
+        self.update(*args, **kwargs)
+
+        self.profiles = {
+            # turn off B-spline (affine-only) registration
+            "noaffine": {
+                "reg_affine": None,
+            },
+            "nobspline": {
+                "reg_bspline": None,
+            },
+            # normalized cross-correlation similarity metric
+            "ncc": {
+                "reg_translation": {
+                    "metric_similarity": "AdvancedNormalizedCorrelation"},
+                "reg_affine": {
+                    "metric_similarity": "AdvancedNormalizedCorrelation"},
+                "reg_bspline": {
+                    "metric_similarity": "AdvancedNormalizedCorrelation"},
+                "metric_sim_fallback":
+                    (0.85, "AdvancedMattesMutualInformation"),
+            },
+            # groupwise registration: coarser B-spline grid + schedule
+            "groupwise": {
+                "reg_bspline": {
+                    "grid_space_voxels": 130,
+                    "grid_spacing_schedule": [
+                        8.0, 8.0, 4.0, 4.0, 4.0, 2.0, 2.0, 2.0, 1.0, 1.0,
+                        1.0, 1.0],
+                },
+                "carve_threshold": 0.009,
+                "holes_area": 10000,
+            },
+            # finer B-spline for higher-res atlases
+            "finer": {
+                "reg_bspline": {"grid_space_voxels": 30},
+            },
+            # increased iterations
+            "bigiter": {
+                "reg_translation": {"max_iter": 4096},
+                "reg_affine": {"max_iter": 2048},
+                "reg_bspline": {"max_iter": 1024},
+            },
+            "smalliter": {
+                "reg_translation": {"max_iter": 512},
+                "reg_affine": {"max_iter": 256},
+                "reg_bspline": {"max_iter": 128},
+            },
+            # turn off label mirroring / edge extension
+            "nomirror": {"labels_mirror": {RegKeys.ACTIVE: False}},
+            "mirror": {"labels_mirror": {RegKeys.ACTIVE: True, "start": -1}},
+            "noedge": {"labels_edge": {RegKeys.ACTIVE: False}},
+            "edge": {"labels_edge": {RegKeys.ACTIVE: True, "start": -1}},
+            # smoothing sweeps
+            "smooth2": {"smooth": 2},
+            "smooth4": {"smooth": 4},
+            "smoothgaus": {"smoothing_mode": "gaussian"},
+            "smoothfill": {"smoothing_mode": "filled"},
+            # point-based (landmark) registration assist
+            "points": {
+                "reg_bspline": {"point_based": True},
+            },
+            # combine hemisphere values in regional stats
+            "combinesides": {"combine_sides": True},
+        }
