@@ -154,11 +154,12 @@ class Blobs:
         ``detector.py:325`` semantics).
         """
         shape = self.blobs.shape
-        n_cols = len(BlobCols)
+        # standard column set is 10 (through abs_x); REGION is optional
+        n_cols = COL_IND[BlobCols.ABS_X] + 1
         if shape[1] < n_cols:
             extras = np.full((shape[0], n_cols - shape[1]), -1.0)
             self.blobs = np.concatenate([self.blobs, extras], axis=1)
-        self.cols = [c.value for c in BlobCols]
+        self.cols = [c.value for c in BlobCols][:self.blobs.shape[1]]
         self.blobs[:, ABS_COORD_SLICE] = self.blobs[:, REL_COORD_SLICE]
         if channel is not None:
             self.set_blob_channel(self.blobs, channel)

@@ -1,0 +1,140 @@
+"""Fixed-capacity peak finding and blob pruning (JAX, static shapes).
+
+TPU-first handling of the dynamic-count problem in blob detection
+(SURVEY.md hard part (d)): peaks are extracted into fixed-capacity buffers
+via ``top_k`` with a validity count, so the whole detection pipeline stays
+jittable with static shapes; pruning operates on padded buffers with masks.
+
+Semantics mirror ``skimage.feature.peak_local_max`` (footprint = full 3^nd
+cube, ``exclude_border=False``) and ``skimage.feature.blob._prune_blobs``
+(sphere-overlap fraction), the internals of the reference's detection hot
+kernel (``magmap/cv/detector.py:931``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def max_filter_full(cube: jax.Array) -> jax.Array:
+    """Max filter with a full 3^nd footprint, constant-0 border.
+
+    The full-cube footprint is separable: sequential 3-tap max passes per
+    axis with zero padding are exactly equivalent to the joint 3^nd max
+    with ``cval=0`` (max is associative; any out-of-bounds position in the
+    joint footprint contributes a pad zero in some pass).
+    """
+    out = cube
+    for ax in range(cube.ndim):
+        pad = [(0, 0)] * cube.ndim
+        pad[ax] = (1, 1)
+        padded = jnp.pad(out, pad, mode="constant", constant_values=0.0)
+        n = cube.shape[ax]
+        lo = jax.lax.slice_in_dim(padded, 0, n, axis=ax)
+        mid = jax.lax.slice_in_dim(padded, 1, n + 1, axis=ax)
+        hi = jax.lax.slice_in_dim(padded, 2, n + 2, axis=ax)
+        out = jnp.maximum(jnp.maximum(lo, mid), hi)
+    return out
+
+
+def find_peaks(
+        cube: jax.Array, threshold: float, capacity: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Local maxima of ``cube`` above ``threshold``, capped at ``capacity``.
+
+    Returns:
+        ``coords``: ``(capacity, cube.ndim)`` int32 indices, sorted by peak
+        value descending (the ``peak_local_max`` return order); rows past
+        the true count are zero-filled.
+        ``values``: ``(capacity,)`` peak values (-inf past the count).
+        ``count``: scalar int32 number of valid peaks (clipped to capacity).
+    """
+    is_peak = (cube == max_filter_full(cube)) & (cube > threshold)
+    flat_vals = jnp.where(is_peak, cube, -jnp.inf).reshape(-1)
+    count = jnp.minimum(jnp.sum(is_peak), capacity).astype(jnp.int32)
+    top_vals, top_idx = jax.lax.top_k(flat_vals, capacity)
+    valid = jnp.arange(capacity) < count
+    coords = jnp.stack(
+        jnp.unravel_index(top_idx, cube.shape), axis=-1).astype(jnp.int32)
+    coords = jnp.where(valid[:, None], coords, 0)
+    return coords, top_vals, count
+
+
+def _sphere_overlap_fraction(
+        d: jax.Array, r1: jax.Array, r2: jax.Array) -> jax.Array:
+    """Volume of two-sphere intersection / volume of the smaller sphere.
+
+    skimage ``_blob_overlap`` 3D semantics: 0 beyond contact, 1 when one
+    sphere contains the other, else the lens-volume fraction.
+    """
+    rmin = jnp.minimum(r1, r2)
+    # lens volume: pi (r1+r2-d)^2 (d^2 + 2d(r1+r2) - 3(r1-r2)^2) / (12 d)
+    d_safe = jnp.maximum(d, 1e-12)
+    lens = (math.pi * (r1 + r2 - d_safe) ** 2
+            * (d_safe ** 2 + 2.0 * d_safe * (r1 + r2)
+               - 3.0 * (r1 - r2) ** 2) / (12.0 * d_safe))
+    vol_min = 4.0 / 3.0 * math.pi * rmin ** 3
+    frac = lens / jnp.maximum(vol_min, 1e-12)
+    frac = jnp.where(d <= jnp.abs(r1 - r2), 1.0, frac)
+    frac = jnp.where(d >= r1 + r2, 0.0, frac)
+    return frac
+
+
+def prune_overlapping_blobs(
+        coords: jax.Array, sigmas: jax.Array, valid: jax.Array,
+        overlap_thresh: float, ndim: int = 3) -> jax.Array:
+    """Drop the smaller of each overlapping blob pair (padded O(K^2) pass).
+
+    A blob is removed when any other valid blob overlaps it beyond
+    ``overlap_thresh`` and has a larger radius (ties: the earlier row —
+    higher peak intensity — is removed, matching skimage's pair rule).
+
+    Args:
+        coords: ``(K, ndim)`` blob center coordinates (float or int).
+        sigmas: ``(K,)`` blob sigma per row.
+        valid: ``(K,)`` bool row-validity mask.
+        overlap_thresh: overlap fraction above which to prune.
+        ndim: spatial dimensionality (radius = sigma * sqrt(ndim)).
+
+    Returns:
+        Updated ``(K,)`` bool validity mask.
+    """
+    pos = coords.astype(jnp.float32)
+    r = sigmas.astype(jnp.float32) * jnp.sqrt(jnp.float32(ndim))
+    diff = pos[:, None, :] - pos[None, :, :]
+    d = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    frac = _sphere_overlap_fraction(d, r[:, None], r[None, :])
+    k = coords.shape[0]
+    eye = jnp.eye(k, dtype=bool)
+    pair_valid = valid[:, None] & valid[None, :] & ~eye
+    overlapping = pair_valid & (frac > overlap_thresh)
+    i_idx = jnp.arange(k)
+    loses = overlapping & (
+        (r[None, :] > r[:, None])
+        | ((r[None, :] == r[:, None]) & (i_idx[:, None] < i_idx[None, :])))
+    removed = jnp.any(loses, axis=1)
+    return valid & ~removed
+
+
+def prune_close_blobs(
+        coords: jax.Array, valid: jax.Array, tol: jax.Array) -> jax.Array:
+    """Remove blobs within per-axis ``tol`` of an earlier kept blob.
+
+    Device analog of the reference's tolerance pruning
+    (``detector.py:1000-1085`` ``_find_close_blobs``/``remove_close_blobs``):
+    row ``i`` is dropped when some earlier valid row ``j < i`` is within
+    ``tol`` on every axis. Single-pass approximation of the sequential
+    accept-loop; rows are assumed sorted in the acceptance order.
+    """
+    diff = jnp.abs(coords[:, None, :3].astype(jnp.float32)
+                   - coords[None, :, :3].astype(jnp.float32))
+    close = jnp.all(diff <= jnp.asarray(tol, jnp.float32), axis=-1)
+    k = coords.shape[0]
+    i_idx = jnp.arange(k)
+    earlier = i_idx[None, :] < i_idx[:, None]
+    dominated = close & earlier & valid[None, :]
+    return valid & ~jnp.any(dominated, axis=1)

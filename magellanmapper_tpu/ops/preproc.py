@@ -1,0 +1,140 @@
+"""ROI preprocessing ops for blob detection (JAX, fused under jit).
+
+Functional equivalents of the reference's preprocessing chain
+(``magmap/plot/plot_3d.py:55`` ``saturate_roi``, ``:114`` ``denoise_roi``,
+``:175`` ``threshold``): percentile saturation, clip, total-variation
+denoising, unsharp masking, and density-gated erosion. All ops are pure
+functions of explicit parameters (no global config) so they fuse into the
+detection kernel under ``jit``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from magellanmapper_tpu.ops import filters
+
+
+def saturate(
+        roi: jax.Array, clip_vmin: float, clip_vmax: float,
+        max_thresh: Optional[float] = None) -> jax.Array:
+    """Percentile-clip and rescale to [0, 1].
+
+    Mirrors ``plot_3d.saturate_roi``: clips to the ``clip_vmin``/``clip_vmax``
+    percentiles, raising the upper bound to ``max_thresh`` (the channel's
+    ``near_max * max_thresh_factor``) when the percentile falls below it.
+    Degenerate (vmin == vmax) inputs pass through unchanged.
+    """
+    roi = roi.astype(jnp.float32)
+    vmin, vmax = jnp.percentile(
+        roi, jnp.asarray([clip_vmin, clip_vmax], jnp.float32))
+    if max_thresh is not None:
+        vmax = jnp.maximum(vmax, jnp.float32(max_thresh))
+    degenerate = vmin >= vmax
+    safe_span = jnp.where(degenerate, 1.0, vmax - vmin)
+    scaled = (jnp.clip(roi, vmin, vmax) - vmin) / safe_span
+    return jnp.where(degenerate, roi, scaled)
+
+
+def denoise(
+        roi: jax.Array, clip_min: float, clip_max: float,
+        tot_var_denoise: Optional[float] = None,
+        unsharp_strength: float = 0.0,
+        erosion_threshold: float = 0.0) -> jax.Array:
+    """Denoise chain: clip -> [TV] -> [unsharp] -> [density-gated erosion].
+
+    Mirrors ``plot_3d.denoise_roi``: the erosion step only fires when the
+    pre-clip ROI mean exceeds ``erosion_threshold`` (dense-region gating),
+    implemented branchlessly with ``jnp.where`` so the op stays jittable.
+    """
+    roi = roi.astype(jnp.float32)
+    saturated_mean = jnp.mean(roi)
+    out = jnp.clip(roi, clip_min, clip_max)
+    if tot_var_denoise:
+        weight = 0.1 if tot_var_denoise is True else float(tot_var_denoise)
+        out = tv_chambolle(out, weight=weight)
+    if unsharp_strength:
+        # skimage gaussian defaults: sigma=blur_size(8), mode='nearest'
+        blurred = filters.gaussian_filter(out, 8.0, mode="nearest")
+        out = 2.0 * out - unsharp_strength * blurred
+    if erosion_threshold:
+        eroded = filters.erosion(out, filters.octahedron_footprint(1))
+        out = jnp.where(saturated_mean > erosion_threshold, eroded, out)
+    return out
+
+
+def tv_chambolle(
+        img: jax.Array, weight: float = 0.1, num_iter: int = 10) -> jax.Array:
+    """Total-variation denoising (Chambolle 2004 dual projection).
+
+    Same algorithm family as ``skimage.restoration.denoise_tv_chambolle``
+    (used by the reference at ``plot_3d.py:150``); runs a fixed iteration
+    count under ``lax.fori_loop`` for static-shape TPU compilation.
+    """
+    img = img.astype(jnp.float32)
+    ndim = img.ndim
+    tau = 1.0 / (2.0 ** ndim)
+
+    def grad(u):
+        return jnp.stack([
+            jnp.concatenate([
+                jnp.diff(u, axis=ax),
+                jnp.zeros_like(jax.lax.slice_in_dim(u, 0, 1, axis=ax))],
+                axis=ax)
+            for ax in range(ndim)])
+
+    def div(p):
+        out = jnp.zeros(img.shape, img.dtype)
+        for ax in range(ndim):
+            pi = p[ax]
+            n = pi.shape[ax]
+            first = jax.lax.slice_in_dim(pi, 0, 1, axis=ax)
+            mid = jnp.diff(jax.lax.slice_in_dim(pi, 0, n - 1, axis=ax),
+                           axis=ax)
+            last = -jax.lax.slice_in_dim(pi, n - 2, n - 1, axis=ax)
+            out = out + jnp.concatenate([first, mid, last], axis=ax)
+        return out
+
+    def body(_, p):
+        u = img + weight * div(p)
+        g = grad(u)
+        norm = jnp.sqrt(jnp.sum(g * g, axis=0, keepdims=True))
+        return (p + (tau / weight) * g) / (1.0 + (tau / weight) * norm)
+
+    p0 = jnp.zeros((ndim,) + img.shape, img.dtype)
+    p = jax.lax.fori_loop(0, num_iter, body, p0)
+    return img + weight * div(p)
+
+
+def otsu_threshold(img: jax.Array, nbins: int = 256) -> jax.Array:
+    """Otsu threshold value via histogram between-class variance."""
+    flat = img.reshape(-1).astype(jnp.float32)
+    lo, hi = jnp.min(flat), jnp.max(flat)
+    span = jnp.where(hi > lo, hi - lo, 1.0)
+    # normalized bin index per voxel; fixed [lo, hi] range
+    idx = jnp.clip(((flat - lo) / span * nbins).astype(jnp.int32), 0,
+                   nbins - 1)
+    counts = jnp.zeros((nbins,), jnp.float32).at[idx].add(1.0)
+    centers = lo + (jnp.arange(nbins, dtype=jnp.float32) + 0.5) / nbins * span
+    w1 = jnp.cumsum(counts)
+    w2 = w1[-1] - w1
+    s1 = jnp.cumsum(counts * centers)
+    m1 = s1 / jnp.maximum(w1, 1.0)
+    m2 = (s1[-1] - s1) / jnp.maximum(w2, 1.0)
+    var_between = w1 * w2 * (m1 - m2) ** 2
+    var_between = jnp.where((w1 > 0) & (w2 > 0), var_between, -jnp.inf)
+    k = jnp.argmax(var_between)
+    return centers[k]
+
+
+def spectral_unmix(
+        roi_chl: jax.Array, roi_subtract: jax.Array,
+        factor: float) -> jax.Array:
+    """Subtract a fraction of another channel, clamped at zero.
+
+    Reference ``detector.py:911-921`` spectral unmixing.
+    """
+    return jnp.maximum(roi_chl - factor * roi_subtract, 0.0)

