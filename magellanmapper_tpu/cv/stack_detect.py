@@ -1,0 +1,485 @@
+"""Whole-image chunked blob detection on TPU.
+
+Re-design of the reference's multiprocessing detection pipeline
+(``magmap/cv/stack_detect.py``): the same block geometry, denoise
+sub-blocking, border-exclusion, and cross-block pruning semantics
+(``setup_blocks`` ``stack_detect.py:282``, ``detect_sub_roi`` ``:82``,
+``StackPruner.prune_blobs_mp`` ``:680``), but blocks are batched into a
+single jitted TPU program instead of farmed to an ``mp.Pool``:
+
+ - uniform device windows: edge blocks are read through clamped windows
+   (shifted back into the volume) so every batch entry has the same static
+   shape; blobs outside the true block range are dropped on host.
+ - per-denoise-unit preprocessing (saturate + denoise) runs as a reshaped
+   sub-block ``vmap`` inside the same kernel — the reference's nested
+   Python loop becomes one fused program.
+ - cross-block duplicate pruning stays on host (cheap, irregular), matching
+   the reference's per-axis overlap-plane algorithm.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import math
+import time
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magellanmapper_tpu.cv import blobs as blobs_mod
+from magellanmapper_tpu.cv import chunking, detector
+from magellanmapper_tpu.ops import peaks, preproc
+from magellanmapper_tpu.settings import roi_prof
+
+_logger = logging.getLogger(__name__)
+
+#: HBM budget for one batched detection dispatch (bytes).
+_BATCH_BYTES_BUDGET = 3 << 30
+#: per-axis cap on device block edge (keeps the LoG cube in HBM comfortably;
+#: the reference's 500px default targeted CPU pool workers instead).
+_DEVICE_BLOCK_CAP = 256
+
+
+class Blocks(NamedTuple):
+    """Block-processing geometry (reference ``stack_detect.Blocks``)."""
+    sub_roi_slices: np.ndarray
+    sub_rois_offsets: np.ndarray
+    denoise_max_shape: Optional[np.ndarray]
+    exclude_border: Optional[Sequence[int]]
+    tol: np.ndarray
+    overlap_base: np.ndarray
+    overlap: np.ndarray
+    overlap_padding: np.ndarray
+    max_pixels: np.ndarray
+
+
+def setup_blocks(
+        settings, shape: Sequence[int],
+        resolutions: Sequence[float]) -> Blocks:
+    """Compute block geometry from profile settings
+    (reference ``stack_detect.setup_blocks`` ``:282``)."""
+    scaling_factor = detector.calc_scaling_factor(resolutions)
+    denoise_size = settings["denoise_size"]
+    denoise_max_shape = None
+    if denoise_size:
+        denoise_max_shape = np.ceil(
+            scaling_factor * denoise_size).astype(int)
+
+    overlap_base = detector.calc_overlap(resolutions)
+    tol = np.multiply(
+        overlap_base, settings["prune_tol_factor"]).astype(int)
+    overlap_padding = np.copy(tol)
+    overlap = np.copy(overlap_base)
+    exclude_border = settings["exclude_border"]
+    if exclude_border is not None:
+        # overlap must exceed 2x border exclusion so no plane is excluded
+        # from both overlapping blocks (reference :313-323)
+        exclude_border = np.asarray(exclude_border)
+        thresh = 2 * exclude_border
+        less = overlap < thresh
+        overlap[less] = thresh[less]
+        excluded = exclude_border > 0
+        overlap[excluded] += 1
+        overlap_padding[excluded] = 0
+    max_pixels = np.ceil(
+        scaling_factor * settings["segment_size"]).astype(int)
+    max_pixels = np.minimum(max_pixels, _DEVICE_BLOCK_CAP)
+    sub_roi_slices, sub_rois_offsets = chunking.stack_splitter(
+        shape, max_pixels, overlap)
+    return Blocks(
+        sub_roi_slices, sub_rois_offsets, denoise_max_shape,
+        None if exclude_border is None else np.asarray(exclude_border),
+        tol, overlap_base, overlap, overlap_padding, max_pixels)
+
+
+# ---------------------------------------------------------------------------
+# device kernel: preprocessing + LoG detection for a batch of blocks
+
+
+def _preproc_sub_blocks(
+        vol: jax.Array, denoise_shape: Tuple[int, ...],
+        params: Dict[str, float]) -> jax.Array:
+    """Per-denoise-unit saturate+denoise (reference ``detect_sub_roi``
+    ``:122-150`` nested loop, as one reshaped vmap)."""
+    dz, dy, dx = denoise_shape
+    bz, by, bx = vol.shape
+    nz, ny, nx = (-(-bz // dz), -(-by // dy), -(-bx // dx))
+    pad = (nz * dz - bz, ny * dy - by, nx * dx - bx)
+    padded = jnp.pad(
+        vol, [(0, p) for p in pad], mode="symmetric")
+    tiles = padded.reshape(nz, dz, ny, dy, nx, dx).transpose(
+        0, 2, 4, 1, 3, 5).reshape(-1, dz, dy, dx)
+
+    def one(tile):
+        tile = preproc.saturate(
+            tile, params["clip_vmin"], params["clip_vmax"],
+            params["max_thresh"])
+        return preproc.denoise(
+            tile, params["clip_min"], params["clip_max"],
+            params["tot_var_denoise"], params["unsharp_strength"],
+            params["erosion_threshold"])
+
+    tiles = jax.vmap(one)(tiles)
+    out = tiles.reshape(nz, ny, nx, dz, dy, dx).transpose(
+        0, 3, 1, 4, 2, 5).reshape(nz * dz, ny * dy, nx * dx)
+    return out[:bz, :by, :bx]
+
+
+def _blob_log_impl(
+        roi: jax.Array, sigmas: Tuple[float, ...], threshold: float,
+        overlap: float, capacity: int) -> Tuple[jax.Array, jax.Array]:
+    """Un-jitted LoG detection body (see ``detector.blob_log``)."""
+    from magellanmapper_tpu.ops import filters
+    roi = roi.astype(jnp.float32)
+    cube = jnp.stack([
+        -filters.gaussian_laplace(roi, s) * jnp.float32(s * s)
+        for s in sigmas])
+    coords4, values, count = peaks.find_peaks(cube, threshold, capacity)
+    valid = jnp.arange(capacity) < count
+    sig = jnp.asarray(sigmas, jnp.float32)[coords4[:, 0]]
+    coords = coords4[:, 1:].astype(jnp.float32)
+    valid = peaks.prune_overlapping_blobs(
+        coords, sig, valid, overlap, ndim=roi.ndim)
+    return jnp.concatenate([coords, sig[:, None]], axis=1), valid
+
+
+@functools.partial(
+    jax.jit, static_argnames=(
+        "sigmas", "threshold", "overlap", "capacity", "denoise_shape",
+        "preproc_items"))
+def _detect_batch(
+        batch: jax.Array, sigmas: Tuple[float, ...], threshold: float,
+        overlap: float, capacity: int,
+        denoise_shape: Optional[Tuple[int, ...]],
+        preproc_items: Optional[Tuple[Tuple[str, float], ...]]):
+    """Batched per-block pipeline: [sub-block preproc] -> LoG -> peaks."""
+
+    def one(vol):
+        if preproc_items is not None:
+            params = dict(preproc_items)
+            if denoise_shape is not None:
+                vol = _preproc_sub_blocks(vol, denoise_shape, params)
+            else:
+                vol = preproc.saturate(
+                    vol, params["clip_vmin"], params["clip_vmax"],
+                    params["max_thresh"])
+                vol = preproc.denoise(
+                    vol, params["clip_min"], params["clip_max"],
+                    params["tot_var_denoise"], params["unsharp_strength"],
+                    params["erosion_threshold"])
+        return _blob_log_impl(vol, sigmas, threshold, overlap, capacity)
+
+    return jax.vmap(one)(batch)
+
+
+def _window_for_block(
+        shape: Sequence[int], start: np.ndarray,
+        block_shape: np.ndarray) -> np.ndarray:
+    """Clamp a uniform window start so it fits inside the volume."""
+    return np.maximum(0, np.minimum(start, np.asarray(shape) - block_shape))
+
+
+def _choose_capacity(settings, block_voxels: int) -> int:
+    cap = settings["max_blobs_per_block"]
+    if cap:
+        return int(cap)
+    return max(1024, min(32768, block_voxels // 1024))
+
+
+def detect_blobs_blocks(
+        image: np.ndarray,
+        settings,
+        resolutions: Sequence[float],
+        channels: Optional[Sequence[int]] = None,
+        near_max: Optional[Sequence[float]] = None,
+        preprocess: bool = True,
+        verify_fn=None,
+) -> Tuple[Optional[np.ndarray], Dict[str, float]]:
+    """Detect blobs across a whole (sub)image in device-batched blocks.
+
+    Args:
+        image: ``(Z, Y, X[, C])`` volume (NumPy; may be a memmap).
+        settings: ROI profile for the channel group.
+        resolutions: z,y,x spacing.
+        channels: channels to detect (must share block settings); None = all.
+        near_max: per-channel near-max intensity for saturation; measured
+            from the volume when absent.
+        preprocess: apply saturate+denoise per denoise unit.
+        verify_fn: optional callback ``(blobs) -> stats`` post pruning.
+
+    Returns:
+        ``(blobs, timing)``: merged pruned N x 10 blob array (plus None when
+        empty) and stage timing in seconds (reference
+        ``stack_detection_times.csv`` fields).
+    """
+    shape = image.shape[:3]
+    multichannel = image.ndim > 3
+    if channels is None:
+        channels = list(range(image.shape[3])) if multichannel else [0]
+    channels = list(np.atleast_1d(channels))
+
+    blocks = setup_blocks(settings, shape, resolutions)
+    grid_shape = blocks.sub_roi_slices.shape
+    overlap = blocks.overlap
+    block_shape = np.minimum(blocks.max_pixels + overlap, shape)
+    block_voxels = int(np.prod(block_shape))
+    capacity = _choose_capacity(settings, block_voxels)
+
+    scaling_factor = detector.calc_scaling_factor(resolutions)[2]
+    sigmas = tuple(detector.sigma_list(
+        settings["min_sigma_factor"] * scaling_factor,
+        settings["max_sigma_factor"] * scaling_factor,
+        settings["num_sigma"]))
+    num_scales = len(sigmas)
+    # batch size bounded by the LoG cube footprint in HBM
+    cube_bytes = (num_scales + 4) * block_voxels * 4
+    batch_size = max(1, min(16, _BATCH_BYTES_BUDGET // cube_bytes))
+
+    if near_max is None:
+        # sample-based near-max per channel (importer computes 99.5th
+        # percentile at import, importer.py:1415)
+        sample = image[::max(1, shape[0] // 16)]
+        near_max = [
+            float(np.percentile(
+                sample[..., c] if multichannel else sample, 99.5))
+            for c in (channels if multichannel else [0])]
+        near_max_map = dict(zip(channels if multichannel else [0], near_max))
+    else:
+        near_max_map = {c: near_max[c] for c in channels}
+
+    denoise_shape = (tuple(int(d) for d in blocks.denoise_max_shape)
+                     if blocks.denoise_max_shape is not None else None)
+
+    coords_list = list(np.ndindex(*grid_shape))
+    last_coord = np.asarray(grid_shape) - 1
+    time_detect = time.time()
+    seg_rois = np.full(grid_shape, None, dtype=object)
+    overflow = 0
+
+    for chl in channels:
+        chan_img = image[..., chl] if multichannel else image
+        prep = None
+        if preprocess:
+            prep = (
+                ("clip_vmin", float(settings["clip_vmin"])),
+                ("clip_vmax", float(settings["clip_vmax"])),
+                ("max_thresh", float(
+                    near_max_map[chl] * settings["max_thresh_factor"])),
+                ("clip_min", float(settings["clip_min"])),
+                ("clip_max", float(settings["clip_max"])),
+                ("tot_var_denoise", float(
+                    settings["tot_var_denoise"] or 0.0)),
+                ("unsharp_strength", float(
+                    settings["unsharp_strength"] or 0.0)),
+                ("erosion_threshold", float(
+                    settings["erosion_threshold"] or 0.0)),
+            )
+
+        for i0 in range(0, len(coords_list), batch_size):
+            batch_coords = coords_list[i0:i0 + batch_size]
+            windows = []
+            starts = []
+            for coord in batch_coords:
+                start = blocks.sub_rois_offsets[coord]
+                wstart = _window_for_block(shape, start, block_shape)
+                starts.append(wstart)
+                win = chan_img[
+                    wstart[0]:wstart[0] + block_shape[0],
+                    wstart[1]:wstart[1] + block_shape[1],
+                    wstart[2]:wstart[2] + block_shape[2]]
+                if win.shape != tuple(block_shape):
+                    # volume smaller than a block: reflect-pad (matches the
+                    # reference's scipy 'reflect' boundary at block edges)
+                    pads = [(0, bs - ws)
+                            for bs, ws in zip(block_shape, win.shape)]
+                    win = np.pad(win, pads, mode="symmetric")
+                windows.append(np.asarray(win, np.float32))
+            batch = jnp.asarray(np.stack(windows))
+            raw_b, valid_b = _detect_batch(
+                batch, sigmas, float(settings["detection_threshold"]),
+                float(settings["overlap"]), capacity, denoise_shape, prep)
+            raw_b = np.asarray(raw_b)
+            valid_b = np.asarray(valid_b)
+
+            for bi, coord in enumerate(batch_coords):
+                n_valid = int(valid_b[bi].sum())
+                if n_valid >= capacity:
+                    overflow += 1
+                raw = raw_b[bi][valid_b[bi]]
+                if raw.shape[0] == 0:
+                    continue
+                raw[:, 3] *= math.sqrt(3)
+                segs = blobs_mod.Blobs(raw).format_blobs(chl)
+                # to absolute coords, then keep only blobs in the true block
+                wstart = starts[bi]
+                blobs_mod.Blobs.shift_blob_rel_coords(segs, wstart)
+                blobs_mod.Blobs.shift_blob_abs_coords(segs, wstart)
+                sl = blocks.sub_roi_slices[coord]
+                lo = np.asarray([s.start for s in sl])
+                hi = np.asarray([s.stop for s in sl])
+                if blocks.exclude_border is not None:
+                    # drop border-zone blobs except at stack outer faces
+                    # (reference detect_sub_roi :152-158)
+                    exc = np.stack([blocks.exclude_border] * 2)
+                    exc[0, np.equal(coord, 0)] = 0
+                    exc[1, np.equal(coord, last_coord)] = 0
+                    lo = lo + exc[0]
+                    hi = hi - exc[1]
+                keep = np.all(
+                    (segs[:, :3] >= lo) & (segs[:, :3] < hi), axis=1)
+                segs = segs[keep]
+                prev = seg_rois[coord]
+                seg_rois[coord] = (
+                    segs if prev is None else np.vstack([prev, segs]))
+
+    time_detect = time.time() - time_detect
+    if overflow:
+        _logger.warning(
+            "%d block-channel detections hit blob capacity %d; results "
+            "may be truncated (raise max_blobs_per_block)",
+            overflow, capacity)
+
+    time_prune = time.time()
+    blobs_all = prune_blobs(
+        seg_rois, blocks, shape, channels)
+    time_prune = time.time() - time_prune
+
+    timing = {"Detection": time_detect, "Pruning": time_prune,
+              "Total_stack": time_detect + time_prune}
+    if verify_fn is not None and blobs_all is not None:
+        timing["verify_stats"] = verify_fn(blobs_all)
+    return blobs_all, timing
+
+
+def prune_blobs(
+        seg_rois: np.ndarray, blocks: Blocks, shape: Sequence[int],
+        channels: Sequence[int]) -> Optional[np.ndarray]:
+    """Cross-block duplicate pruning over overlap planes.
+
+    Host-side implementation of ``StackPruner.prune_blobs_mp``
+    (``stack_detect.py:680-861``): per channel and axis, blobs in each
+    overlap band are pruned against the adjacent section via tolerance
+    matching; non-overlap blobs pass through.
+    """
+    merged = chunking.merge_blobs(seg_rois)
+    if merged is None:
+        return None
+    tol = blocks.tol
+    overlap = blocks.overlap
+    overlap_padding = blocks.overlap_padding
+    offsets = blocks.sub_rois_offsets
+    slices = blocks.sub_roi_slices
+    grid_shape = slices.shape
+
+    blobs_out = []
+    for chl in channels:
+        blobs = merged[blobs_mod.Blobs.get_blobs_channel(merged) == chl]
+        for axis in range(3):
+            num_sections = grid_shape[axis]
+            if num_sections <= 1:
+                continue
+            non_ol_parts = []
+            pruned_parts = []
+            shift = overlap[axis] + overlap_padding[axis]
+            for j in range(num_sections):
+                coord = [0, 0, 0]
+                coord[axis] = j
+                coord = tuple(coord)
+                offset_axis = offsets[coord][axis]
+                sl = slices[coord][axis]
+                size_axis = sl.stop - sl.start
+
+                masks = []
+                if j < num_sections - 1:
+                    bound_lo = offset_axis + size_axis - shift
+                    bound_hi = (offset_axis + size_axis
+                                + overlap_padding[axis])
+                    in_band = ((blobs[:, axis] >= bound_lo)
+                               & (blobs[:, axis] < bound_hi))
+                    band = blobs[in_band]
+                    # prune: section j is master, j+1 is checked
+                    axis_col = band.shape[1] - 3 + axis
+                    master = band[band[:, axis_col] == j]
+                    check = band[band[:, axis_col] == j + 1]
+                    rest = band[(band[:, axis_col] != j)
+                                & (band[:, axis_col] != j + 1)]
+                    pruned, master = detector.remove_close_blobs(
+                        check, master, tol)
+                    pruned_parts.extend(
+                        [p for p in (master, pruned, rest) if len(p)])
+                    masks.append(blobs[:, axis] < bound_lo)
+                else:
+                    masks.append(blobs[:, axis] < offset_axis + size_axis)
+                start = offset_axis + (shift if j > 0 else 0)
+                masks.append(blobs[:, axis] >= start)
+                non_ol_parts.append(blobs[np.all(masks, axis=0)])
+            parts = [p for p in non_ol_parts + pruned_parts if len(p)]
+            blobs = (np.vstack(parts) if parts
+                     else blobs[:0])
+        blobs_out.append(blobs)
+    if not blobs_out:
+        return None
+    out = np.vstack(blobs_out)
+    return out[:, :-3] if len(out) else None
+
+
+def detect_blobs_stack(
+        image: np.ndarray,
+        profiles,
+        resolutions: Sequence[float],
+        channels: Optional[Sequence[int]] = None,
+        **kwargs,
+) -> Tuple[Optional[blobs_mod.Blobs], Dict[str, float]]:
+    """Detect blobs across all channels, grouping channels whose profiles
+    share block geometry (reference ``detect_blobs_stack`` ``:520``).
+
+    Args:
+        image: ``(Z, Y, X[, C])`` volume.
+        profiles: single profile or per-channel profile sequence.
+        resolutions: z,y,x spacing.
+        channels: channels to detect; None = all.
+
+    Returns:
+        ``(Blobs, timing)`` with merged blobs across channel groups.
+    """
+    multichannel = image.ndim > 3
+    if channels is None:
+        channels = list(range(image.shape[3])) if multichannel else [0]
+    channels = list(np.atleast_1d(channels))
+
+    def get_prof(chl):
+        if isinstance(profiles, (list, tuple)):
+            return profiles[min(chl, len(profiles) - 1)]
+        return profiles
+
+    # group channels by identical block settings
+    groups: List[List[int]] = []
+    for chl in channels:
+        placed = False
+        for grp in groups:
+            if roi_prof.is_identical_block_settings(
+                    [get_prof(grp[0]), get_prof(chl)]):
+                grp.append(chl)
+                placed = True
+                break
+        if not placed:
+            groups.append([chl])
+
+    all_blobs = []
+    timing: Dict[str, float] = {}
+    for grp in groups:
+        out, t = detect_blobs_blocks(
+            image, get_prof(grp[0]), resolutions, channels=grp, **kwargs)
+        if out is not None:
+            all_blobs.append(out)
+        for k, v in t.items():
+            if isinstance(v, (int, float)):
+                timing[k] = timing.get(k, 0.0) + v
+
+    blobs = blobs_mod.Blobs(
+        np.vstack(all_blobs) if all_blobs else None)
+    blobs.resolutions = np.atleast_2d(np.asarray(resolutions, float))
+    return blobs, timing

@@ -1,0 +1,126 @@
+"""Block split/merge identity + whole-stack detection tests."""
+
+import numpy as np
+
+from magellanmapper_tpu.cv import chunking, detector, ref_detect, stack_detect
+from magellanmapper_tpu.settings.roi_prof import ROIProfile
+
+
+class TestSplitMerge:
+    def test_split_remerge_identity(self, rng):
+        """Split with overlap then merge must reproduce the stack
+        (reference test_chunking.stack_split_remerge semantics)."""
+        vol = rng.integers(0, 1000, (60, 50, 43)).astype(np.float32)
+        max_pixels = (20, 20, 20)
+        overlap = np.array([3, 3, 3])
+        slices, offsets = chunking.stack_splitter(
+            vol.shape, max_pixels, overlap)
+        sub_rois = np.zeros(slices.shape, dtype=object)
+        for coord in np.ndindex(*slices.shape):
+            sub_rois[coord] = vol[slices[coord]]
+        shape_out = chunking.get_split_stack_total_shape(sub_rois, overlap)
+        np.testing.assert_array_equal(shape_out, vol.shape)
+        out = np.zeros(vol.shape, vol.dtype)
+        chunking.merge_split_stack2(sub_rois, overlap, 0, out)
+        np.testing.assert_array_equal(out, vol)
+
+    def test_split_no_overlap(self, rng):
+        vol = rng.normal(size=(25, 25, 25)).astype(np.float32)
+        slices, offsets = chunking.stack_splitter(vol.shape, (10, 10, 10))
+        assert slices.shape == (3, 3, 3)
+        np.testing.assert_array_equal(offsets[2, 2, 2], [20, 20, 20])
+        sub_rois = np.zeros(slices.shape, dtype=object)
+        for coord in np.ndindex(*slices.shape):
+            sub_rois[coord] = vol[slices[coord]]
+        out = np.zeros(vol.shape, vol.dtype)
+        chunking.merge_split_stack2(sub_rois, None, 0, out)
+        np.testing.assert_array_equal(out, vol)
+
+    def test_merge_blobs_tags_coords(self):
+        rois = np.zeros((1, 1, 2), dtype=object)
+        rois[0, 0, 0] = np.array([[1.0, 2, 3, 4]])
+        rois[0, 0, 1] = np.array([[5.0, 6, 7, 8], [9, 10, 11, 12]])
+        merged = chunking.merge_blobs(rois)
+        assert merged.shape == (3, 7)
+        np.testing.assert_array_equal(merged[0, 4:], [0, 0, 0])
+        np.testing.assert_array_equal(merged[1, 4:], [0, 0, 1])
+
+
+def _nuclei_volume(seed, shape, n):
+    rng = np.random.default_rng(seed)
+    vol = np.zeros(shape, dtype=np.float32)
+    zz, yy, xx = np.indices(shape).astype(np.float32)
+    centers = np.column_stack([rng.uniform(6, s - 6, size=n) for s in shape])
+    for cz, cy, cx in centers:
+        sig = 4.5 / np.sqrt(3)
+        vol += np.exp(-((zz - cz) ** 2 + (yy - cy) ** 2 + (xx - cx) ** 2)
+                      / (2 * sig ** 2))
+    vol += rng.normal(scale=0.02, size=shape).astype(np.float32)
+    return np.clip(vol, 0, None) / vol.max(), centers
+
+
+class TestStackDetect:
+    def _profile(self):
+        prof = ROIProfile()
+        prof["min_sigma_factor"] = 2.0
+        prof["max_sigma_factor"] = 4.0
+        prof["num_sigma"] = 5
+        prof["segment_size"] = 40
+        prof["denoise_size"] = None  # no preprocessing sub-blocks
+        prof["max_blobs_per_block"] = 1024
+        return prof
+
+    def test_blocked_matches_single_shot(self):
+        """Chunked whole-stack detection must agree with detecting the
+        whole volume in one shot (cross-block pruning correctness)."""
+        vol, centers = _nuclei_volume(7, (60, 80, 80), 60)
+        prof = self._profile()
+        res = (1.0, 1.0, 1.0)
+        blobs, timing = stack_detect.detect_blobs_blocks(
+            vol, prof, res, preprocess=False)
+        assert blobs is not None
+        single = detector.detect_blobs(vol, prof, res)
+        tol = detector.calc_overlap(res)
+        n_match = ref_detect.match_blob_sets(
+            blobs[:, :3], single[:, :3], tol)
+        larger = max(len(blobs), len(single))
+        assert n_match >= 0.95 * larger
+        assert timing["Detection"] > 0
+
+    def test_finds_planted_blobs_blocked(self):
+        vol, centers = _nuclei_volume(11, (50, 70, 70), 40)
+        blobs, _ = stack_detect.detect_blobs_blocks(
+            vol, self._profile(), (1.0, 1.0, 1.0), preprocess=False)
+        n_match = ref_detect.match_blob_sets(
+            blobs[:, :3], centers, (3, 3, 3))
+        assert n_match >= 0.9 * len(centers)
+
+    def test_no_duplicates_after_pruning(self):
+        vol, _ = _nuclei_volume(13, (50, 70, 70), 40)
+        blobs, _ = stack_detect.detect_blobs_blocks(
+            vol, self._profile(), (1.0, 1.0, 1.0), preprocess=False)
+        # no two blobs within a 2px box of each other after border pruning
+        from scipy.spatial import cKDTree
+        tree = cKDTree(blobs[:, :3])
+        pairs = tree.query_pairs(1.0)
+        assert len(pairs) == 0
+
+    def test_multichannel_stack(self):
+        vol, _ = _nuclei_volume(17, (40, 48, 48), 15)
+        img = np.stack([vol, vol * 0.5], axis=-1)
+        blobs, timing = stack_detect.detect_blobs_stack(
+            img, self._profile(), (1.0, 1.0, 1.0), preprocess=False)
+        arr = blobs.blobs
+        assert arr is not None
+        chls = np.unique(arr[:, 6])
+        assert set(chls.tolist()) <= {0.0, 1.0}
+        assert (arr[:, 6] == 0).sum() > 0
+
+    def test_setup_blocks_geometry(self):
+        prof = self._profile()
+        prof["exclude_border"] = (1, 0, 0)
+        blocks = stack_detect.setup_blocks(prof, (100, 100, 100), (1, 1, 1))
+        # overlap raised to 2*exclude+1 when needed; padding zeroed there
+        assert blocks.overlap[0] >= 3
+        assert blocks.overlap_padding[0] == 0
+        assert blocks.sub_roi_slices.shape == (3, 3, 3)
