@@ -1,0 +1,88 @@
+"""Headline benchmark: whole-volume 3D LoG blob detection throughput.
+
+Prints ONE JSON line: ``{"metric", "value", "unit", "vs_baseline"}``.
+
+Metric: megavoxels/second for the full detection pipeline (LoG pyramid over
+``num_sigma`` scales + 4D peak finding + overlap pruning) on the real TPU
+chip, steady state. Baseline: the same algorithm on CPU via scipy.ndimage
+(``cv/ref_detect.py``) — the reference's own hot kernel is this algorithm
+inside scikit-image (``magmap/cv/detector.py:931``), and the reference
+publishes no numbers of its own (BASELINE.md), so vs_baseline is measured
+TPU Mvox/s over measured single-CPU Mvox/s on the same workload.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def make_volume(shape=(128, 256, 256), n_blobs=600, seed=0):
+    rng = np.random.default_rng(seed)
+    vol = rng.normal(scale=0.02, size=shape).astype(np.float32)
+    coords = np.column_stack(
+        [rng.integers(6, s - 6, n_blobs) for s in shape])
+    zz, yy, xx = np.indices((13, 13, 13)).astype(np.float32) - 6
+    for (cz, cy, cx), r in zip(coords, rng.uniform(3, 5.5, n_blobs)):
+        sig = r / np.sqrt(3)
+        stamp = np.exp(-(zz**2 + yy**2 + xx**2) / (2 * sig**2))
+        vol[cz-6:cz+7, cy-6:cy+7, cx-6:cx+7] += stamp
+    vol = np.clip(vol, 0, None)
+    return vol / vol.max()
+
+
+def bench_tpu(vol, sigmas, threshold, overlap, capacity, iters=3):
+    import jax
+    import jax.numpy as jnp
+    from magellanmapper_tpu.cv import detector
+
+    x = jnp.asarray(vol)
+    sig = tuple(sigmas)
+    # warmup/compile
+    raw, valid = detector.blob_log(x, sig, threshold, overlap, capacity)
+    raw.block_until_ready()
+    n_blobs = int(np.asarray(valid).sum())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        raw, valid = detector.blob_log(x, sig, threshold, overlap, capacity)
+    raw.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return vol.size / dt / 1e6, n_blobs
+
+
+def bench_cpu_baseline(vol, sigmas, threshold, overlap, max_seconds=120.0):
+    """Single-CPU scipy baseline on a sub-volume, extrapolated per-voxel."""
+    from magellanmapper_tpu.cv import ref_detect
+    sub = vol[:32, :128, :128]
+    t0 = time.perf_counter()
+    ref_detect.blob_log_reference(
+        sub, float(sigmas[0]), float(sigmas[-1]), len(sigmas),
+        threshold, overlap)
+    dt = time.perf_counter() - t0
+    return sub.size / dt / 1e6
+
+
+def main():
+    shape = (128, 256, 256)
+    sigmas = np.linspace(2.0, 4.0, 8)
+    threshold, overlap, capacity = 0.1, 0.5, 8192
+
+    vol = make_volume(shape)
+    tpu_mvox, n_blobs = bench_tpu(vol, sigmas, threshold, overlap, capacity)
+    cpu_mvox = bench_cpu_baseline(vol, sigmas, threshold, overlap)
+
+    print(json.dumps({
+        "metric": "blob_detection_throughput",
+        "value": round(tpu_mvox, 2),
+        "unit": "Mvox/s",
+        "vs_baseline": round(tpu_mvox / cpu_mvox, 2),
+        "extra": {
+            "volume": list(shape), "num_sigma": len(sigmas),
+            "blobs": n_blobs, "cpu_baseline_mvox_s": round(cpu_mvox, 3)},
+    }))
+
+
+if __name__ == "__main__":
+    main()
