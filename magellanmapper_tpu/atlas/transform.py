@@ -1,0 +1,143 @@
+"""Spatial transform models for registration (JAX).
+
+TPU-native replacements for Elastix's transform stack
+(``magmap/atlas/register.py:423`` ``register_duo`` builds
+translation/affine/bspline parameter maps; Transformix applies the stored
+transform at order 0 for labels, ``register.py:616-638``):
+
+ - transforms map **fixed-image voxel coordinates -> moving-image voxel
+   coordinates**; resampling takes the moving image at those coordinates.
+ - the B-spline free-form deformation evaluates cubic B-spline basis
+   matrices as dense per-axis matmuls (MXU-friendly separable tensor
+   product), not gathers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def identity_params(kind: str, grid_shape=None) -> Dict[str, jnp.ndarray]:
+    """Initial (identity) parameters for a transform stage."""
+    if kind == "translation":
+        return {"t": jnp.zeros(3)}
+    if kind == "affine":
+        return {"W": jnp.zeros((3, 3)), "t": jnp.zeros(3)}
+    if kind == "bspline":
+        assert grid_shape is not None
+        return {"grid": jnp.zeros((3,) + tuple(grid_shape))}
+    raise ValueError(kind)
+
+
+def _coords(shape: Sequence[int]) -> jnp.ndarray:
+    """Voxel-center coordinate grid, shape ``(3, Z, Y, X)``."""
+    ranges = [jnp.arange(s, dtype=jnp.float32) for s in shape]
+    zz, yy, xx = jnp.meshgrid(*ranges, indexing="ij")
+    return jnp.stack([zz, yy, xx])
+
+
+def cubic_bspline(u: np.ndarray) -> np.ndarray:
+    """Cubic B-spline basis beta^3(u) (support |u| < 2)."""
+    au = np.abs(u)
+    out = np.zeros_like(au)
+    m1 = au < 1
+    m2 = (au >= 1) & (au < 2)
+    out[m1] = (4 - 6 * au[m1] ** 2 + 3 * au[m1] ** 3) / 6
+    out[m2] = (2 - au[m2]) ** 3 / 6
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def _bspline_basis(n_vox: int, n_ctrl: int, spacing: float) -> np.ndarray:
+    """Dense basis matrix ``B (n_vox, n_ctrl)``: control points sit at
+    ``(j - 1) * spacing`` so the grid pads one point beyond each edge."""
+    x = np.arange(n_vox, dtype=np.float64)
+    j = np.arange(n_ctrl, dtype=np.float64)
+    u = x[:, None] / spacing - (j[None, :] - 1.0)
+    return cubic_bspline(u).astype(np.float32)
+
+
+def bspline_grid_shape(
+        shape: Sequence[int], spacing: Sequence[float]) -> Tuple[int, ...]:
+    """Control-grid shape covering ``shape`` with one pad point per side
+    plus the two extra support points of the cubic kernel."""
+    return tuple(
+        int(np.ceil((s - 1) / sp)) + 3 for s, sp in zip(shape, spacing))
+
+
+def bspline_displacement(
+        grid: jnp.ndarray, shape: Sequence[int],
+        spacing: Sequence[float]) -> jnp.ndarray:
+    """Dense displacement field ``(3, Z, Y, X)`` from control grid
+    ``(3, gz, gy, gx)`` via separable cubic B-spline tensor product."""
+    out = grid
+    for ax in range(3):
+        basis = jnp.asarray(_bspline_basis(
+            int(shape[ax]), int(grid.shape[ax + 1]), float(spacing[ax])))
+        # contract control axis ax+1 against basis -> voxel axis at end
+        out = jnp.tensordot(
+            out, basis, axes=((1,), (1,)),
+            precision=jax.lax.Precision.HIGHEST)
+        # tensordot appends the voxel axis; keep axis order (3, ..., vox)
+    # out axes: (3, vz, vy, vx) after three contractions in order
+    return out
+
+
+def transform_coords(
+        params: Dict[str, jnp.ndarray], kind: str,
+        shape: Sequence[int],
+        spacing: Optional[Sequence[float]] = None,
+        pre_affine: Optional[Dict[str, jnp.ndarray]] = None) -> jnp.ndarray:
+    """Map fixed voxel coords to moving voxel coords, ``(3, Z, Y, X)``.
+
+    ``bspline`` composes with ``pre_affine`` (affine applied after the
+    FFD warp of fixed-space coordinates, the ANTs-style composition).
+    """
+    coords = _coords(shape)
+    if kind == "translation":
+        return coords + params["t"][:, None, None, None]
+    if kind == "affine":
+        return _apply_affine(params, coords, shape)
+    if kind == "bspline":
+        disp = bspline_displacement(params["grid"], shape, spacing)
+        warped = coords + disp
+        if pre_affine is not None:
+            return _apply_affine(pre_affine, warped, shape)
+        return warped
+    raise ValueError(kind)
+
+
+def _apply_affine(params, coords: jnp.ndarray, shape) -> jnp.ndarray:
+    center = (jnp.asarray(shape, jnp.float32) - 1) / 2
+    a = jnp.eye(3) + params["W"]
+    flat = coords.reshape(3, -1) - center[:, None]
+    out = a @ flat + (center + params["t"])[:, None]
+    return out.reshape(coords.shape)
+
+
+def sample_volume(
+        vol: jnp.ndarray, coords: jnp.ndarray, order: int = 1,
+        cval: float = 0.0) -> jnp.ndarray:
+    """Sample ``vol`` at ``coords (3, ...)``; order 0 = nearest (labels,
+    the Transformix ``FinalBSplineInterpolationOrder=0`` path), 1 =
+    trilinear."""
+    from jax.scipy.ndimage import map_coordinates
+    return map_coordinates(
+        vol, [coords[0], coords[1], coords[2]], order=order, mode="constant",
+        cval=cval)
+
+
+def resample(
+        moving: jnp.ndarray, params: Dict[str, jnp.ndarray], kind: str,
+        out_shape: Sequence[int],
+        spacing: Optional[Sequence[float]] = None,
+        pre_affine: Optional[Dict[str, jnp.ndarray]] = None,
+        order: int = 1) -> jnp.ndarray:
+    """Resample the moving image into fixed space under the transform."""
+    coords = transform_coords(params, kind, out_shape, spacing, pre_affine)
+    return sample_volume(moving, coords, order=order)

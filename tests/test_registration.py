@@ -1,0 +1,153 @@
+"""Registration engine tests: metric sanity + transform recovery."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from magellanmapper_tpu.atlas import metrics, reg_engine, transform
+from magellanmapper_tpu.settings.atlas_prof import (
+    AtlasProfile, make_reg_param_map)
+
+
+def blobby_volume(seed=0, shape=(48, 48, 48), n=25):
+    rng = np.random.default_rng(seed)
+    vol = np.zeros(shape, np.float32)
+    zz, yy, xx = np.indices(shape).astype(np.float32)
+    for cz, cy, cx in np.column_stack(
+            [rng.uniform(10, s - 10, n) for s in shape]):
+        vol += np.exp(-((zz-cz)**2 + (yy-cy)**2 + (xx-cx)**2) / 18.0)
+    return vol / vol.max()
+
+
+class TestMetrics:
+    def test_ncc_self_is_one(self):
+        vol = blobby_volume()
+        assert float(metrics.ncc(jnp.asarray(vol), jnp.asarray(vol))) == \
+            pytest.approx(1.0, abs=1e-4)
+
+    def test_mi_self_exceeds_shuffled(self):
+        vol = blobby_volume()
+        rng = np.random.default_rng(1)
+        shuffled = rng.permutation(vol.reshape(-1)).reshape(vol.shape)
+        mi_self = float(metrics.mattes_mi(
+            jnp.asarray(vol), jnp.asarray(vol)))
+        mi_rand = float(metrics.mattes_mi(
+            jnp.asarray(vol), jnp.asarray(shuffled)))
+        assert mi_self > mi_rand + 0.5
+
+    def test_dice(self):
+        a = np.zeros((10, 10, 10), bool)
+        b = np.zeros((10, 10, 10), bool)
+        a[:5] = True
+        b[:5] = True
+        assert float(metrics.dice(jnp.asarray(a), jnp.asarray(b))) == \
+            pytest.approx(1.0)
+        b[:] = False
+        b[5:] = True
+        assert float(metrics.dice(jnp.asarray(a), jnp.asarray(b))) == \
+            pytest.approx(0.0)
+
+    def test_measure_overlap_otsu(self):
+        vol = blobby_volume()
+        assert metrics.measure_overlap(vol, vol) == pytest.approx(1.0)
+
+
+class TestTransforms:
+    def test_translation_sampling(self):
+        vol = blobby_volume()
+        params = {"t": jnp.asarray([2.0, -3.0, 1.0])}
+        out = np.asarray(transform.resample(
+            jnp.asarray(vol), params, "translation", vol.shape))
+        # out(x) = vol(x + t): voxel (z,y,x) reads from (z+2, y-3, x+1)
+        np.testing.assert_allclose(
+            out[10, 10, 10], vol[12, 7, 11], rtol=1e-5)
+
+    def test_affine_identity(self):
+        vol = blobby_volume()
+        params = transform.identity_params("affine")
+        out = np.asarray(transform.resample(
+            jnp.asarray(vol), params, "affine", vol.shape))
+        np.testing.assert_allclose(out, vol, atol=1e-5)
+
+    def test_bspline_identity(self):
+        vol = blobby_volume()
+        spacing = (16.0, 16.0, 16.0)
+        gs = transform.bspline_grid_shape(vol.shape, spacing)
+        params = transform.identity_params("bspline", gs)
+        out = np.asarray(transform.resample(
+            jnp.asarray(vol), params, "bspline", vol.shape, spacing))
+        np.testing.assert_allclose(out, vol, atol=1e-5)
+
+    def test_bspline_displacement_partition_of_unity(self):
+        spacing = (8.0, 8.0, 8.0)
+        shape = (24, 24, 24)
+        gs = transform.bspline_grid_shape(shape, spacing)
+        grid = jnp.ones((3,) + gs)
+        disp = np.asarray(
+            transform.bspline_displacement(grid, shape, spacing))
+        # constant control values -> constant displacement (B-spline
+        # partition of unity)
+        np.testing.assert_allclose(disp, 1.0, atol=1e-4)
+
+    def test_label_resample_order0_preserves_values(self):
+        labels = np.zeros((20, 20, 20), np.int32)
+        labels[5:10, 5:10, 5:10] = 7
+        labels[12:18, 12:18, 12:18] = 42
+        params = {"t": jnp.asarray([0.4, -0.3, 0.2])}
+        out = np.asarray(transform.resample(
+            jnp.asarray(labels.astype(np.float32)), params, "translation",
+            labels.shape, order=0))
+        assert set(np.unique(out)).issubset({0.0, 7.0, 42.0})
+
+
+class TestRegistration:
+    def test_recover_translation(self):
+        vol = blobby_volume()
+        shift = np.array([3.0, -2.0, 4.0])
+        moving = np.asarray(transform.resample(
+            jnp.asarray(vol), {"t": jnp.asarray(-shift)}, "translation",
+            vol.shape))
+        stage = make_reg_param_map("translation", 64, metric="ncc",
+                                   num_resolutions=2)
+        params, loss = reg_engine.register_stage(vol, moving, stage)
+        # registering moving back onto fixed must find t ~= shift
+        np.testing.assert_allclose(np.asarray(params["t"]), shift, atol=0.7)
+
+    def test_register_duo_improves_overlap(self):
+        fixed = blobby_volume(seed=3)
+        true_aff = {"W": jnp.asarray(np.diag([0.06, -0.04, 0.05])),
+                    "t": jnp.asarray([2.0, -1.5, 1.0])}
+        moving = np.asarray(transform.resample(
+            jnp.asarray(fixed), true_aff, "affine", fixed.shape))
+        prof = AtlasProfile()
+        prof["reg_translation"] = make_reg_param_map(
+            "translation", 48, metric="ncc", num_resolutions=2)
+        prof["reg_affine"] = make_reg_param_map(
+            "affine", 48, metric="ncc", num_resolutions=2)
+        prof["reg_bspline"] = None  # affine-only for speed
+        moved, result = reg_engine.register_duo(fixed, moving, prof)
+        ncc_before = float(metrics.ncc(
+            jnp.asarray(fixed), jnp.asarray(moving)))
+        ncc_after = float(metrics.ncc(
+            jnp.asarray(fixed), jnp.asarray(moved)))
+        assert ncc_after > ncc_before + 0.05
+        assert result.metrics["dsc_fixed_moved"] > 0.7
+
+    def test_label_transfer_follows_transform(self):
+        fixed = blobby_volume(seed=5)
+        shift = np.array([4.0, 0.0, 0.0])
+        moving = np.asarray(transform.resample(
+            jnp.asarray(fixed), {"t": jnp.asarray(-shift)}, "translation",
+            fixed.shape))
+        labels = (moving > 0.3).astype(np.float32) * 9
+        prof = AtlasProfile()
+        prof["reg_translation"] = make_reg_param_map(
+            "translation", 64, metric="ncc", num_resolutions=2)
+        prof["reg_affine"] = None
+        prof["reg_bspline"] = None
+        moved, result = reg_engine.register_duo(fixed, moving, prof)
+        labels_moved = result.transform_img(labels, order=0)
+        assert set(np.unique(labels_moved)).issubset({0.0, 9.0})
+        dsc = float(metrics.dice(
+            jnp.asarray(labels_moved > 0), jnp.asarray(fixed > 0.3)))
+        assert dsc > 0.75
