@@ -1,0 +1,179 @@
+"""NumPy image I/O: memmapped ``image5d`` arrays + YAML metadata.
+
+Equivalent of ``magmap/io/np_io.py`` + the NumPy side of
+``magmap/io/importer.py``: the ``Image5d`` model (``np_io.py:33``),
+``<base>_image5d.npy`` / ``<base>_meta.yml`` naming
+(``config.py:120-122``), versioned metadata (``importer.py:69``
+``IMAGE5D_NP_VER``), memmapped loading (``importer.py:794``), and
+intensity-bound measurement (``importer.py:1415``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from magellanmapper_tpu.io import yaml_io
+from magellanmapper_tpu.utils import libmag
+
+#: metadata archive version (reference ``importer.py:69``).
+IMAGE5D_NP_VER = 15
+
+SUFFIX_IMAGE5D = "image5d.npy"
+SUFFIX_META = "meta.yml"
+SUFFIX_SUBIMG = "subimg.npy"
+SUFFIX_BLOBS = "blobs.npz"
+
+
+@dataclass
+class Image5d:
+    """Main image model: ``t, z, y, x, [c]`` array + metadata
+    (reference ``np_io.Image5d``)."""
+    img: Optional[np.ndarray] = None
+    path_img: Optional[str] = None
+    path_meta: Optional[str] = None
+    img_io: Optional[str] = None
+    meta: Dict = field(default_factory=dict)
+    subimg_offset: Optional[Sequence[int]] = None
+    subimg_size: Optional[Sequence[int]] = None
+
+    @property
+    def resolutions(self) -> Optional[np.ndarray]:
+        res = self.meta.get("resolutions")
+        return None if res is None else np.atleast_2d(np.asarray(res))
+
+    @property
+    def near_min(self):
+        return self.meta.get("near_min")
+
+    @property
+    def near_max(self):
+        return self.meta.get("near_max")
+
+    def roi(self, offset: Sequence[int], size: Sequence[int]) -> np.ndarray:
+        """Extract a z,y,x ROI (offset/size in z,y,x) from the t=0 volume."""
+        vol = self.img[0] if self.img.ndim >= 4 else self.img
+        sl = tuple(slice(o, o + s) for o, s in zip(offset, size))
+        return vol[sl]
+
+
+def make_filenames(
+        filename: str, series: Optional[int] = None) -> Tuple[str, str]:
+    """Paths of the image5d array and metadata for a base path
+    (reference ``importer.make_filenames``)."""
+    base = libmag.splitext(filename)[0]
+    if series is not None and series > 0:
+        base = f"{base}_series{series:05d}"
+    return f"{base}_{SUFFIX_IMAGE5D}", f"{base}_{SUFFIX_META}"
+
+
+def save_image_info(
+        path_meta: str, names, sizes, resolutions, magnification=1.0,
+        zoom=1.0, near_min=None, near_max=None, scaling=None,
+        plane=None) -> Dict:
+    """Write the metadata YAML (reference ``importer.save_image_info``)."""
+    data = {
+        "ver": IMAGE5D_NP_VER,
+        "names": list(names) if names is not None else None,
+        "sizes": [list(np.ravel(s)) for s in sizes] if sizes else None,
+        "resolutions": np.asarray(resolutions).tolist(),
+        "magnification": magnification,
+        "zoom": zoom,
+        "near_min": np.asarray(near_min).tolist()
+        if near_min is not None else None,
+        "near_max": np.asarray(near_max).tolist()
+        if near_max is not None else None,
+        "scaling": np.asarray(scaling).tolist()
+        if scaling is not None else None,
+        "plane": plane,
+    }
+    yaml_io.save_yaml(path_meta, data)
+    return data
+
+
+def load_metadata(path_meta: str) -> Tuple[Dict, int]:
+    """Load the metadata YAML; returns ``(meta, version)``."""
+    if not os.path.exists(path_meta):
+        return {}, -1
+    docs = yaml_io.load_yaml(path_meta)
+    meta = docs[0] if isinstance(docs, list) else docs
+    return meta, int(meta.get("ver", -1))
+
+
+def calc_intensity_bounds(
+        img: np.ndarray, lower: float = 0.5, upper: float = 99.5,
+        sample_planes: int = 32) -> Tuple[list, list]:
+    """Near-min/max per channel from percentiles over sampled planes
+    (reference ``importer.calc_intensity_bounds`` ``:1415``)."""
+    vol = img[0] if img.ndim >= 5 else img
+    step = max(1, vol.shape[0] // sample_planes)
+    sample = np.asarray(vol[::step])
+    multichannel = sample.ndim > 3
+    n_chl = sample.shape[-1] if multichannel else 1
+    mins, maxs = [], []
+    for c in range(n_chl):
+        chan = sample[..., c] if multichannel else sample
+        lo, hi = np.percentile(chan, (lower, upper))
+        mins.append(float(lo))
+        maxs.append(float(hi))
+    return mins, maxs
+
+
+def write_npy(
+        path: str, arr: np.ndarray, resolutions=None,
+        save_meta: bool = True) -> Image5d:
+    """Save an array as ``<base>_image5d.npy`` (+ metadata) via an
+    out-of-core memmap copy; returns the loaded Image5d."""
+    path_img, path_meta = make_filenames(path)
+    if arr.ndim == 3:
+        arr = arr[None]  # add t axis
+    out = np.lib.format.open_memmap(
+        path_img, mode="w+", dtype=arr.dtype, shape=arr.shape)
+    # stream z-planes to bound memory for large inputs
+    for t in range(arr.shape[0]):
+        out[t] = arr[t]
+    out.flush()
+    if save_meta:
+        near_min, near_max = calc_intensity_bounds(arr)
+        save_image_info(
+            path_meta, [os.path.basename(path)], [arr.shape],
+            resolutions if resolutions is not None else [[1.0, 1.0, 1.0]],
+            near_min=near_min, near_max=near_max)
+    return read_file(path)
+
+
+def read_file(
+        filename: str, series: Optional[int] = None,
+        offset: Optional[Sequence[int]] = None,
+        size: Optional[Sequence[int]] = None) -> Image5d:
+    """Load a memmapped image5d + metadata
+    (reference ``importer.read_file`` ``:747``)."""
+    path_img, path_meta = make_filenames(filename, series)
+    if not os.path.exists(path_img) and os.path.exists(filename) \
+            and filename.endswith(".npy"):
+        # direct .npy path given
+        path_img = filename
+    meta, ver = load_metadata(path_meta)
+    img = np.load(path_img, mmap_mode="r")
+    img5d = Image5d(
+        img=img, path_img=path_img, path_meta=path_meta, img_io="np",
+        meta=meta)
+    if offset is not None and size is not None:
+        # x,y,z convention for offset/size per reference CLI
+        off_zyx = offset[::-1]
+        size_zyx = size[::-1]
+        img5d.img = img5d.roi(off_zyx, size_zyx)[None]
+        img5d.subimg_offset = off_zyx
+        img5d.subimg_size = size_zyx
+    return img5d
+
+
+def find_scaling(
+        img5d_shape: Sequence[int], scaled_shape: Sequence[int]
+) -> np.ndarray:
+    """Per-axis scaling between a full image and a rescaled one
+    (reference ``np_io.find_scaling``)."""
+    return np.divide(scaled_shape[:3], img5d_shape[:3])
