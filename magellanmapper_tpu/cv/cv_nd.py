@@ -1,0 +1,377 @@
+"""ND image operations (JAX device kernels + host helpers).
+
+Equivalent of ``magmap/cv/cv_nd.py``: distance transforms, in-painting,
+carving, perimeters, heat maps, LoG images, zero crossings, isotropic
+resampling. The scipy.ndimage C kernels the reference leans on
+(``distance_transform_edt``, morphology) become device programs:
+
+ - **EDT** runs as 1+JFA jump flooding (GPU/TPU-standard; SURVEY.md §7
+   "EDT ... iterative/jump-flooding formulations"), returning distances
+   and/or nearest-seed indices — the indices drive ``in_paint``.
+ - morphology/perimeter/exterior are shift-reduce stencils (``ops.filters``).
+ - connected-component labeling stays on host scipy (irregular,
+   off the hot path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import ndimage as scipy_ndi
+
+from magellanmapper_tpu.ops import filters, preproc
+from magellanmapper_tpu.ops import resize as resize_ops
+
+# re-exported resampling API (reference cv_nd surface)
+calc_isotropic_factor = resize_ops.calc_isotropic_factor
+make_isotropic = resize_ops.make_isotropic
+rescale_resize = resize_ops.rescale
+
+
+def _jfa_offsets(ndim: int) -> np.ndarray:
+    """All nonzero {-1,0,1}^ndim neighbor directions."""
+    grids = np.meshgrid(*([[-1, 0, 1]] * ndim), indexing="ij")
+    offs = np.stack([g.ravel() for g in grids], axis=1)
+    return offs[np.any(offs != 0, axis=1)]
+
+
+@functools.partial(jax.jit, static_argnames=("sampling",))
+def _edt_jfa(seed_mask: jnp.ndarray, sampling: Tuple[float, ...]):
+    """Jump-flooding nearest-seed field (1+JFA).
+
+    Structured as ``lax.scan`` over step sizes with a ``fori_loop`` over
+    the 3^nd-1 neighbor directions (dynamic ``jnp.roll`` shifts), so the
+    compiled graph stays small regardless of volume size.
+
+    Args:
+        seed_mask: True where seeds (distance 0) are.
+        sampling: per-axis spacing for anisotropic distance.
+
+    Returns:
+        ``(dist, idx)``: distance to nearest seed and seed coordinates
+        ``(ndim, ...)``.
+    """
+    shape = seed_mask.shape
+    ndim = seed_mask.ndim
+    samp = jnp.asarray(sampling, jnp.float32)
+    coords = jnp.stack(jnp.meshgrid(
+        *[jnp.arange(s, dtype=jnp.int32) for s in shape],
+        indexing="ij"))
+    big = jnp.int32(-1)
+    nearest = jnp.where(seed_mask[None], coords, big)
+
+    def dist_to(near):
+        d = (near.astype(jnp.float32) - coords.astype(jnp.float32))
+        d = d * samp.reshape((ndim,) + (1,) * ndim)
+        dist = jnp.sqrt(jnp.sum(d * d, axis=0))
+        return jnp.where(jnp.any(near < 0, axis=0), jnp.inf, dist)
+
+    offsets = jnp.asarray(_jfa_offsets(ndim), jnp.int32)
+    max_step = int(2 ** np.ceil(np.log2(max(shape))))
+    step_list = []
+    s = max_step
+    while s >= 1:
+        step_list.append(s)
+        s //= 2
+    step_list.append(1)  # 1+JFA extra pass for accuracy
+    steps = jnp.asarray(step_list, jnp.int32)
+
+    def one_offset(k, carry, step):
+        nearest, best = carry
+        off = offsets[k]
+        shifted = nearest
+        for ax in range(ndim):  # static, tiny
+            o = off[ax]
+            shifted = jnp.roll(shifted, o * step, axis=ax + 1)
+            idx_ax = jax.lax.broadcasted_iota(jnp.int32, shape, ax)
+            n = shape[ax]
+            invalid = ((o > 0) & (idx_ax < o * step)) | (
+                (o < 0) & (idx_ax >= n + o * step))
+            shifted = jnp.where(invalid[None], big, shifted)
+        cand = dist_to(shifted)
+        take = cand < best
+        return (jnp.where(take[None], shifted, nearest),
+                jnp.where(take, cand, best))
+
+    def one_round(carry, step):
+        carry = jax.lax.fori_loop(
+            0, offsets.shape[0],
+            lambda k, c: one_offset(k, c, step), carry)
+        return carry, None
+
+    (nearest, best), _ = jax.lax.scan(
+        one_round, (nearest, dist_to(nearest)), steps)
+    return best, nearest
+
+
+def distance_transform_edt(
+        mask: np.ndarray, sampling: Optional[Sequence[float]] = None,
+        return_indices: bool = False):
+    """Euclidean distance transform (scipy semantics: distance from each
+    True voxel to the nearest False voxel)."""
+    mask = np.asarray(mask).astype(bool)
+    if sampling is None:
+        sampling = (1.0,) * mask.ndim
+    dist, idx = _edt_jfa(jnp.asarray(~mask), tuple(float(s) for s in sampling))
+    dist = np.array(dist)
+    dist[~mask] = 0.0
+    if return_indices:
+        return dist, np.asarray(idx)
+    return dist
+
+
+def in_paint(roi: np.ndarray, to_fill: np.ndarray) -> np.ndarray:
+    """Fill ``to_fill`` voxels with their nearest unfilled neighbor's value
+    (reference ``cv_nd.in_paint :23``, EDT-indices method)."""
+    _, idx = distance_transform_edt(to_fill, return_indices=True)
+    out = np.array(roi)
+    fill = np.where(to_fill)
+    nearest = tuple(idx[d][fill] for d in range(roi.ndim))
+    out[fill] = roi[nearest]
+    return out
+
+
+def carve(
+        roi: np.ndarray, thresh: Optional[float] = None,
+        holes_area: Optional[int] = None,
+        return_unfilled: bool = False):
+    """Carve image foreground by threshold + small-hole removal
+    (reference ``cv_nd.carve :43``)."""
+    roi_carved = np.copy(roi)
+    if thresh is None:
+        thresh = float(np.asarray(preproc.otsu_threshold(
+            jnp.asarray(roi_carved.astype(np.float32)))))
+    mask = roi_carved > thresh
+    unfilled = None
+    if holes_area:
+        labeled, _ = scipy_ndi.label(~mask)
+        counts = np.bincount(labeled.ravel())
+        small = np.flatnonzero(counts < holes_area)
+        small = small[small != 0]
+        filled = mask | np.isin(labeled, small)
+        if return_unfilled:
+            unfilled = np.copy(mask)
+        mask = filled
+    roi_carved[~mask] = 0
+    if return_unfilled:
+        return roi_carved, mask, unfilled
+    return roi_carved, mask
+
+
+def perimeter_nd(
+        img: np.ndarray, largest_only: bool = False) -> np.ndarray:
+    """Boundary voxels of a boolean mask: mask XOR eroded(mask)
+    (reference ``cv_nd.perimeter_nd :281``)."""
+    mask = np.asarray(img).astype(bool)
+    if largest_only:
+        labeled, n = scipy_ndi.label(mask)
+        if n > 1:
+            counts = np.bincount(labeled.ravel())
+            counts[0] = 0
+            mask = labeled == np.argmax(counts)
+    fp = filters.cube_footprint(3) if mask.ndim == 3 else np.ones(
+        (3,) * mask.ndim, bool)
+    eroded = np.asarray(filters.erosion(
+        jnp.asarray(mask.astype(np.float32)), fp)) > 0.5
+    return mask ^ eroded
+
+
+def exterior_nd(img: np.ndarray) -> np.ndarray:
+    """One-voxel shell just outside the mask
+    (reference ``cv_nd.exterior_nd :313``)."""
+    mask = np.asarray(img).astype(bool)
+    fp = np.ones((3,) * mask.ndim, bool)
+    dilated = np.asarray(filters.dilation(
+        jnp.asarray(mask.astype(np.float32)), fp)) > 0.5
+    return dilated ^ mask
+
+
+def surface_area_3d(mask: np.ndarray, spacing=(1.0, 1.0, 1.0)) -> float:
+    """Surface area by orientation-corrected exposed-face counting.
+
+    The reference uses marching cubes (``cv_nd.surface_area_3d :329``,
+    skimage C). Face counting with the standard 2/3 orientation factor
+    (expected |cos| projection over the sphere of normals) is near-exact
+    for smooth digitized surfaces — a 4*pi*r^2 sphere lands within a few
+    percent — while axis-aligned boxes are the worst case.
+    """
+    m = np.asarray(mask).astype(bool)
+    area = 0.0
+    face = [spacing[1] * spacing[2], spacing[0] * spacing[2],
+            spacing[0] * spacing[1]]
+    for ax in range(3):
+        padded = np.pad(m, [(1, 1) if i == ax else (0, 0)
+                            for i in range(3)])
+        diff = np.diff(padded.astype(np.int8), axis=ax)
+        area += np.abs(diff).sum() * face[ax]
+    return float(area) * (2.0 / 3.0)
+
+
+def compactness_3d(
+        mask: np.ndarray, spacing=(1.0, 1.0, 1.0)) -> Tuple[float, float,
+                                                            float]:
+    """(compactness, surface area, volume); compactness = SA^1.5 / vol
+    (reference ``cv_nd.compactness_3d :376`` family)."""
+    sa = surface_area_3d(mask, spacing)
+    vol = float(np.sum(mask) * np.prod(spacing))
+    comp = sa ** 1.5 / vol if vol > 0 else np.nan
+    return comp, sa, vol
+
+
+def signed_distance_transform(
+        borders: Optional[np.ndarray], mask: Optional[np.ndarray] = None,
+        return_indices: bool = False, spacing=None):
+    """Distance to borders, negative inside ``mask``
+    (reference ``cv_nd.signed_distance_transform :444``)."""
+    if borders is None:
+        borders = perimeter_nd(mask)
+    if return_indices:
+        dist, idx = distance_transform_edt(
+            ~borders, sampling=spacing, return_indices=True)
+    else:
+        dist = distance_transform_edt(~borders, sampling=spacing)
+    if mask is not None:
+        dist = np.where(mask, -dist, dist)
+    return (dist, idx) if return_indices else dist
+
+
+def borders_distance(
+        borders_orig: np.ndarray, borders_shifted: np.ndarray,
+        mask_orig: Optional[np.ndarray] = None, spacing=None,
+        filter_size: Optional[int] = None):
+    """Distance from shifted borders to original borders
+    (reference ``cv_nd.borders_distance :481``)."""
+    if filter_size:
+        fp = np.ones((filter_size,) * borders_orig.ndim, bool)
+        borders_orig = np.asarray(filters.dilation(
+            jnp.asarray(borders_orig.astype(np.float32)), fp)) > 0.5
+    dist, idx = distance_transform_edt(
+        ~borders_orig, sampling=spacing, return_indices=True)
+    if mask_orig is not None:
+        dist = np.where(mask_orig, -dist, dist)
+    dist_to_orig = np.zeros_like(dist)
+    dist_to_orig[borders_shifted] = dist[borders_shifted]
+    return dist_to_orig, idx, borders_orig
+
+
+def radial_dist(
+        borders: np.ndarray, centroid: Sequence[float]) -> np.ndarray:
+    """Distance of each border voxel from a centroid
+    (reference ``cv_nd.radial_dist :534``)."""
+    coords = np.argwhere(borders)
+    return np.linalg.norm(coords - np.asarray(centroid), axis=1)
+
+
+def get_bbox_region(
+        bbox: Sequence[int], padding: int = 0, img_shape=None):
+    """Slices for a regionprops-style bbox (reference ``cv_nd.py:584``)."""
+    ndim = len(bbox) // 2
+    lo = np.asarray(bbox[:ndim]) - padding
+    hi = np.asarray(bbox[ndim:]) + padding
+    if img_shape is not None:
+        lo = np.clip(lo, 0, img_shape)
+        hi = np.clip(hi, 0, img_shape)
+    return [slice(int(a), int(b)) for a, b in zip(lo, hi)]
+
+
+def get_label_bbox(labels_img: np.ndarray, label_id) -> Optional[list]:
+    """Bounding box ``[lo..., hi...]`` of a label's extent."""
+    mask = np.isin(labels_img, label_id) if np.ndim(label_id) else (
+        labels_img == label_id)
+    if not mask.any():
+        return None
+    coords = np.argwhere(mask)
+    return list(coords.min(axis=0)) + list(coords.max(axis=0) + 1)
+
+
+def crop_to_labels(
+        img: np.ndarray, labels_img: np.ndarray, mask=None,
+        dil_size: int = 2, padding: int = 5):
+    """Crop both images to the labels' foreground extent
+    (reference ``cv_nd.crop_to_labels :736``)."""
+    if mask is None:
+        mask = labels_img != 0
+        if dil_size:
+            fp = filters.ball_footprint(dil_size)
+            mask = np.asarray(filters.dilation(
+                jnp.asarray(mask.astype(np.float32)), fp)) > 0.5
+    bbox = get_label_bbox(mask.astype(np.int8), 1)
+    slices = get_bbox_region(bbox, padding, img.shape)
+    img_crop = np.array(img[tuple(slices)])
+    labels_crop = np.array(labels_img[tuple(slices)])
+    img_crop[~mask[tuple(slices)]] = 0
+    return img_crop, labels_crop, slices
+
+
+def build_heat_map(
+        shape: Sequence[int], coords: np.ndarray) -> np.ndarray:
+    """Count coordinates per voxel (reference ``cv_nd.build_heat_map
+    :896``; used for blob density images)."""
+    heat = np.zeros(shape, dtype=np.int32)
+    coords = np.round(np.asarray(coords)).astype(int)
+    keep = np.all((coords >= 0) & (coords < np.asarray(shape)), axis=1)
+    coords = coords[keep]
+    np.add.at(heat, tuple(coords.T), 1)
+    return heat
+
+
+def laplacian_of_gaussian_img(
+        img: np.ndarray, sigma: float = 5, labels_img=None,
+        thresh: Optional[float] = None) -> np.ndarray:
+    """Gaussian -> Laplacian -> percentile-clipped image
+    (reference ``cv_nd.laplacian_of_gaussian_img :928``)."""
+    arr = jnp.asarray(np.asarray(img, np.float32))
+    log = filters.gaussian_laplace(arr, sigma)
+    log = np.asarray(log)
+    if labels_img is not None:
+        mask = labels_img != 0
+    elif thresh is not None:
+        mask = np.asarray(img) > thresh
+    else:
+        mask = np.ones_like(log, bool)
+    vmin, vmax = np.percentile(log[mask], (2, 98))
+    log = np.clip(log, vmin, vmax)
+    # invert so edges are bright (reference negates)
+    return vmax - log
+
+
+def zero_crossing(img: np.ndarray, filter_size: int = 1) -> np.ndarray:
+    """Mask of voxels adjacent to a sign change
+    (reference ``cv_nd.zero_crossing :963``)."""
+    arr = jnp.asarray(np.asarray(img, np.float32))
+    fp = np.ones((2 * filter_size + 1,) * arr.ndim, bool)
+    vmin = filters.erosion(arr, fp)
+    vmax = filters.dilation(arr, fp)
+    out = np.asarray((vmin < 0) & (vmax > 0))
+    return out
+
+
+def remap_intensity(roi: np.ndarray, channel=None) -> np.ndarray:
+    """CLAHE-lite intensity remap: per-plane histogram equalization
+    (reference ``plot_3d.remap_intensity`` uses CLAHE)."""
+    out = np.array(roi, np.float32)
+    lo, hi = out.min(), out.max()
+    if hi > lo:
+        flat = ((out - lo) / (hi - lo) * 255).astype(np.uint8)
+        hist = np.bincount(flat.ravel(), minlength=256).astype(np.float64)
+        cdf = hist.cumsum()
+        cdf = cdf / cdf[-1]
+        out = cdf[flat].astype(np.float32)
+    return out
+
+
+def get_selem(ndim: int):
+    """Structuring-element factory for the dimensionality
+    (reference ``cv_nd.get_selem :1205``)."""
+    return filters.ball_footprint if ndim >= 3 else (
+        lambda r: _disk(r))
+
+
+def _disk(radius: int) -> np.ndarray:
+    n = 2 * radius + 1
+    grid = ((np.indices((n, n)) - radius) ** 2).sum(axis=0)
+    return grid <= radius * radius
