@@ -1,0 +1,277 @@
+"""Per-region metrics engine (segment-sum reductions on device).
+
+Equivalent of ``magmap/stats/vols.py`` (``MeasureLabel :246``,
+``measure_labels_metrics :814``, ``MeasureLabelOverlap :990``): volumes,
+nuclei counts/densities, intensity variation, edge distances, shape, and
+per-label DSC. Where the reference farms one label per ``mp.Pool`` worker,
+here every per-label sum is ONE ``jax.ops.segment_sum`` over dense-coded
+label IDs — the natural TPU mapping for label statistics.
+
+Column names follow the reference ``LabelMetrics`` vocabulary
+(``vols.py:30-75``). Intensity/nuclei variation is the within-label
+standard deviation (the reference subdivides into child labels when an
+ontology is present; pass ``subdivided`` frames for that behavior).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from magellanmapper_tpu.atlas import ontology
+from magellanmapper_tpu.cv import cv_nd
+
+#: metric column names (reference ``vols.LabelMetrics``)
+LABEL_METRICS = (
+    "Region", "Volume", "VolPx", "Intensity", "Nuclei", "Density",
+    "DensityIntens", "VarIntensity", "MeanIntensity", "MedIntensity",
+    "LowIntensity", "HighIntensity", "VarNuclei", "MeanNuclei",
+    "CoefVarIntens", "CoefVarNuc", "EdgeSize", "EdgeDistSum",
+    "EdgeDistMean", "SurfaceArea", "Compactness", "VolDSC", "NucDSC",
+)
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments",))
+def _segment_stats(ids: jnp.ndarray, intensity: jnp.ndarray,
+                   heat: jnp.ndarray, num_segments: int):
+    """Per-label sums in one pass: count, intensity moments, heat."""
+    ones = jnp.ones_like(intensity)
+    seg = lambda x: jax.ops.segment_sum(x, ids, num_segments=num_segments)
+    return (seg(ones), seg(intensity), seg(intensity * intensity),
+            seg(heat), seg(heat * heat))
+
+
+def _dense_code(labels_flat: np.ndarray, label_ids: np.ndarray):
+    """Map label values to dense [0, n) codes (0 reserved for background /
+    unlisted labels)."""
+    sorter = np.argsort(label_ids)
+    sorted_ids = label_ids[sorter]
+    pos = np.searchsorted(sorted_ids, labels_flat)
+    pos = np.clip(pos, 0, len(sorted_ids) - 1)
+    match = sorted_ids[pos] == labels_flat
+    codes = np.where(match, sorter[pos] + 1, 0)
+    return codes.astype(np.int32)
+
+
+def measure_labels_metrics(
+        atlas_img: Optional[np.ndarray],
+        labels_img: np.ndarray,
+        heat_map: Optional[np.ndarray] = None,
+        labels_edge: Optional[np.ndarray] = None,
+        dist_to_orig: Optional[np.ndarray] = None,
+        spacing: Optional[Sequence[float]] = None,
+        label_ids: Optional[Sequence[int]] = None,
+        combine_sides: bool = True,
+        labels_ref: Optional[ontology.LabelsRef] = None,
+        level: Optional[int] = None) -> pd.DataFrame:
+    """Measure per-label metrics (reference ``measure_labels_metrics``).
+
+    Args:
+        atlas_img: intensity image (may be None).
+        labels_img: integer labels (negatives = contralateral side).
+        heat_map: per-voxel blob counts (``cv_nd.build_heat_map``).
+        labels_edge: boolean edge mask of labels.
+        dist_to_orig: per-voxel edge distances (for EdgeDist metrics).
+        spacing: z,y,x physical voxel size.
+        label_ids: labels to measure; defaults to all nonzero IDs.
+        combine_sides: treat -id and +id as one region.
+        labels_ref: loaded ontology for optional level aggregation.
+        level: ontology level to remap labels to before measuring.
+
+    Returns:
+        DataFrame with one row per label, reference column names.
+    """
+    labels_proc = labels_img
+    if level is not None and labels_ref is not None:
+        labels_proc = ontology.make_labels_level(
+            labels_img, labels_ref.ref_lookup, level)
+    work = np.abs(labels_proc) if combine_sides else labels_proc
+
+    if label_ids is None:
+        ids = np.unique(work)
+        ids = ids[ids != 0]
+    else:
+        ids = np.unique(np.abs(label_ids) if combine_sides
+                        else np.asarray(label_ids))
+    ids = np.asarray(ids)
+    n = len(ids)
+    if n == 0:
+        return pd.DataFrame(columns=LABEL_METRICS)
+
+    flat_labels = work.reshape(-1)
+    codes = _dense_code(flat_labels, ids)
+    intensity = (np.zeros(flat_labels.shape, np.float32)
+                 if atlas_img is None
+                 else np.asarray(atlas_img, np.float32).reshape(-1))
+    heat = (np.zeros(flat_labels.shape, np.float32) if heat_map is None
+            else np.asarray(heat_map, np.float32).reshape(-1))
+
+    counts, s1, s2, h1, h2 = (np.asarray(x) for x in _segment_stats(
+        jnp.asarray(codes), jnp.asarray(intensity), jnp.asarray(heat),
+        n + 1))
+    counts, s1, s2, h1, h2 = (x[1:] for x in (counts, s1, s2, h1, h2))
+
+    vox_vol = float(np.prod(spacing)) if spacing is not None else 1.0
+    vol_px = counts
+    volume = vol_px * vox_vol
+    mean_i = np.divide(s1, np.maximum(counts, 1))
+    var_i = np.maximum(s2 / np.maximum(counts, 1) - mean_i ** 2, 0)
+    std_i = np.sqrt(var_i)
+    nuclei = h1
+    mean_n = np.divide(h1, np.maximum(counts, 1))
+    var_n = np.maximum(h2 / np.maximum(counts, 1) - mean_n ** 2, 0)
+    std_n = np.sqrt(var_n)
+    density = np.divide(nuclei, np.maximum(volume, 1e-12))
+    density_i = np.divide(s1, np.maximum(volume, 1e-12))
+
+    # quantile metrics per label (host; sorting per label)
+    med = np.full(n, np.nan)
+    lo_q = np.full(n, np.nan)
+    hi_q = np.full(n, np.nan)
+    if atlas_img is not None:
+        order = np.argsort(codes, kind="stable")
+        sorted_codes = codes[order]
+        sorted_int = intensity[order]
+        bounds = np.searchsorted(sorted_codes, np.arange(1, n + 2))
+        for i in range(n):
+            seg = sorted_int[bounds[i]:bounds[i + 1]]
+            if seg.size:
+                med[i], lo_q[i], hi_q[i] = np.percentile(seg, (50, 25, 75))
+
+    # edge metrics
+    edge_size = np.full(n, np.nan)
+    edge_sum = np.full(n, np.nan)
+    edge_mean = np.full(n, np.nan)
+    if labels_edge is not None:
+        edge_flat = np.asarray(labels_edge).reshape(-1).astype(bool)
+        e_codes = codes[edge_flat]
+        edge_size = np.bincount(e_codes, minlength=n + 1)[1:].astype(float)
+        if dist_to_orig is not None:
+            d = np.abs(np.asarray(dist_to_orig).reshape(-1)[edge_flat])
+            edge_sum = np.bincount(
+                e_codes, weights=d, minlength=n + 1)[1:]
+            edge_mean = np.divide(edge_sum, np.maximum(edge_size, 1))
+
+    # shape metrics via per-label face counting (host shifts)
+    sa = _surface_areas(work, ids, spacing)
+    compactness = np.divide(sa ** 1.5, np.maximum(volume, 1e-12))
+
+    df = pd.DataFrame({
+        "Region": ids,
+        "Volume": volume,
+        "VolPx": vol_px,
+        "Intensity": s1,
+        "Nuclei": nuclei,
+        "Density": density,
+        "DensityIntens": density_i,
+        "VarIntensity": std_i,
+        "MeanIntensity": mean_i,
+        "MedIntensity": med,
+        "LowIntensity": lo_q,
+        "HighIntensity": hi_q,
+        "VarNuclei": std_n,
+        "MeanNuclei": mean_n,
+        "CoefVarIntens": np.divide(std_i, np.maximum(mean_i, 1e-12)),
+        "CoefVarNuc": np.divide(std_n, np.maximum(mean_n, 1e-12)),
+        "EdgeSize": edge_size,
+        "EdgeDistSum": edge_sum,
+        "EdgeDistMean": edge_mean,
+        "SurfaceArea": sa,
+        "Compactness": compactness,
+    })
+    if labels_ref is not None and labels_ref.ref_lookup is not None:
+        df["RegionName"] = [
+            ontology.get_label_name(labels_ref.ref_lookup.get(int(i)))
+            for i in ids]
+    return df
+
+
+def _surface_areas(
+        labels: np.ndarray, ids: np.ndarray,
+        spacing: Optional[Sequence[float]]) -> np.ndarray:
+    """Per-label surface area by counting label-boundary faces."""
+    if spacing is None:
+        spacing = (1.0,) * labels.ndim
+    face = [spacing[1] * spacing[2], spacing[0] * spacing[2],
+            spacing[0] * spacing[1]]
+    n = len(ids)
+    areas = np.zeros(n + 1)
+    codes = _dense_code(labels.reshape(-1), ids).reshape(labels.shape)
+    for ax in range(labels.ndim):
+        padded = np.pad(codes, [(1, 1) if i == ax else (0, 0)
+                                for i in range(labels.ndim)])
+        lo = np.take(padded, range(0, labels.shape[ax] + 1), axis=ax)
+        hi = np.take(padded, range(1, labels.shape[ax] + 2), axis=ax)
+        diff = lo != hi
+        for side in (lo, hi):
+            vals = side[diff]
+            areas += np.bincount(
+                vals, minlength=n + 1) * face[ax % 3]
+    return areas[1:] * (2.0 / 3.0)
+
+
+def measure_label_overlap(
+        labels_img1: np.ndarray, labels_img2: np.ndarray,
+        heat_map: Optional[np.ndarray] = None,
+        combine_sides: bool = True) -> pd.DataFrame:
+    """Per-label DSC between two label images
+    (reference ``MeasureLabelOverlap :990``)."""
+    a = np.abs(labels_img1) if combine_sides else labels_img1
+    b = np.abs(labels_img2) if combine_sides else labels_img2
+    ids = np.unique(np.concatenate([np.unique(a), np.unique(b)]))
+    ids = ids[ids != 0]
+    rows = []
+    for lid in ids:
+        m1 = a == lid
+        m2 = b == lid
+        inter = np.logical_and(m1, m2).sum()
+        denom = m1.sum() + m2.sum()
+        dsc = 2 * inter / denom if denom else np.nan
+        row = {"Region": lid, "VolDSC": dsc}
+        if heat_map is not None:
+            n1 = heat_map[m1].sum()
+            n2 = heat_map[m2].sum()
+            ninter = heat_map[np.logical_and(m1, m2)].sum()
+            row["NucDSC"] = (2 * ninter / (n1 + n2)
+                             if (n1 + n2) else np.nan)
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def labels_distance(
+        labels_img1: np.ndarray, labels_img2: np.ndarray,
+        spacing: Optional[Sequence[float]] = None) -> pd.DataFrame:
+    """Centroid shift of each label between two images
+    (reference ``vols.labels_distance :1294``)."""
+    ids = np.unique(np.concatenate(
+        [np.unique(labels_img1), np.unique(labels_img2)]))
+    ids = ids[ids != 0]
+    if spacing is None:
+        spacing = (1.0,) * labels_img1.ndim
+    rows = []
+    for lid in ids:
+        c1 = np.argwhere(labels_img1 == lid)
+        c2 = np.argwhere(labels_img2 == lid)
+        dist = np.nan
+        if len(c1) and len(c2):
+            dist = float(np.linalg.norm(
+                (c1.mean(axis=0) - c2.mean(axis=0)) * np.asarray(spacing)))
+        rows.append({"Region": lid, "Dist": dist})
+    return pd.DataFrame(rows)
+
+
+def map_meas_to_labels(
+        labels_img: np.ndarray, df: pd.DataFrame, meas: str,
+        combine_sides: bool = True) -> np.ndarray:
+    """Paint a metric value into each label's voxels
+    (reference ``vols.map_meas_to_labels :1187``)."""
+    out = np.zeros(labels_img.shape, dtype=float)
+    work = np.abs(labels_img) if combine_sides else labels_img
+    for _, row in df.iterrows():
+        out[work == row["Region"]] = row[meas]
+    return out

@@ -1,0 +1,165 @@
+"""Ontology + regional metrics tests."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from magellanmapper_tpu.atlas import ontology
+from magellanmapper_tpu.stats import vols
+
+
+@pytest.fixture
+def aba_ref(tmp_path):
+    """Tiny ABA-style ontology: root(1) -> [cortex(2) -> [l1(4), l2(5)],
+    thalamus(3)]."""
+    tree = {"msg": [{
+        "id": 1, "name": "root", "acronym": "rt", "st_level": 0,
+        "parent_structure_id": None,
+        "children": [
+            {"id": 2, "name": "cortex", "acronym": "cx", "st_level": 1,
+             "parent_structure_id": 1, "children": [
+                 {"id": 4, "name": "layer1", "acronym": "l1",
+                  "st_level": 2, "parent_structure_id": 2, "children": []},
+                 {"id": 5, "name": "layer2", "acronym": "l2",
+                  "st_level": 2, "parent_structure_id": 2, "children": []},
+             ]},
+            {"id": 3, "name": "thalamus", "acronym": "th", "st_level": 1,
+             "parent_structure_id": 1, "children": []},
+        ]}]}
+    path = tmp_path / "ref.json"
+    path.write_text(json.dumps(tree))
+    return ontology.LabelsRef(str(path)).load()
+
+
+class TestOntology:
+    def test_lookup_and_names(self, aba_ref):
+        lk = aba_ref.ref_lookup
+        assert ontology.get_label_name(lk[2]) == "cortex"
+        assert lk[4][ontology.PARENT_IDS] == [1, 2]
+        # mirrored negative IDs present
+        assert ontology.get_label_name(lk[-4], side=True).endswith("(L)")
+
+    def test_children(self, aba_ref):
+        kids = ontology.get_children_from_id(aba_ref.ref_lookup, 2)
+        assert kids == [2, 4, 5]
+        kids_neg = ontology.get_children_from_id(aba_ref.ref_lookup, -2)
+        assert kids_neg == [-2, -4, -5]
+
+    def test_make_labels_level(self, aba_ref):
+        img = np.array([[[4, 5, 3, 0]]])
+        out = ontology.make_labels_level(img, aba_ref.ref_lookup, 1)
+        np.testing.assert_array_equal(out, [[[2, 2, 3, 0]]])
+
+    def test_scale_and_position(self):
+        coords = np.array([[2.0, 4.0, 6.0]])
+        scaled = ontology.scale_coords(coords, (0.5, 0.5, 0.5), (10, 10, 10))
+        np.testing.assert_array_equal(scaled, [[1, 2, 3]])
+        labels = np.zeros((10, 10, 10), int)
+        labels[1, 2, 3] = 42
+        ids = ontology.get_label_ids_from_position(scaled, labels)
+        assert ids[0] == 42
+
+    def test_replace_labels(self):
+        img = np.array([[[1, 2, 2, 3]]])
+        df = pd.DataFrame({"Region": [2], "RegionTo": [9]})
+        out = ontology.replace_labels(img, df)
+        np.testing.assert_array_equal(out, [[[1, 9, 9, 3]]])
+
+
+class TestVols:
+    def _setup(self):
+        labels = np.zeros((10, 10, 10), np.int32)
+        labels[:, :5] = 2
+        labels[:, 5:] = -2  # contralateral of region 2
+        atlas = np.ones((10, 10, 10), np.float32)
+        atlas[:, 5:] = 3.0
+        heat = np.zeros((10, 10, 10), np.int32)
+        heat[2, 2, 2] = 5
+        heat[2, 7, 2] = 1
+        return atlas, labels, heat
+
+    def test_basic_metrics_combined(self):
+        atlas, labels, heat = self._setup()
+        df = vols.measure_labels_metrics(
+            atlas, labels, heat_map=heat, spacing=(2.0, 1.0, 1.0),
+            combine_sides=True)
+        assert len(df) == 1
+        row = df.iloc[0]
+        assert row["Region"] == 2
+        assert row["VolPx"] == 1000
+        assert row["Volume"] == 2000.0
+        assert row["Nuclei"] == 6
+        assert row["Density"] == pytest.approx(6 / 2000)
+        assert row["MeanIntensity"] == pytest.approx(2.0)
+
+    def test_split_sides(self):
+        atlas, labels, heat = self._setup()
+        df = vols.measure_labels_metrics(
+            atlas, labels, heat_map=heat, combine_sides=False)
+        assert set(df["Region"]) == {-2, 2}
+        right = df[df.Region == 2].iloc[0]
+        left = df[df.Region == -2].iloc[0]
+        assert right["Nuclei"] == 5
+        assert left["Nuclei"] == 1
+        assert right["MeanIntensity"] == pytest.approx(1.0)
+        assert left["MeanIntensity"] == pytest.approx(3.0)
+
+    def test_edge_metrics(self):
+        atlas, labels, heat = self._setup()
+        edge = np.zeros(labels.shape, bool)
+        edge[:, 4:6] = True
+        dist = np.full(labels.shape, 2.0)
+        df = vols.measure_labels_metrics(
+            atlas, labels, labels_edge=edge, dist_to_orig=dist,
+            combine_sides=True)
+        row = df.iloc[0]
+        assert row["EdgeSize"] == edge.sum()
+        assert row["EdgeDistMean"] == pytest.approx(2.0)
+
+    def test_overlap_dsc(self):
+        labels1 = np.zeros((8, 8, 8), np.int32)
+        labels1[:, :4] = 3
+        labels2 = np.zeros((8, 8, 8), np.int32)
+        labels2[:, 1:5] = 3
+        df = vols.measure_label_overlap(labels1, labels2)
+        assert df.iloc[0]["VolDSC"] == pytest.approx(2 * 3 / (4 + 4) / 1.0)
+
+    def test_labels_distance(self):
+        l1 = np.zeros((8, 8, 8), np.int32)
+        l2 = np.zeros((8, 8, 8), np.int32)
+        l1[2, 2, 2] = 1
+        l2[2, 2, 6] = 1
+        df = vols.labels_distance(l1, l2)
+        assert df.iloc[0]["Dist"] == pytest.approx(4.0)
+
+    def test_map_meas_to_labels(self):
+        labels = np.array([[[1, 2, 0]]])
+        df = pd.DataFrame({"Region": [1, 2], "Volume": [10.0, 20.0]})
+        out = vols.map_meas_to_labels(labels, df, "Volume")
+        np.testing.assert_allclose(out, [[[10.0, 20.0, 0.0]]])
+
+    def test_level_aggregation(self, aba_ref=None):
+        # labels at leaf level aggregate onto their parent at level 1
+        import json
+        # reuse the fixture-style ref inline
+        labels = np.zeros((4, 4, 4), np.int32)
+        labels[:2] = 4
+        labels[2:] = 5
+        lookup = {
+            4: {ontology.NODE: {"id": 4, "st_level": 2, "name": "l1"},
+                ontology.PARENT_IDS: [1, 2], ontology.MIRRORED: False},
+            5: {ontology.NODE: {"id": 5, "st_level": 2, "name": "l2"},
+                ontology.PARENT_IDS: [1, 2], ontology.MIRRORED: False},
+            2: {ontology.NODE: {"id": 2, "st_level": 1, "name": "cx"},
+                ontology.PARENT_IDS: [1], ontology.MIRRORED: False},
+            1: {ontology.NODE: {"id": 1, "st_level": 0, "name": "root"},
+                ontology.PARENT_IDS: [], ontology.MIRRORED: False},
+        }
+        ref = ontology.LabelsRef()
+        ref.ref_lookup = lookup
+        df = vols.measure_labels_metrics(
+            None, labels, labels_ref=ref, level=1)
+        assert set(df["Region"]) == {2}
+        assert df.iloc[0]["VolPx"] == 64
