@@ -1,0 +1,254 @@
+"""Registration task surface — the reference's ``--register`` driver.
+
+Equivalent of ``magmap/atlas/register.py``: the single-sample
+``register`` task (``register.py:647``) — load fixed sample + moving
+atlas/labels, pre-transform, run the JAX registration engine
+(``reg_engine.register_duo``), measure DSC with similarity-metric
+fallback (``:884-893``), transfer labels at order 0 with carve/in-paint
+curation (``curate_img :227``), write the registered image set
+(``RegNames`` vocabulary, ``config.py:578``) and a metrics CSV
+(``:1001-1016``) — plus groupwise registration (``register_group
+:1189``) via iterative registration to an evolving mean.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from enum import Enum
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from magellanmapper_tpu.atlas import atlas_refiner, metrics as reg_metrics
+from magellanmapper_tpu.atlas import reg_engine
+from magellanmapper_tpu.cv import cv_nd
+from magellanmapper_tpu.io import np_io, sitk_io
+
+_logger = logging.getLogger(__name__)
+
+register_duo = reg_engine.register_duo
+
+
+class RegNames(Enum):
+    """Registered-image suffix vocabulary (reference ``config.RegNames``)."""
+    IMG_ATLAS = "atlasVolume.mhd"
+    IMG_ATLAS_PRECUR = "atlasVolumePrecur.mhd"
+    IMG_LABELS = "annotation.mhd"
+    IMG_EXP = "exp.mhd"
+    IMG_EXP_MASK = "expMask.mhd"
+    IMG_GROUPED = "grouped.mhd"
+    IMG_BORDERS = "borders.mhd"
+    IMG_HEAT_MAP = "heat.mhd"
+    IMG_HEAT_COLOC = "heatColoc.mhd"
+    IMG_ATLAS_EDGE = "atlasEdge.mhd"
+    IMG_ATLAS_LOG = "atlasLoG.mhd"
+    IMG_ATLAS_MASK = "atlasMask.mhd"
+    IMG_LABELS_PRECUR = "annotationPrecur.mhd"
+    IMG_LABELS_TRUNC = "annotationTrunc.mhd"
+    IMG_LABELS_EDGE = "annotationEdge.mhd"
+    IMG_LABELS_DIST = "annotationDist.mhd"
+    IMG_LABELS_MARKERS = "annotationMarkers.mhd"
+    IMG_LABELS_INTERIOR = "annotationInterior.mhd"
+    IMG_LABELS_SUBSEG = "annotationSubseg.mhd"
+    IMG_LABELS_DIFF = "annotationDiff.mhd"
+    IMG_LABELS_LEVEL = "annotationLevel{}.mhd"
+    IMG_LABELS_TRANS = "annotationTrans.mhd"
+    COMBINED = "combined.mhd"
+
+
+def curate_img(
+        fixed_img: np.ndarray, labels_img: np.ndarray,
+        imgs: Optional[Sequence[np.ndarray]] = None,
+        inpaint: bool = True, carve: bool = True,
+        thresh: Optional[float] = None, holes_area: int = 5000):
+    """Carve transferred images to the fixed foreground and in-paint
+    unlabeled foreground (reference ``register.curate_img :227``)."""
+    out_imgs = [labels_img] if imgs is None else [labels_img, *imgs]
+    result = []
+    mask = None
+    if carve:
+        _, mask = cv_nd.carve(
+            np.asarray(fixed_img, np.float32), thresh=thresh,
+            holes_area=holes_area)
+    for img in out_imgs:
+        img = np.array(img)
+        if mask is not None:
+            if inpaint:
+                to_fill = mask & (labels_img == 0)
+                if np.any(to_fill) and np.any(labels_img != 0):
+                    img = cv_nd.in_paint(img, to_fill)
+            img[~mask] = 0
+        result.append(img)
+    return result if imgs is not None else result[0]
+
+
+def register(
+        fixed_path_or_img, moving_dir_or_imgs,
+        profile,
+        resolutions: Optional[Sequence[float]] = None,
+        write_imgs: bool = True,
+        prefix: Optional[str] = None,
+        iters_scale: float = 1.0,
+        channel: int = 0) -> Dict:
+    """Register a moving atlas onto a fixed sample image
+    (reference ``register.register :647``).
+
+    Args:
+        fixed_path_or_img: path to a ``.npy``/medical image, or ndarray.
+        moving_dir_or_imgs: atlas directory containing
+            ``atlasVolume``/``annotation``, or dict with ``atlas`` and
+            ``labels`` arrays.
+        profile: AtlasProfile with ``reg_*`` stages and
+            ``metric_sim_fallback``.
+        resolutions: fixed image z,y,x spacing (read from metadata when a
+            path is given).
+        write_imgs: write the registered image set + metrics CSV.
+        prefix: output path prefix (defaults to the fixed path).
+        iters_scale: iteration multiplier for quick runs.
+        channel: channel of the fixed image to register against.
+
+    Returns:
+        dict with ``moved_atlas``, ``moved_labels``, ``transform``
+        (RegResult), ``metrics`` and (if written) ``paths``.
+    """
+    start = time.time()
+    # load fixed image
+    if isinstance(fixed_path_or_img, np.ndarray):
+        fixed = fixed_path_or_img
+        fixed_path = prefix or "sample"
+    else:
+        fixed_path = fixed_path_or_img
+        if fixed_path.lower().endswith(sitk_io.EXTS_3D):
+            med = sitk_io.read_med_img(fixed_path)
+            fixed = med.img
+            resolutions = resolutions or med.spacing
+        else:
+            img5d = np_io.read_file(fixed_path)
+            vol = img5d.img[0]
+            fixed = np.asarray(vol[..., channel] if vol.ndim > 3 else vol)
+            if resolutions is None and img5d.resolutions is not None:
+                resolutions = img5d.resolutions[0]
+    fixed = np.asarray(fixed, np.float32)
+
+    # load moving atlas + labels
+    if isinstance(moving_dir_or_imgs, dict):
+        moving_atlas = np.asarray(moving_dir_or_imgs["atlas"], np.float32)
+        moving_labels = np.asarray(moving_dir_or_imgs["labels"])
+    else:
+        moving_atlas = sitk_io.read_med_img(sitk_io.find_sitk_file(
+            os.path.join(moving_dir_or_imgs, "atlasVolume"))).img.astype(
+            np.float32)
+        moving_labels = sitk_io.read_med_img(sitk_io.find_sitk_file(
+            os.path.join(moving_dir_or_imgs, "annotation"))).img
+
+    # register: translation -> affine -> bspline per profile
+    moved, result = reg_engine.register_duo(
+        fixed, moving_atlas, profile, iters_scale=iters_scale)
+    dsc = reg_metrics.measure_overlap(fixed, moved)
+
+    fallback = profile["metric_sim_fallback"]
+    if fallback and dsc < fallback[0]:
+        # re-register with the fallback similarity metric (reference
+        # register.py:884-893)
+        _logger.info(
+            "DSC %.3f below threshold %.3f; retrying with metric %s",
+            dsc, fallback[0], fallback[1])
+        import copy
+        prof2 = copy.deepcopy(dict(profile))
+        for stage_key in ("reg_translation", "reg_affine", "reg_bspline"):
+            if prof2.get(stage_key):
+                prof2[stage_key] = dict(prof2[stage_key])
+                prof2[stage_key]["metric_similarity"] = fallback[1]
+        moved2, result2 = reg_engine.register_duo(
+            fixed, moving_atlas, prof2, iters_scale=iters_scale)
+        dsc2 = reg_metrics.measure_overlap(fixed, moved2)
+        if dsc2 > dsc:
+            moved, result, dsc = moved2, result2, dsc2
+
+    # label transfer at order 0 (Transformix equivalent) + curation
+    moved_labels = result.transform_img(moving_labels, order=0)
+    if profile["curate"]:
+        moved_labels = curate_img(fixed, moved_labels)
+    dsc_sample_labels = atlas_refiner.measure_overlap_combined_labels(
+        fixed, moved_labels)
+
+    elapsed = time.time() - start
+    metrics = {
+        "DSC_atlas_sample": dsc,
+        "DSC_sample_labels": dsc_sample_labels,
+        "Time_s": elapsed,
+    }
+    out = {
+        "moved_atlas": moved,
+        "moved_labels": moved_labels,
+        "transform": result,
+        "metrics": metrics,
+    }
+    if write_imgs:
+        base = prefix or fixed_path
+        spacing = tuple(resolutions) if resolutions is not None else (
+            1.0, 1.0, 1.0)
+        paths = sitk_io.write_reg_images({
+            RegNames.IMG_EXP.value: sitk_io.MedImage(fixed, spacing),
+            RegNames.IMG_ATLAS.value: sitk_io.MedImage(
+                moved.astype(np.float32), spacing),
+            RegNames.IMG_LABELS.value: sitk_io.MedImage(
+                moved_labels.astype(np.int32), spacing),
+        }, base)
+        df = pd.DataFrame([metrics])
+        csv_path = sitk_io.reg_out_path(base, "stats") + ".csv"
+        df.to_csv(csv_path, index=False)
+        paths["stats"] = csv_path
+        out["paths"] = paths
+    _logger.info("Single registration done in %.1fs, DSC %.3f", elapsed, dsc)
+    return out
+
+
+def register_rev(
+        fixed_path_or_img, moving_dir_or_imgs, profile, **kwargs) -> Dict:
+    """Reverse registration: sample onto atlas
+    (reference ``register_rev :1045``) — same engine with roles swapped."""
+    if isinstance(moving_dir_or_imgs, dict):
+        atlas = moving_dir_or_imgs["atlas"]
+    else:
+        atlas = sitk_io.read_med_img(sitk_io.find_sitk_file(
+            os.path.join(moving_dir_or_imgs, "atlasVolume"))).img
+    return register(
+        np.asarray(atlas, np.float32),
+        {"atlas": np.asarray(fixed_path_or_img, np.float32)
+         if isinstance(fixed_path_or_img, np.ndarray)
+         else np_io.read_file(fixed_path_or_img).img[0],
+         "labels": np.zeros_like(np.asarray(atlas))},
+        profile, **kwargs)
+
+
+def register_group(
+        imgs: Sequence[np.ndarray], profile,
+        n_iters: int = 2, iters_scale: float = 1.0
+) -> Tuple[np.ndarray, list]:
+    """Groupwise registration by iterating registration to the group mean
+    (reference ``register_group :1189`` joins images into a 4D stack for
+    Elastix's groupwise metric; registering to an evolving mean is the
+    equivalent fixed-image-free formulation).
+
+    Returns the final mean image and per-image transform results.
+    """
+    shapes = np.asarray([im.shape for im in imgs])
+    target_shape = shapes.min(axis=0)
+    vols = [np.asarray(im[:target_shape[0], :target_shape[1],
+                          :target_shape[2]], np.float32) for im in imgs]
+    mean_img = np.mean(vols, axis=0)
+    results = []
+    for it in range(n_iters):
+        moved_all = []
+        results = []
+        for vol in vols:
+            moved, res = reg_engine.register_duo(
+                mean_img, vol, profile, iters_scale=iters_scale)
+            moved_all.append(moved)
+            results.append(res)
+        mean_img = np.mean(moved_all, axis=0)
+    return mean_img, results
