@@ -66,7 +66,7 @@ def transpose_img(
     perm = {None: (0, 1, 2), "xy": (0, 1, 2), "xz": (1, 0, 2),
             "yz": (2, 1, 0)}[plane]
 
-    shape_tp = tuple(np.asarray((z, y, x))[list(perm)])
+    shape_tp = tuple(int(v) for v in np.asarray((z, y, x))[list(perm)])
     res_tp = res[list(perm)]
     if rescale is not None:
         out_shape = tuple(int(s * rescale) for s in shape_tp)
@@ -83,7 +83,7 @@ def transpose_img(
     if out_path == img_path:
         return img_path  # no-op transform
     path_img, path_meta = np_io.make_filenames(out_path)
-    full_shape = (t,) + out_shape + tuple(vol.shape[4:])
+    full_shape = tuple(int(v) for v in (t,) + out_shape + tuple(vol.shape[4:]))
     out = np.lib.format.open_memmap(
         path_img, mode="w+", dtype=np.float32, shape=full_shape)
 
