@@ -1,0 +1,71 @@
+"""TIFF codec + importer tests."""
+
+import numpy as np
+import pytest
+
+from magellanmapper_tpu.io import importer, tiff
+
+
+class TestTiff:
+    @pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.float32,
+                                       np.int16])
+    def test_roundtrip_3d(self, tmp_path, rng, dtype):
+        if np.issubdtype(dtype, np.integer):
+            arr = rng.integers(0, np.iinfo(dtype).max,
+                               (5, 20, 24)).astype(dtype)
+        else:
+            arr = rng.normal(size=(5, 20, 24)).astype(dtype)
+        path = str(tmp_path / "t.tif")
+        tiff.write_tiff(path, arr)
+        back = tiff.read_tiff(path)
+        np.testing.assert_array_equal(back, arr)
+
+    def test_roundtrip_2d(self, tmp_path, rng):
+        arr = rng.integers(0, 255, (16, 18)).astype(np.uint8)
+        path = str(tmp_path / "t2.tif")
+        tiff.write_tiff(path, arr)
+        np.testing.assert_array_equal(tiff.read_tiff(path), arr)
+
+
+class TestImporter:
+    def test_import_tiff(self, tmp_path, rng):
+        arr = rng.integers(0, 4000, (6, 24, 24)).astype(np.uint16)
+        src = str(tmp_path / "stack.tif")
+        tiff.write_tiff(src, arr)
+        img5d = importer.import_tiff(
+            src, out_path=str(tmp_path / "stack.npy"),
+            resolutions=(2.0, 1.0, 1.0))
+        assert img5d.img.shape == (1, 6, 24, 24)
+        np.testing.assert_array_equal(np.asarray(img5d.img[0]), arr)
+        np.testing.assert_allclose(img5d.resolutions[0], [2.0, 1.0, 1.0])
+
+    def test_import_planes(self, tmp_path, rng):
+        planes = []
+        for i in range(4):
+            p = rng.integers(0, 255, (10, 12)).astype(np.uint8)
+            tiff.write_tiff(str(tmp_path / f"plane_{i:03d}.tif"), p)
+            planes.append(p)
+        files = importer.setup_import_dir(str(tmp_path))
+        img5d = importer.import_planes_to_stack(
+            files, str(tmp_path / "vol.npy"))
+        assert img5d.img.shape == (1, 4, 10, 12)
+        np.testing.assert_array_equal(
+            np.asarray(img5d.img[0]), np.stack(planes))
+
+    def test_import_raw(self, tmp_path, rng):
+        arr = rng.random((4, 8, 8)).astype(np.float32)
+        raw = str(tmp_path / "vol.raw")
+        arr.tofile(raw)
+        img5d = importer.import_raw(
+            raw, (4, 8, 8), np.float32, out_path=str(tmp_path / "v.npy"))
+        np.testing.assert_allclose(np.asarray(img5d.img[0]), arr)
+
+    def test_deconstruct_img_name(self):
+        base, offset, size = importer.deconstruct_img_name(
+            "/d/brain_(10,20,30)x(40,50,60).npy")
+        assert base == "/d/brain.npy"
+        assert offset == [10, 20, 30]
+        assert size == [40, 50, 60]
+        name = importer.make_subimage_name(
+            "/d/brain.npy", (10, 20, 30), (40, 50, 60))
+        assert name == "/d/brain_(10,20,30)x(40,50,60).npy"
