@@ -1,0 +1,453 @@
+"""Command-line interface: the reference's flag vocabulary + task dispatch.
+
+Equivalent of ``magmap/io/cli.py`` (``process_cli_args :253``, ``main
+:978``, ``process_tasks :874``, ``process_file :1172``): the same flag
+names (``--img --proc --register --channel --offset/--size --subimg_*
+--roi_profile --atlas_profile --grid_search --reg_suffixes --transform
+--verbose ...``) drive the TPU pipeline. Instead of the reference's
+mutable ``config`` module globals, parsed state lives in a ``RunConfig``
+passed explicitly to tasks.
+
+Run: ``python -m magellanmapper_tpu.io.cli --img vol.npy --proc detect``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+from dataclasses import dataclass, field
+from enum import Enum, auto
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from magellanmapper_tpu.settings import config as cfg
+from magellanmapper_tpu.settings.roi_prof import ROIProfile
+from magellanmapper_tpu.settings.atlas_prof import AtlasProfile
+
+_logger = logging.getLogger(__name__)
+
+
+class ProcessTypes(Enum):
+    """``--proc`` task vocabulary (reference ``config.ProcessTypes``)."""
+    IMPORT_ONLY = auto()
+    DETECT = auto()
+    DETECT_COLOC = auto()
+    COLOC_MATCH = auto()
+    CLASSIFY = auto()
+    LOAD = auto()
+    EXTRACT = auto()
+    EXPORT_ROIS = auto()
+    TRANSFORM = auto()
+    ANIMATED = auto()
+    EXPORT_BLOBS = auto()
+    EXPORT_PLANES = auto()
+    EXPORT_PLANES_CHANNELS = auto()
+    EXPORT_RAW = auto()
+    EXPORT_TIF = auto()
+    PREPROCESS = auto()
+
+
+class RegisterTypes(Enum):
+    """``--register`` task vocabulary (reference ``config.RegisterTypes``,
+    core subset)."""
+    SINGLE = auto()
+    GROUP = auto()
+    REGISTER_REV = auto()
+    IMPORT_ATLAS = auto()
+    EXPORT_REGIONS = auto()
+    NEW_ATLAS = auto()
+    MAKE_EDGE_IMAGES = auto()
+    MERGE_ATLAS_SEGS = auto()
+    VOL_STATS = auto()
+    MAKE_DENSITY_IMAGES = auto()
+    SMOOTHING_METRICS = auto()
+    LABELS_DIFF = auto()
+
+
+@dataclass
+class RunConfig:
+    """Parsed CLI state (replaces reference ``config`` module globals)."""
+    filenames: List[str] = field(default_factory=list)
+    channel: Optional[List[int]] = None
+    series: int = 0
+    offset: Optional[List[int]] = None
+    size: Optional[List[int]] = None
+    subimg_offsets: Optional[List[List[int]]] = None
+    subimg_sizes: Optional[List[List[int]]] = None
+    proc: Optional[ProcessTypes] = None
+    proc_args: Dict[str, str] = field(default_factory=dict)
+    register_type: Optional[RegisterTypes] = None
+    resolutions: Optional[List[float]] = None
+    roi_profile: ROIProfile = field(default_factory=ROIProfile)
+    roi_profiles: List[ROIProfile] = field(default_factory=list)
+    atlas_profile: AtlasProfile = field(default_factory=AtlasProfile)
+    reg_suffixes: Dict[str, str] = field(default_factory=dict)
+    transform: Dict[str, object] = field(default_factory=dict)
+    db_path: Optional[str] = None
+    truth_db: Optional[str] = None
+    prefix: Optional[str] = None
+    suffix: Optional[str] = None
+    grid_search: Optional[str] = None
+    plane: Optional[str] = None
+    save_subimg: bool = False
+    verbose: bool = False
+    labels: Dict[str, object] = field(default_factory=dict)
+    groups: Optional[List[str]] = None
+
+    def get_roi_profile(self, channel: int) -> ROIProfile:
+        if self.roi_profiles and channel < len(self.roi_profiles):
+            return self.roi_profiles[channel]
+        return self.roi_profile
+
+
+def args_to_dict(args: Optional[Sequence[str]]) -> Dict[str, str]:
+    """Parse ``key=value`` argument lists (reference ``args_to_dict
+    :128``)."""
+    out: Dict[str, str] = {}
+    if not args:
+        return out
+    for arg in args:
+        if "=" in arg:
+            k, v = arg.split("=", 1)
+            out[k] = v
+        else:
+            out[arg] = "1"
+    return out
+
+
+def _parse_enum(enum_cls, name: Optional[str]):
+    if not name:
+        return None
+    try:
+        return enum_cls[name.upper()]
+    except KeyError:
+        raise SystemExit(
+            f"unknown {enum_cls.__name__} task: {name}; options: "
+            + ", ".join(e.name.lower() for e in enum_cls))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mm-tpu",
+        description="MagellanMapper-TPU: TPU-native volumetric "
+                    "microscopy pipeline")
+    p.add_argument("--img", nargs="*", help="image path(s)")
+    p.add_argument("--meta", nargs="*", help="metadata path(s)")
+    p.add_argument("--prefix", help="output path prefix")
+    p.add_argument("--suffix", help="output path suffix")
+    p.add_argument("--channel", nargs="*", type=int, help="channel(s)")
+    p.add_argument("--series", type=int, default=0, help="series index")
+    p.add_argument("--subimg_offset", nargs="*", help="sub-image offset x,y,z")
+    p.add_argument("--subimg_size", nargs="*", help="sub-image size x,y,z")
+    p.add_argument("--offset", nargs="*", help="ROI offset x,y,z")
+    p.add_argument("--size", nargs="*", help="ROI size x,y,z")
+    p.add_argument("--db", help="database path")
+    p.add_argument("--truth_db", nargs="*", help="truth DB mode and path")
+    p.add_argument("--cpus", help="worker count (compat; unused on TPU)")
+    p.add_argument("--load", nargs="*", help="data to load")
+    p.add_argument("--proc", nargs="*", help="processing task(s)")
+    p.add_argument("--register", help="registration task")
+    p.add_argument("--df", nargs="*", help="data-frame task")
+    p.add_argument("--plot_2d", help="2D plot task")
+    p.add_argument("--roi_profile", nargs="*", help="ROI profile(s)")
+    p.add_argument("--atlas_profile", help="atlas profile")
+    p.add_argument("--grid_search", help="grid search profile")
+    p.add_argument("--theme", nargs="*", help="GUI theme (compat)")
+    p.add_argument("--labels", nargs="*", help="labels args")
+    p.add_argument("--transform", nargs="*", help="transform args "
+                   "(rescale=, plane=, rotate=)")
+    p.add_argument("--reg_suffixes", nargs="*",
+                   help="registered image suffixes (atlas=..., "
+                   "annotation=...)")
+    p.add_argument("--plot_labels", nargs="*", help="plot labels")
+    p.add_argument("--set_meta", nargs="*",
+                   help="metadata overrides (resolutions=z,y,x ...)")
+    p.add_argument("--classifier", nargs="*", help="classifier args")
+    p.add_argument("--plane", help="plane orientation (xy/xz/yz)")
+    p.add_argument("--show", action="store_true", help="show figures")
+    p.add_argument("--alphas", nargs="*", help="channel alphas (compat)")
+    p.add_argument("--vmin", nargs="*", help="display vmin (compat)")
+    p.add_argument("--vmax", nargs="*", help="display vmax (compat)")
+    p.add_argument("--rgb", action="store_true", help="RGB display")
+    p.add_argument("--seed", type=int, help="random seed")
+    p.add_argument("--save_subimg", action="store_true")
+    p.add_argument("--slice", help="slice range (compat)")
+    p.add_argument("--delay", type=int, help="animation delay")
+    p.add_argument("--savefig", help="figure file format")
+    p.add_argument("--groups", nargs="*", help="group names")
+    p.add_argument("-v", "--verbose", nargs="*", help="verbosity")
+    return p
+
+
+def process_cli_args(argv: Optional[Sequence[str]] = None) -> RunConfig:
+    """Parse args into a RunConfig (reference ``process_cli_args :253``)."""
+    args = build_parser().parse_args(argv)
+    rc = RunConfig()
+    if args.img:
+        rc.filenames = list(args.img)
+    rc.channel = args.channel
+    rc.series = args.series
+    rc.prefix = args.prefix
+    rc.suffix = args.suffix
+    rc.db_path = args.db
+    rc.plane = args.plane
+    rc.save_subimg = args.save_subimg
+    rc.verbose = args.verbose is not None
+    if rc.verbose:
+        logging.getLogger().setLevel(logging.DEBUG)
+    if args.seed is not None:
+        np.random.seed(args.seed)
+
+    def parse_coords(vals):
+        if not vals:
+            return None
+        return [[int(v) for v in val.split(",")] for val in vals]
+
+    rc.subimg_offsets = parse_coords(args.subimg_offset)
+    rc.subimg_sizes = parse_coords(args.subimg_size)
+    offsets = parse_coords(args.offset)
+    sizes = parse_coords(args.size)
+    rc.offset = offsets[0] if offsets else None
+    rc.size = sizes[0] if sizes else None
+
+    if args.set_meta:
+        meta = args_to_dict(args.set_meta)
+        if "resolutions" in meta:
+            rc.resolutions = [float(v) for v in
+                              meta["resolutions"].split(",")]
+
+    # profiles: comma-separated modifier chains, per-channel lists
+    if args.roi_profile:
+        for prof_names in args.roi_profile:
+            prof = ROIProfile()
+            prof.add_profiles(prof_names)
+            rc.roi_profiles.append(prof)
+        rc.roi_profile = rc.roi_profiles[0]
+    if args.atlas_profile:
+        rc.atlas_profile = AtlasProfile()
+        rc.atlas_profile.add_profiles(args.atlas_profile)
+    rc.grid_search = args.grid_search
+
+    if args.proc:
+        rc.proc = _parse_enum(ProcessTypes, args.proc[0])
+        rc.proc_args = args_to_dict(args.proc[1:])
+    rc.register_type = _parse_enum(RegisterTypes, args.register)
+    rc.reg_suffixes = args_to_dict(args.reg_suffixes)
+    rc.transform = args_to_dict(args.transform)
+    rc.labels = args_to_dict(args.labels)
+    rc.groups = args.groups
+    if args.truth_db:
+        rc.truth_db = args.truth_db[-1]
+    return rc
+
+
+# ---------------------------------------------------------------------------
+# task dispatch
+
+
+def process_tasks(rc: RunConfig) -> Optional[object]:
+    """Dispatch parsed tasks (reference ``process_tasks :874``);
+    priority: register > grid search > proc."""
+    if rc.register_type is not None:
+        return _process_register(rc)
+    if rc.grid_search:
+        return _grid_search(rc)
+    if rc.proc is not None:
+        return process_file(rc)
+    _logger.info("no task specified; see --proc / --register")
+    return None
+
+
+def _load_image(rc: RunConfig):
+    from magellanmapper_tpu.io import np_io
+    path = rc.filenames[0]
+    offset = rc.subimg_offsets[0] if rc.subimg_offsets else None
+    size = rc.subimg_sizes[0] if rc.subimg_sizes else None
+    img5d = np_io.read_file(path, rc.series, offset=offset, size=size)
+    if rc.resolutions is not None:
+        img5d.meta["resolutions"] = [rc.resolutions]
+    return img5d
+
+
+def process_file(rc: RunConfig):
+    """Run the ``--proc`` task (reference ``process_file :1172``)."""
+    from magellanmapper_tpu.io import np_io
+    proc = rc.proc
+    path = rc.filenames[0] if rc.filenames else None
+
+    if proc is ProcessTypes.IMPORT_ONLY:
+        from magellanmapper_tpu.io import importer
+        return importer.import_tiff(
+            path, out_path=rc.prefix or path,
+            resolutions=rc.resolutions)
+
+    if proc in (ProcessTypes.DETECT, ProcessTypes.DETECT_COLOC):
+        return _detect(rc, coloc=proc is ProcessTypes.DETECT_COLOC)
+
+    if proc is ProcessTypes.COLOC_MATCH:
+        return _coloc_match(rc)
+
+    if proc is ProcessTypes.TRANSFORM:
+        from magellanmapper_tpu.atlas import transformer
+        rescale = rc.transform.get("rescale")
+        return transformer.transpose_img(
+            path, plane=rc.plane,
+            rescale=float(rescale) if rescale else None)
+
+    if proc is ProcessTypes.PREPROCESS:
+        from magellanmapper_tpu.atlas import transformer
+        img5d = _load_image(rc)
+        tasks = list(rc.proc_args)
+        return transformer.preprocess_img(
+            np.asarray(img5d.img), tasks, out_path=rc.prefix or path)
+
+    if proc is ProcessTypes.EXPORT_TIF:
+        from magellanmapper_tpu.io import tiff
+        img5d = _load_image(rc)
+        out = (rc.prefix or os.path.splitext(path)[0]) + ".tif"
+        tiff.write_tiff(out, np.asarray(img5d.img[0]))
+        return out
+
+    if proc is ProcessTypes.EXPORT_RAW:
+        img5d = _load_image(rc)
+        out = (rc.prefix or os.path.splitext(path)[0]) + ".raw"
+        np.asarray(img5d.img).tofile(out)
+        return out
+
+    if proc is ProcessTypes.EXPORT_BLOBS:
+        from magellanmapper_tpu.io import export_rois
+        return export_rois.blobs_to_csv(rc)
+
+    if proc is ProcessTypes.LOAD:
+        return _load_image(rc)
+
+    raise SystemExit(f"--proc {proc.name.lower()} is not supported yet")
+
+
+def _detect(rc: RunConfig, coloc: bool = False):
+    """Whole-image detection task (reference DETECT branch ``:1253``)."""
+    from magellanmapper_tpu.cv import blobs as blobs_mod
+    from magellanmapper_tpu.cv import colocalizer, stack_detect
+    from magellanmapper_tpu.utils import libmag
+
+    img5d = _load_image(rc)
+    vol = img5d.img[0] if img5d.img.ndim >= 4 else img5d.img
+    res = (img5d.resolutions[0] if img5d.resolutions is not None
+           else (1.0, 1.0, 1.0))
+    profiles = rc.roi_profiles or rc.roi_profile
+    blobs, timing = stack_detect.detect_blobs_stack(
+        np.asarray(vol), profiles, res, channels=rc.channel)
+    if coloc and blobs.blobs is not None and vol.ndim > 3:
+        colocs = colocalizer.colocalize_blobs(
+            np.asarray(vol), blobs.blobs)
+        blobs.colocalizations = colocs
+
+    # save blobs archive next to the image
+    base = rc.prefix or rc.filenames[0]
+    blobs.basename = os.path.basename(base)
+    blobs.path = libmag.combine_paths(base, "blobs.npz")
+    blobs.save_archive()
+    _logger.info(
+        "Detected %d blobs in %.2fs (detection %.2fs, pruning %.2fs)",
+        len(blobs), timing.get("Total_stack", 0),
+        timing.get("Detection", 0), timing.get("Pruning", 0))
+    return blobs
+
+
+def _coloc_match(rc: RunConfig):
+    from magellanmapper_tpu.cv import blobs as blobs_mod
+    from magellanmapper_tpu.cv import colocalizer, detector
+    from magellanmapper_tpu.utils import libmag
+
+    img5d = _load_image(rc)
+    base = rc.prefix or rc.filenames[0]
+    blobs = blobs_mod.Blobs().load_blobs(
+        libmag.combine_paths(base, "blobs.npz"))
+    res = (img5d.resolutions[0] if img5d.resolutions is not None
+           else (1.0, 1.0, 1.0))
+    tol = detector.calc_overlap(res)
+    shape = img5d.img.shape[1:4]
+    return colocalizer.colocalize_blobs_match(
+        blobs.blobs, (0, 0, 0), shape[::-1], tol)
+
+
+def _process_register(rc: RunConfig):
+    """Dispatch ``--register`` tasks (reference ``register.main :2141``)."""
+    from magellanmapper_tpu.atlas import register as register_mod
+    task = rc.register_type
+    if task is RegisterTypes.SINGLE:
+        return register_mod.register(
+            rc.filenames[0], rc.filenames[1], rc.atlas_profile,
+            prefix=rc.prefix)
+    if task is RegisterTypes.REGISTER_REV:
+        return register_mod.register_rev(
+            rc.filenames[0], rc.filenames[1], rc.atlas_profile,
+            prefix=rc.prefix)
+    if task is RegisterTypes.GROUP:
+        from magellanmapper_tpu.io import np_io
+        imgs = [np.asarray(np_io.read_file(f).img[0])
+                for f in rc.filenames]
+        return register_mod.register_group(imgs, rc.atlas_profile)
+    if task is RegisterTypes.IMPORT_ATLAS:
+        from magellanmapper_tpu.atlas import atlas_refiner
+        return atlas_refiner.import_atlas(
+            rc.filenames[0], rc.atlas_profile, prefix=rc.prefix)
+    if task is RegisterTypes.MAKE_EDGE_IMAGES:
+        from magellanmapper_tpu.atlas import edge_seg
+        from magellanmapper_tpu.io import sitk_io
+        atlas = sitk_io.load_registered_img(
+            rc.filenames[0], "atlasVolume.mhd")
+        labels = sitk_io.load_registered_img(
+            rc.filenames[0], "annotation.mhd")
+        return edge_seg.make_edge_images(atlas, labels)
+    if task is RegisterTypes.VOL_STATS:
+        return _vol_stats(rc)
+    if task is RegisterTypes.MAKE_DENSITY_IMAGES:
+        from magellanmapper_tpu.io import export_regions
+        return export_regions.make_density_image(rc.filenames[0])
+    raise SystemExit(
+        f"--register {task.name.lower()} is not supported yet")
+
+
+def _vol_stats(rc: RunConfig):
+    from magellanmapper_tpu.atlas import ontology
+    from magellanmapper_tpu.io import sitk_io
+    from magellanmapper_tpu.stats import vols
+    path = rc.filenames[0]
+    atlas = sitk_io.load_registered_img(path, "atlasVolume.mhd")
+    labels = sitk_io.load_registered_img(path, "annotation.mhd")
+    heat = None
+    try:
+        heat = sitk_io.load_registered_img(path, "heat.mhd")
+    except FileNotFoundError:
+        pass
+    ref = None
+    ref_path = rc.labels.get("path_ref")
+    if ref_path:
+        ref = ontology.LabelsRef(str(ref_path)).load()
+    df = vols.measure_labels_metrics(
+        atlas, labels, heat_map=heat, labels_ref=ref)
+    out_csv = (rc.prefix or os.path.splitext(path)[0]) + "_vols.csv"
+    df.to_csv(out_csv, index=False)
+    return df
+
+
+def _grid_search(rc: RunConfig):
+    from magellanmapper_tpu.stats import mlearn
+    return mlearn.grid_search_from_cli(rc)
+
+
+def main(argv: Optional[Sequence[str]] = None):
+    """CLI entry (reference ``cli.main :978``)."""
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(levelname)s:%(name)s: %(message)s")
+    rc = process_cli_args(argv)
+    return process_tasks(rc)
+
+
+if __name__ == "__main__":
+    main()

@@ -55,3 +55,7 @@ class GridSearchProfile(Profile):
                 },
             },
         }
+
+    def get_param_grid(self) -> dict:
+        """The active hyperparameter grid (param -> list of values)."""
+        return dict(self["hyperparams"] or {})

@@ -1,0 +1,156 @@
+"""CLI end-to-end + stats/export module tests."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from magellanmapper_tpu.io import cli, df_io, export_regions, np_io
+from magellanmapper_tpu.stats import atlas_stats, clustering, mlearn
+
+
+def make_volume(tmp_path, shape=(24, 40, 40), n=12, seed=0):
+    rng = np.random.default_rng(seed)
+    vol = np.zeros(shape, np.float32)
+    zz, yy, xx = np.indices(shape).astype(np.float32)
+    centers = np.column_stack([rng.uniform(6, s - 6, n) for s in shape])
+    for cz, cy, cx in centers:
+        vol += np.exp(-((zz-cz)**2 + (yy-cy)**2 + (xx-cx)**2) / 8.0)
+    vol /= vol.max()
+    base = str(tmp_path / "samp.npy")
+    np_io.write_npy(base, vol[None], resolutions=[[1.0, 1.0, 1.0]])
+    return base, centers
+
+
+class TestCLI:
+    def test_parse_args(self):
+        rc = cli.process_cli_args([
+            "--img", "a.npy", "--proc", "detect",
+            "--channel", "0", "--roi_profile", "lightsheet,4xnuc",
+            "--reg_suffixes", "atlas=atlasVolume.mhd",
+            "--set_meta", "resolutions=2,1,1"])
+        assert rc.filenames == ["a.npy"]
+        assert rc.proc is cli.ProcessTypes.DETECT
+        assert rc.channel == [0]
+        assert rc.roi_profile["min_sigma_factor"] == 3  # 4xnuc override
+        assert rc.reg_suffixes["atlas"] == "atlasVolume.mhd"
+        assert rc.resolutions == [2.0, 1.0, 1.0]
+
+    def test_detect_end_to_end(self, tmp_path):
+        base, centers = make_volume(tmp_path)
+        out = cli.main([
+            "--img", base, "--proc", "detect",
+            "--roi_profile", "4xnuc"])
+        assert len(out) > 0
+        # blobs archive written
+        assert os.path.exists(str(tmp_path / "samp_blobs.npz"))
+
+    def test_transform_end_to_end(self, tmp_path):
+        base, _ = make_volume(tmp_path)
+        out_path = cli.main([
+            "--img", base, "--proc", "transform",
+            "--transform", "rescale=0.5"])
+        img5d = np_io.read_file(out_path)
+        assert img5d.img.shape == (1, 12, 20, 20)
+
+    def test_export_tif(self, tmp_path):
+        base, _ = make_volume(tmp_path)
+        out = cli.main(["--img", base, "--proc", "export_tif"])
+        assert os.path.exists(out)
+
+    def test_unknown_proc_errors(self):
+        with pytest.raises(SystemExit):
+            cli.process_cli_args(["--proc", "bogus_task"])
+
+
+class TestStats:
+    def test_meas_dice(self):
+        a = np.zeros((5, 5, 5), bool)
+        b = np.zeros((5, 5, 5), bool)
+        a[:3] = True
+        b[:3] = True
+        assert atlas_stats.meas_dice(a, b) == 1.0
+
+    def test_clustering(self):
+        rng = np.random.default_rng(0)
+        c1 = rng.normal((10, 10, 10), 1, (30, 3))
+        c2 = rng.normal((50, 50, 50), 1, (30, 3))
+        blobs = np.vstack([c1, c2])
+        out, stats = clustering.cluster_blobs(blobs, eps=5, minpts=4)
+        assert stats["NucCluster"] == 2
+        assert out.shape[1] == 4
+
+    def test_knn_dist(self):
+        blobs = np.array([[0, 0, 0], [0, 0, 1], [0, 0, 2], [10, 10, 10]],
+                         float)
+        d = clustering.knn_dist(blobs, 2, return_sorted=False)
+        assert d[0] == 1.0
+
+    def test_grid_search(self):
+        truth = np.array([[5.0, 5, 5], [10, 10, 10]])
+
+        def fn_detect(overrides):
+            # pretend threshold sweeps recall
+            if overrides["detection_threshold"] < 0.5:
+                return np.array([[5.0, 5, 5, 3], [10, 10, 10, 3],
+                                 [20, 20, 20, 3]])
+            return np.array([[5.0, 5, 5, 3]])
+
+        from collections import OrderedDict
+        df = mlearn.grid_search(
+            OrderedDict([("detection_threshold", [0.1, 0.9])]),
+            fn_detect, truth, (2, 2, 2))
+        assert len(df) == 2
+        assert df.iloc[0]["SENS"] == 1.0
+        assert df.iloc[1]["SENS"] == 0.5
+        ranked = mlearn.parse_grid_stats(df)
+        assert ranked.iloc[0]["detection_threshold"] == 0.1
+
+
+class TestDfIO:
+    def test_csv_roundtrip_with_backup(self, tmp_path):
+        path = str(tmp_path / "out.csv")
+        df1 = pd.DataFrame({"a": [1, 2]})
+        df_io.data_frames_to_csv(df1, path)
+        df2 = pd.DataFrame({"a": [3]})
+        df_io.data_frames_to_csv(df2, path)
+        assert os.path.exists(path)
+        assert os.path.exists(str(tmp_path / "out(1).csv"))
+
+    def test_melt_zscore(self):
+        df = pd.DataFrame({
+            "Region": [1, 2], "VolR": [10, 20], "VolL": [12, 18]})
+        melted = df_io.melt_cols(df, ["Region"], ["VolR", "VolL"])
+        assert len(melted) == 4
+        z = df_io.zscore_df(
+            melted, ["Region"], ["Value"])
+        assert abs(z["Value"].mean()) < 1e-9
+
+
+class TestExportRegions:
+    def test_density_image(self, tmp_path):
+        base, centers = make_volume(tmp_path)
+        from magellanmapper_tpu.cv import blobs as blobs_mod
+        arr = np.column_stack([
+            centers, np.full(len(centers), 3.0)])
+        blobs = blobs_mod.Blobs(arr)
+        blobs.blobs = blobs_mod.Blobs(arr).format_blobs(0)
+        heat, out_path = export_regions.make_density_image(
+            base, scale=0.5, blobs=blobs)
+        assert heat.shape == (12, 20, 20)
+        assert heat.sum() == len(centers)
+        assert os.path.exists(str(tmp_path / "samp_heat.mhd"))
+
+    def test_region_ids_csv(self, tmp_path):
+        from magellanmapper_tpu.atlas import ontology
+        tree = {"msg": [{"id": 1, "name": "root", "st_level": 0,
+                         "children": []}]}
+        p = tmp_path / "ref.json"
+        p.write_text(json.dumps(tree))
+        ref = ontology.LabelsRef(str(p)).load()
+        out = str(tmp_path / "ids.csv")
+        df = export_regions.export_region_ids(ref, out)
+        assert os.path.exists(out)
+        assert 1 in set(df["Region"])
