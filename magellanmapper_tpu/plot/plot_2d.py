@@ -1,0 +1,129 @@
+"""2D task plots (matplotlib).
+
+Equivalent of ``magmap/plot/plot_2d.py`` core tasks: bar/line/scatter
+plots over stats frames and ROC curves from grid-search output
+(``plot_roc :967``); the ``--plot_2d`` task dispatch (``main :1467``).
+Headless-safe (Agg backend).
+"""
+
+from __future__ import annotations
+
+import logging
+from enum import Enum, auto
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+from magellanmapper_tpu.plot import plot_support  # noqa: E402
+
+_logger = logging.getLogger(__name__)
+
+
+class Plot2DTypes(Enum):
+    """``--plot_2d`` vocabulary (reference ``config.Plot2DTypes``,
+    core subset)."""
+    BAR_PLOT = auto()
+    LINE_PLOT = auto()
+    SCATTER_PLOT = auto()
+    ROC_CURVE = auto()
+    SWARM_PLOT = auto()
+
+
+def plot_bars(
+        df: pd.DataFrame, x_col: str, y_col: str,
+        path: Optional[str] = None, title: Optional[str] = None):
+    fig, ax = plt.subplots(figsize=(7, 4))
+    ax.bar(df[x_col].astype(str), df[y_col])
+    ax.set_xlabel(x_col)
+    ax.set_ylabel(y_col)
+    if title:
+        ax.set_title(title)
+    ax.tick_params(axis="x", rotation=60)
+    if path:
+        plot_support.save_fig(fig, path)
+    plt.close(fig)
+    return fig
+
+
+def plot_lines(
+        df: pd.DataFrame, x_col: str, y_cols: Sequence[str],
+        path: Optional[str] = None, title: Optional[str] = None):
+    fig, ax = plt.subplots(figsize=(7, 4))
+    for col in y_cols:
+        ax.plot(df[x_col], df[col], marker="o", label=col)
+    ax.set_xlabel(x_col)
+    ax.legend()
+    if title:
+        ax.set_title(title)
+    if path:
+        plot_support.save_fig(fig, path)
+    plt.close(fig)
+    return fig
+
+
+def plot_scatter(
+        df: pd.DataFrame, x_col: str, y_col: str,
+        group_col: Optional[str] = None,
+        path: Optional[str] = None, annot_col: Optional[str] = None):
+    fig, ax = plt.subplots(figsize=(6, 6))
+    if group_col:
+        for name, grp in df.groupby(group_col):
+            ax.scatter(grp[x_col], grp[y_col], label=str(name), s=14)
+        ax.legend()
+    else:
+        ax.scatter(df[x_col], df[y_col], s=14)
+    if annot_col:
+        for _, row in df.iterrows():
+            ax.annotate(str(row[annot_col]), (row[x_col], row[y_col]),
+                        fontsize=6)
+    ax.set_xlabel(x_col)
+    ax.set_ylabel(y_col)
+    if path:
+        plot_support.save_fig(fig, path)
+    plt.close(fig)
+    return fig
+
+
+def plot_roc(
+        df: pd.DataFrame, path: Optional[str] = None,
+        show_labels: bool = True):
+    """ROC-style plot of grid-search stats: FDR vs sensitivity
+    (reference ``plot_roc :967``)."""
+    fig, ax = plt.subplots(figsize=(6, 6))
+    param_cols = [c for c in df.columns
+                  if c not in ("POS", "TP", "FP", "FN", "FDR", "SENS",
+                               "PPV", "Distance")]
+    ax.plot(df["FDR"], df["SENS"], "o-")
+    if show_labels and param_cols:
+        for _, row in df.iterrows():
+            label = ",".join(f"{row[c]:.3g}" if isinstance(
+                row[c], (int, float)) else str(row[c])
+                for c in param_cols)
+            ax.annotate(label, (row["FDR"], row["SENS"]), fontsize=6)
+    ax.set_xlabel("False discovery rate")
+    ax.set_ylabel("Sensitivity")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1.05)
+    if path:
+        plot_support.save_fig(fig, path)
+    plt.close(fig)
+    return fig
+
+
+def main(task: Plot2DTypes, df: pd.DataFrame, path: Optional[str] = None,
+         **kwargs):
+    """Dispatch a plot task (reference ``plot_2d.main :1467``)."""
+    if task is Plot2DTypes.BAR_PLOT:
+        return plot_bars(df, path=path, **kwargs)
+    if task is Plot2DTypes.LINE_PLOT:
+        return plot_lines(df, path=path, **kwargs)
+    if task in (Plot2DTypes.SCATTER_PLOT, Plot2DTypes.SWARM_PLOT):
+        return plot_scatter(df, path=path, **kwargs)
+    if task is Plot2DTypes.ROC_CURVE:
+        return plot_roc(df, path=path, **kwargs)
+    raise ValueError(task)

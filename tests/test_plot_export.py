@@ -1,0 +1,117 @@
+"""Plot layer + export_stack + cloud/labels_meta tests."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from magellanmapper_tpu.atlas.labels_meta import LabelsMeta
+from magellanmapper_tpu.cloud import aws
+from magellanmapper_tpu.io import export_stack
+from magellanmapper_tpu.plot import colormaps, plot_2d, plot_support
+
+
+class TestColormaps:
+    def test_discrete_symmetric(self):
+        cmap = colormaps.DiscreteColormap([-3, -1, 0, 1, 3])
+        assert cmap.colors[1] == cmap.colors[-1]
+        assert cmap.colors[0][3] == 0.0  # background transparent
+        img = cmap(np.array([[0, 1], [-1, 3]]))
+        assert img.shape == (2, 2, 4)
+        np.testing.assert_allclose(img[0, 1], img[1, 0])
+
+    def test_deterministic(self):
+        a = colormaps.DiscreteColormap([1, 2, 3]).colors
+        b = colormaps.DiscreteColormap([1, 2, 3]).colors
+        assert a == b
+
+    def test_channel_cmap(self):
+        cm = colormaps.channel_colormap(0)
+        assert cm(0.0)[:3] == pytest.approx((0, 0, 0), abs=0.01)
+
+
+class TestPlotSupport:
+    def test_overlay_multichannel(self):
+        plane = np.zeros((8, 8, 2), np.float32)
+        plane[:4, :, 0] = 1.0
+        plane[4:, :, 1] = 1.0
+        rgb = plot_support.overlay_images(plane)
+        assert rgb.shape == (8, 8, 3)
+        assert not np.allclose(rgb[0, 0], rgb[7, 7])
+
+    def test_overlay_labels(self):
+        plane = np.ones((6, 6), np.float32)
+        labels = np.zeros((6, 6), int)
+        labels[:3] = 5
+        cmap = colormaps.DiscreteColormap([0, 5])
+        rgb = plot_support.overlay_images(
+            plane, labels_plane=labels, labels_cmap=cmap)
+        assert not np.allclose(rgb[0, 0], rgb[5, 5])
+
+    def test_transpose_and_downsample(self):
+        arr = np.zeros((4, 8, 16))
+        out = plot_support.transpose_images("xz", [arr])[0]
+        assert out.shape == (8, 4, 16)
+        assert plot_support.get_downsample_max_sizes((4, 3000, 2000)) == 3
+        assert plot_support.get_downsample_max_sizes((4, 500, 500)) is None
+
+
+class TestPlot2D:
+    def test_roc_plot(self, tmp_path):
+        df = pd.DataFrame({
+            "detection_threshold": [0.1, 0.2], "POS": [10, 10],
+            "TP": [9, 7], "FP": [3, 1], "FN": [1, 3],
+            "FDR": [0.25, 0.125], "SENS": [0.9, 0.7], "PPV": [0.75, 0.875]})
+        path = str(tmp_path / "roc.png")
+        plot_2d.plot_roc(df, path)
+        assert os.path.exists(path)
+
+    def test_bar_line_scatter(self, tmp_path):
+        df = pd.DataFrame({"Region": ["a", "b"], "Volume": [1.0, 2.0],
+                           "Nuclei": [5, 9]})
+        plot_2d.plot_bars(df, "Region", "Volume",
+                          str(tmp_path / "bars.png"))
+        plot_2d.plot_lines(df, "Volume", ["Nuclei"],
+                           str(tmp_path / "lines.png"))
+        plot_2d.plot_scatter(df, "Volume", "Nuclei",
+                             path=str(tmp_path / "sc.png"))
+        assert len(list(tmp_path.iterdir())) == 3
+
+
+class TestExportStack:
+    def test_export_planes(self, tmp_path, rng):
+        vol = rng.random((1, 3, 16, 16)).astype(np.float32)
+        paths = export_stack.export_planes(vol, str(tmp_path / "planes"))
+        assert len(paths) == 3
+        assert all(os.path.exists(p) for p in paths)
+
+    def test_montage(self, tmp_path, rng):
+        vol = rng.random((1, 5, 12, 12)).astype(np.float32)
+        out = export_stack.stack_to_img(vol, str(tmp_path / "montage.png"))
+        assert os.path.exists(out)
+
+    def test_animation(self, tmp_path, rng):
+        vol = rng.random((1, 3, 12, 12)).astype(np.float32)
+        out = export_stack.animate_imgs(vol, str(tmp_path / "anim"))
+        assert os.path.exists(out)
+
+
+class TestCloudMeta:
+    def test_md5(self, tmp_path):
+        p = tmp_path / "f.bin"
+        p.write_bytes(b"hello")
+        assert aws.md5sum(str(p)) == "5d41402abc4b2a76b9719d911017c592"
+
+    def test_aws_gated(self):
+        with pytest.raises(ImportError):
+            aws.list_instances()
+
+    def test_labels_meta_roundtrip(self, tmp_path):
+        meta = LabelsMeta(str(tmp_path / "atlas.mhd"))
+        meta.path_ref = "/refs/aba.json"
+        meta.region_ids_orig = [1, 2, 3]
+        meta.save()
+        meta2 = LabelsMeta(str(tmp_path / "atlas.mhd")).load()
+        assert meta2.path_ref == "/refs/aba.json"
+        assert meta2.region_ids_orig == [1, 2, 3]
