@@ -278,26 +278,35 @@ def detect_blobs_blocks(
                     settings["erosion_threshold"] or 0.0)),
             )
 
+        small_volume = np.any(np.asarray(shape) < block_shape)
         for i0 in range(0, len(coords_list), batch_size):
             batch_coords = coords_list[i0:i0 + batch_size]
-            windows = []
-            starts = []
-            for coord in batch_coords:
-                start = blocks.sub_rois_offsets[coord]
-                wstart = _window_for_block(shape, start, block_shape)
-                starts.append(wstart)
-                win = chan_img[
-                    wstart[0]:wstart[0] + block_shape[0],
-                    wstart[1]:wstart[1] + block_shape[1],
-                    wstart[2]:wstart[2] + block_shape[2]]
-                if win.shape != tuple(block_shape):
-                    # volume smaller than a block: reflect-pad (matches the
-                    # reference's scipy 'reflect' boundary at block edges)
+            starts = [
+                _window_for_block(
+                    shape, blocks.sub_rois_offsets[coord], block_shape)
+                for coord in batch_coords]
+            if small_volume:
+                # volume smaller than a block: reflect-pad (matches the
+                # reference's scipy 'reflect' boundary at block edges)
+                windows = []
+                for wstart in starts:
+                    win = chan_img[
+                        wstart[0]:wstart[0] + block_shape[0],
+                        wstart[1]:wstart[1] + block_shape[1],
+                        wstart[2]:wstart[2] + block_shape[2]]
                     pads = [(0, bs - ws)
                             for bs, ws in zip(block_shape, win.shape)]
                     win = np.pad(win, pads, mode="symmetric")
-                windows.append(np.asarray(win, np.float32))
-            batch = jnp.asarray(np.stack(windows))
+                    windows.append(np.asarray(win, np.float32))
+                stacked = np.stack(windows)
+            else:
+                # native threaded gather+cast from the (memmapped) volume
+                from magellanmapper_tpu import native
+                stacked = native.extract_blocks(
+                    np.asarray(chan_img) if not isinstance(
+                        chan_img, np.ndarray) else chan_img,
+                    np.asarray(starts), block_shape)
+            batch = jnp.asarray(stacked)
             raw_b, valid_b = _detect_batch(
                 batch, sigmas, float(settings["detection_threshold"]),
                 float(settings["overlap"]), capacity, denoise_shape, prep)

@@ -1,0 +1,106 @@
+"""Native (C++) runtime: multithreaded block extraction via ctypes.
+
+``blockio_extract`` gathers overlapping z,y,x blocks from a (memmapped)
+volume into one contiguous float32 batch buffer using worker threads —
+the native-runtime replacement for the reference's mp.Pool block farm
+(``magmap/cv/chunking.py:143``). Falls back to a NumPy loop when the
+shared library has not been built (``make -C magellanmapper_tpu/native``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+_logger = logging.getLogger(__name__)
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libblockio.so")
+_DTYPES = {
+    np.dtype(np.uint8): 0, np.dtype(np.uint16): 1,
+    np.dtype(np.int16): 2, np.dtype(np.uint32): 3,
+    np.dtype(np.int32): 4, np.dtype(np.float32): 5,
+    np.dtype(np.float64): 6,
+}
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        # lazy one-shot build attempt (toolchain is in the image)
+        import subprocess
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.dirname(__file__)],
+                capture_output=True, timeout=120, check=False)
+        except (OSError, subprocess.TimeoutExpired):
+            pass
+    if not os.path.exists(_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.blockio_extract.restype = ctypes.c_int
+        lib.blockio_extract.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ]
+        _lib = lib
+    except OSError as exc:  # pragma: no cover
+        _logger.warning("could not load libblockio: %s", exc)
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    """True when the native library is built and loadable."""
+    return _load() is not None
+
+
+def extract_blocks(
+        volume: np.ndarray, starts: np.ndarray,
+        block_shape: Sequence[int],
+        out: Optional[np.ndarray] = None,
+        n_threads: Optional[int] = None) -> np.ndarray:
+    """Gather ``(n, bz, by, bx)`` float32 blocks at clamped ``starts``.
+
+    Uses the native threaded path when built; NumPy otherwise. ``starts``
+    must already be clamped so every window fits in ``volume``.
+    """
+    starts = np.ascontiguousarray(starts, dtype=np.int64).reshape(-1, 3)
+    bz, by, bx = (int(v) for v in block_shape)
+    n = len(starts)
+    if out is None:
+        out = np.empty((n, bz, by, bx), np.float32)
+
+    lib = _load()
+    dtype_code = _DTYPES.get(volume.dtype)
+    if lib is not None and dtype_code is not None and volume.ndim == 3:
+        # arbitrary strides supported natively, so views/memmaps pass as-is
+        ptr = volume.ctypes.data_as(ctypes.c_void_p)
+        rc = lib.blockio_extract(
+            ptr, dtype_code,
+            *[ctypes.c_int64(int(s)) for s in volume.shape],
+            *[ctypes.c_int64(int(s)) for s in volume.strides],
+            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(n),
+            ctypes.c_int64(bz), ctypes.c_int64(by), ctypes.c_int64(bx),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_int(n_threads or os.cpu_count() or 4))
+        if rc == 0:
+            return out
+        _logger.warning("blockio_extract failed (%d); numpy fallback", rc)
+
+    for i, (z0, y0, x0) in enumerate(starts):
+        out[i] = volume[z0:z0 + bz, y0:y0 + by, x0:x0 + bx]
+    return out
