@@ -1,0 +1,85 @@
+"""BrainGlobe atlas API integration (reference ``magmap/brain_globe/``).
+
+``BrainGlobeMM`` (reference ``bg_model.py:18``) downloads/caches
+BrainGlobe atlases and opens them as ``Image5d``. This environment has
+no egress, so downloads gate gracefully; locally cached atlases (the
+standard ``~/.brainglobe`` layout: ``reference.tiff``/``annotation.tiff``
++ ``metadata.json``) load without the ``brainglobe-atlasapi`` package.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+_logger = logging.getLogger(__name__)
+
+DEFAULT_CACHE = os.path.join(os.path.expanduser("~"), ".brainglobe")
+
+
+class BrainGlobeMM:
+    """BrainGlobe atlas manager (reference ``bg_model.BrainGlobeMM``)."""
+
+    def __init__(self, cache_dir: str = DEFAULT_CACHE):
+        self.cache_dir = cache_dir
+
+    def get_avail_atlases(self) -> List[str]:
+        """Locally cached atlas names (remote listing needs egress)."""
+        if not os.path.isdir(self.cache_dir):
+            return []
+        return sorted(
+            d for d in os.listdir(self.cache_dir)
+            if os.path.isdir(os.path.join(self.cache_dir, d)))
+
+    def get_atlas(self, name: str, download: bool = False):
+        """Load a cached atlas as ``(Image5d, labels_img, meta)``."""
+        atlas_dir = self._find_dir(name)
+        if atlas_dir is None:
+            if not download:
+                raise FileNotFoundError(
+                    f"atlas {name} not cached under {self.cache_dir}")
+            try:
+                from brainglobe_atlasapi import BrainGlobeAtlas
+            except ImportError as exc:
+                raise ImportError(
+                    "brainglobe-atlasapi not installed and atlas not "
+                    "cached; download is unavailable") from exc
+            BrainGlobeAtlas(name)  # triggers download into the cache
+            atlas_dir = self._find_dir(name)
+
+        from magellanmapper_tpu.io import np_io, tiff
+        meta = {}
+        meta_path = os.path.join(atlas_dir, "metadata.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        ref = tiff.read_tiff(os.path.join(atlas_dir, "reference.tiff"))
+        ann = tiff.read_tiff(os.path.join(atlas_dir, "annotation.tiff"))
+        res = meta.get("resolution", [1.0, 1.0, 1.0])
+        img5d = np_io.Image5d(
+            img=ref[None], img_io="brain_globe",
+            meta={"resolutions": [list(res)], "bg_meta": meta})
+        return img5d, ann, meta
+
+    def _find_dir(self, name: str) -> Optional[str]:
+        if not os.path.isdir(self.cache_dir):
+            return None
+        for d in os.listdir(self.cache_dir):
+            if d.startswith(name):
+                cand = os.path.join(self.cache_dir, d)
+                if os.path.exists(os.path.join(cand, "reference.tiff")):
+                    return cand
+        return None
+
+    def remove_atlas(self, name: str) -> bool:
+        """Delete a cached atlas."""
+        import shutil
+        atlas_dir = self._find_dir(name)
+        if atlas_dir:
+            shutil.rmtree(atlas_dir)
+            return True
+        return False

@@ -187,13 +187,22 @@ def gaussian_laplace(
     ndim = vol.ndim
     k0 = [gaussian_kernel1d(s, 0, truncate=truncate) for s in sigmas]
     k2 = [gaussian_kernel1d(s, 2, truncate=truncate) for s in sigmas]
-    out = None
-    for d_ax in range(ndim):
-        term = vol
-        for ax in range(ndim):
-            term = conv1d(term, k2[ax] if ax == d_ax else k0[ax], ax, mode)
-        out = term if out is None else out + term
-    return out
+    if ndim != 3:
+        out = None
+        for d_ax in range(ndim):
+            term = vol
+            for ax in range(ndim):
+                term = conv1d(
+                    term, k2[ax] if ax == d_ax else k0[ax], ax, mode)
+            out = term if out is None else out + term
+        return out
+    # 3D: share smoothing passes (8 convs instead of 9)
+    a = conv1d(vol, k0[2], 2, mode)            # G0x f
+    t1 = conv1d(conv1d(a, k0[1], 1, mode), k2[0], 0, mode)   # K2z G0y A
+    t2 = conv1d(conv1d(a, k2[1], 1, mode), k0[0], 0, mode)   # G0z K2y A
+    b = conv1d(vol, k2[2], 2, mode)            # K2x f
+    t3 = conv1d(conv1d(b, k0[1], 1, mode), k0[0], 0, mode)   # G0z G0y B
+    return t1 + t2 + t3
 
 
 def erosion(vol: jax.Array, footprint: np.ndarray) -> jax.Array:

@@ -1,0 +1,153 @@
+"""Tests: pipelines, clrstats, subproc_io, reg_tasks, brain_globe,
+roi_review."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from magellanmapper_tpu.atlas import reg_tasks
+from magellanmapper_tpu.io import np_io, pipelines, sqlite, subproc_io
+from magellanmapper_tpu.gui import roi_review
+from magellanmapper_tpu.stats import clrstats
+from magellanmapper_tpu import brain_globe
+
+
+class TestPipelines:
+    def test_detection_pipeline_with_resume(self, tmp_path):
+        rng = np.random.default_rng(0)
+        vol = np.zeros((16, 32, 32), np.float32)
+        zz, yy, xx = np.indices(vol.shape).astype(np.float32)
+        for c in rng.uniform(6, 26, (6, 3)):
+            vol += np.exp(-(((zz-c[0])**2 + (yy-c[1])**2 + (xx-c[2])**2)
+                            / 8.0))
+        base = str(tmp_path / "vol.npy")
+        np_io.write_npy(base, vol[None] / vol.max())
+        from magellanmapper_tpu.settings.roi_prof import ROIProfile
+        prof = ROIProfile()
+        prof["min_sigma_factor"] = 2.0
+        prof["max_sigma_factor"] = 4.0
+        prof["num_sigma"] = 5
+        prof["denoise_size"] = None
+        out = pipelines.run_pipeline("detection", base, prof)
+        assert "detection" in out
+        assert os.path.exists(out["detection"])
+        # resume: stage skipped when artifact exists
+        out2 = pipelines.run_pipeline("detection", base, prof)
+        assert "detection" not in out2
+
+    def test_unknown_pipeline(self):
+        with pytest.raises(ValueError):
+            pipelines.run_pipeline("bogus", "x.npy")
+
+
+class TestClrStats:
+    def test_group_stats_and_fdr(self):
+        rng = np.random.default_rng(0)
+        rows = []
+        for region in (1, 2, 3):
+            for cond in ("wt", "ko"):
+                for s in range(6):
+                    base = 10.0 if region != 2 else (
+                        10.0 if cond == "wt" else 20.0)
+                    rows.append({
+                        "Region": region, "Condition": cond,
+                        "Volume": base + rng.normal(0, 0.5)})
+        df = pd.DataFrame(rows)
+        stats = clrstats.meas_group_stats(
+            df, "Volume", conds=("wt", "ko"))
+        assert len(stats) == 3
+        sig = stats[stats.Region == 2].iloc[0]
+        insig = stats[stats.Region == 1].iloc[0]
+        assert sig["Padj"] < 0.01
+        assert insig["Padj"] > 0.05
+        assert sig["Effect"] == pytest.approx(1.0, abs=0.2)
+
+    def test_volcano_plot(self, tmp_path):
+        df = pd.DataFrame({
+            "Region": [1, 2], "Effect": [0.1, 1.5],
+            "P": [0.5, 0.001], "Padj": [0.6, 0.004]})
+        path = str(tmp_path / "volcano.png")
+        clrstats.plot_volcano(df, path)
+        assert os.path.exists(path)
+
+
+class TestSubprocIO:
+    def test_zip_roundtrip(self, tmp_path):
+        p = tmp_path / "data.bin"
+        p.write_bytes(os.urandom(1000))
+        arc = subproc_io.compress_file(str(p), fmt="zip")
+        out_dir = tmp_path / "out"
+        out_dir.mkdir()
+        subproc_io.decompress_file(arc, str(out_dir))
+        assert (out_dir / "data.bin").read_bytes() == p.read_bytes()
+
+    def test_gz_roundtrip(self, tmp_path):
+        p = tmp_path / "d.txt"
+        p.write_text("hello" * 100)
+        arc = subproc_io.compress_file(str(p), fmt="gz")
+        out = subproc_io.decompress_file(arc, str(tmp_path / "o"))
+        os.path.exists(out)
+
+
+class TestRegTasks:
+    def test_labels_diff_image(self):
+        labels = np.zeros((4, 4, 4), np.int32)
+        labels[:2] = 1
+        labels[2:] = 2
+        df = pd.DataFrame({
+            "Region": [1, 2, 1, 2],
+            "Condition": ["a", "a", "b", "b"],
+            "Volume": [10.0, 20.0, 15.0, 18.0]})
+        diff = reg_tasks.build_labels_diff_images(
+            labels, df, "Volume", conds=("a", "b"))
+        assert diff[0, 0, 0] == pytest.approx(5.0)
+        assert diff[3, 0, 0] == pytest.approx(-2.0)
+
+
+class TestBrainGlobe:
+    def test_cached_atlas_loading(self, tmp_path):
+        from magellanmapper_tpu.io import tiff
+        import json
+        atlas_dir = tmp_path / "allen_mouse_25um_v1.2"
+        atlas_dir.mkdir()
+        ref = np.random.default_rng(0).integers(
+            0, 255, (4, 8, 8)).astype(np.uint16)
+        ann = np.ones((4, 8, 8), np.uint16)
+        tiff.write_tiff(str(atlas_dir / "reference.tiff"), ref)
+        tiff.write_tiff(str(atlas_dir / "annotation.tiff"), ann)
+        (atlas_dir / "metadata.json").write_text(
+            json.dumps({"resolution": [25, 25, 25]}))
+        bg = brain_globe.BrainGlobeMM(str(tmp_path))
+        assert "allen_mouse_25um_v1.2" in bg.get_avail_atlases()
+        img5d, labels, meta = bg.get_atlas("allen_mouse")
+        assert img5d.img.shape == (1, 4, 8, 8)
+        np.testing.assert_allclose(img5d.resolutions[0], [25, 25, 25])
+
+    def test_missing_atlas(self, tmp_path):
+        bg = brain_globe.BrainGlobeMM(str(tmp_path))
+        with pytest.raises(FileNotFoundError):
+            bg.get_atlas("nonexistent")
+
+
+class TestRoiReview:
+    def test_plane_grid_with_blobs(self, tmp_path, rng):
+        roi = rng.random((6, 24, 24)).astype(np.float32)
+        blobs = np.array([
+            [2.0, 12, 12, 3, 1, -1, 0, 2, 12, 12],
+            [4.0, 6, 18, 2, 0, -1, 0, 4, 6, 18]])
+        path = str(tmp_path / "roi.png")
+        roi_review.plot_roi_planes(roi, blobs, path)
+        assert os.path.exists(path)
+
+    def test_confirm_blobs_roundtrip(self, tmp_path):
+        db = sqlite.load_db(str(tmp_path / "r.db"))
+        exp = db.select_or_insert_experiment("e")
+        roi_id, _ = db.select_or_insert_roi(exp, 0, (0, 0, 0), (9, 9, 9))
+        db.insert_blobs(roi_id, np.array([
+            [1.0, 2, 3, 2, -1, -1, 0], [4.0, 5, 6, 2, -1, -1, 0]]))
+        blobs = roi_review.confirm_blobs(db, roi_id, [0], flag=1)
+        back = db.select_blobs_by_roi(roi_id)
+        assert (back[:, 4] == 1).sum() == 1
+        db.close()
