@@ -152,3 +152,24 @@ def make_sub_segmented_labels(
         sub = sub + np.where(mask, comp, 0)
         out[mask] = np.sign(lid) * sub[mask]
     return out
+
+
+def merge_atlas_segmentations(
+        samples: "Sequence[Tuple[np.ndarray, np.ndarray]]",
+        erosion_size: int = 8, log_sigma: float = 5.0
+) -> "Tuple[list, list]":
+    """Edge-aware reannotation across multiple samples
+    (reference ``merge_atlas_segmentations :403``, the mp.Pool driver):
+    runs ``edge_aware_segmentation`` per (atlas, labels) pair.
+
+    Returns lists of reannotated labels and metric dicts.
+    """
+    segs = []
+    metrics = []
+    for atlas_img, labels_img in samples:
+        seg, metr = edge_aware_segmentation(
+            atlas_img, labels_img, erosion_size=erosion_size,
+            log_sigma=log_sigma)
+        segs.append(seg)
+        metrics.append(metr)
+    return segs, metrics

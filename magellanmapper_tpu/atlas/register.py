@@ -252,3 +252,82 @@ def register_group(
             results.append(res)
         mean_img = np.mean(moved_all, axis=0)
     return mean_img, results
+
+
+def volumes_by_id(
+        img_paths: Sequence[str],
+        labels_ref_path: Optional[str] = None,
+        suffix: Optional[str] = None,
+        unit_factor: Optional[float] = None,
+        groups: Optional[Dict] = None,
+        max_level: Optional[int] = None,
+        combine_sides: bool = True,
+        out_path: Optional[str] = None) -> "pd.DataFrame":
+    """Regional metrics for each sample's registered image set
+    (reference ``register.volumes_by_id :1613``).
+
+    For every sample path, loads the registered atlas/annotation (plus
+    heat map when present), measures per-label metrics, optionally remaps
+    to an ontology level, and concatenates across samples with a Sample
+    column.
+    """
+    from magellanmapper_tpu.atlas import ontology
+    from magellanmapper_tpu.stats import vols
+
+    ref = None
+    if labels_ref_path:
+        ref = ontology.LabelsRef(labels_ref_path).load()
+    dfs = []
+    for i, path in enumerate(img_paths):
+        base = path if suffix is None else path + suffix
+        atlas = None
+        try:
+            atlas = sitk_io.load_registered_img(
+                base, RegNames.IMG_ATLAS.value)
+        except (FileNotFoundError, ValueError):
+            pass
+        labels = sitk_io.load_registered_img(
+            base, RegNames.IMG_LABELS.value)
+        heat = None
+        try:
+            heat = sitk_io.load_registered_img(
+                base, RegNames.IMG_HEAT_MAP.value)
+        except (FileNotFoundError, ValueError):
+            pass
+        df = vols.measure_labels_metrics(
+            atlas, labels, heat_map=heat, combine_sides=combine_sides,
+            labels_ref=ref, level=max_level)
+        if unit_factor:
+            df["Volume"] = df["Volume"] / unit_factor
+        df.insert(0, "Sample", os.path.basename(path))
+        if groups:
+            for key, vals in groups.items():
+                df[key] = vals[i]
+        dfs.append(df)
+    out = pd.concat(dfs, ignore_index=True) if dfs else pd.DataFrame()
+    if out_path:
+        out.to_csv(out_path, index=False)
+    return out
+
+
+def volumes_by_id_compare(
+        img_paths: Sequence[str],
+        labels_ref_path: Optional[str] = None,
+        **kwargs) -> "pd.DataFrame":
+    """Per-label DSC comparison between two samples' label images
+    (reference ``volumes_by_id_compare :1859``)."""
+    from magellanmapper_tpu.stats import vols
+    labels = [sitk_io.load_registered_img(
+        p, RegNames.IMG_LABELS.value) for p in img_paths[:2]]
+    return vols.measure_label_overlap(labels[0], labels[1], **kwargs)
+
+
+def make_label_ids_set(
+        labels_img: np.ndarray, max_level: Optional[int] = None,
+        labels_ref=None, combine_sides: bool = True) -> np.ndarray:
+    """Label IDs to measure (reference ``make_label_ids_set :1534``)."""
+    ids = np.unique(labels_img)
+    ids = ids[ids != 0]
+    if combine_sides:
+        ids = np.unique(np.abs(ids))
+    return ids

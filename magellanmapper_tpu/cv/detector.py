@@ -88,7 +88,7 @@ def blob_log(
     valid = jnp.arange(capacity) < count
     sig = jnp.asarray(sigmas, jnp.float32)[coords4[:, 0]]
     coords = coords4[:, 1:].astype(jnp.float32)
-    valid = peaks.prune_overlapping_blobs(
+    valid = peaks.prune_overlapping_blobs_auto(
         coords, sig, valid, overlap, ndim=roi.ndim)
     return jnp.concatenate([coords, sig[:, None]], axis=1), valid
 

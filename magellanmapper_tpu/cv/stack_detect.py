@@ -141,7 +141,7 @@ def _blob_log_impl(
     valid = jnp.arange(capacity) < count
     sig = jnp.asarray(sigmas, jnp.float32)[coords4[:, 0]]
     coords = coords4[:, 1:].astype(jnp.float32)
-    valid = peaks.prune_overlapping_blobs(
+    valid = peaks.prune_overlapping_blobs_auto(
         coords, sig, valid, overlap, ndim=roi.ndim)
     return jnp.concatenate([coords, sig[:, None]], axis=1), valid
 

@@ -1,0 +1,123 @@
+"""Pallas TPU kernels for the detection hot path.
+
+``prune_overlap_pallas``: the O(K^2) sphere-overlap blob pruning
+(``ops.peaks.prune_overlapping_blobs``) as a tiled Pallas kernel — each
+(TI, TJ) tile holds both coordinate panels in VMEM, forms squared
+distances via an MXU matmul (||a-b||^2 = |a|^2 + |b|^2 - 2 a.b), applies
+the lens-volume overlap formula on the VPU, and reduces the "loses to
+any j" verdict per row. Avoids materializing the K x K fp32 matrices in
+HBM that the XLA version writes (~270 MB at K=8192).
+
+Falls back to the jnp implementation off-TPU (Pallas interpret mode is
+used in CPU tests).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: tile edge for the (i, j) blob-pair grid
+_TILE = 512
+
+
+def _prune_kernel(coords_i_ref, r_i_ref, valid_i_ref,
+                  coords_j_ref, r_j_ref, valid_j_ref,
+                  idx_i_ref, idx_j_ref,
+                  thresh_ref, removed_ref):
+    """One (TI, TJ) tile: does row blob i lose to any column blob j?"""
+    ci = coords_i_ref[:]                    # (TI, 3)
+    cj = coords_j_ref[:]                    # (TJ, 3)
+    ri = r_i_ref[:]                         # (TI, 1)
+    rj = r_j_ref[:]                         # (TJ, 1)
+    # squared distances via MXU: |a|^2 + |b|^2 - 2 a.b
+    d2 = (jnp.sum(ci * ci, axis=1, keepdims=True)
+          + jnp.sum(cj * cj, axis=1, keepdims=True).T
+          - 2.0 * jax.lax.dot_general(
+              ci, cj.T, (((1,), (0,)), ((), ())),
+              preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.HIGHEST))
+    d = jnp.sqrt(jnp.maximum(d2, 0.0))
+
+    r1 = ri                                  # (TI, 1) broadcast rows
+    r2 = rj.T                                # (1, TJ) broadcast cols
+    d_safe = jnp.maximum(d, 1e-12)
+    lens = (math.pi * (r1 + r2 - d_safe) ** 2
+            * (d_safe * d_safe + 2.0 * d_safe * (r1 + r2)
+               - 3.0 * (r1 - r2) ** 2) / (12.0 * d_safe))
+    rmin = jnp.minimum(r1 + 0.0 * r2, r2 + 0.0 * r1)
+    vol_min = (4.0 / 3.0 * math.pi) * rmin * rmin * rmin
+    frac = lens / jnp.maximum(vol_min, 1e-12)
+    frac = jnp.where(d <= jnp.abs(r1 - r2), 1.0, frac)
+    frac = jnp.where(d >= r1 + r2, 0.0, frac)
+
+    ii = idx_i_ref[:]                        # (TI, 1) global row ids
+    jj = idx_j_ref[:]                        # (TJ, 1)
+    pair_ok = ((valid_i_ref[:] > 0) & (valid_j_ref[:].T > 0)
+               & (ii != jj.T))
+    overlapping = pair_ok & (frac > thresh_ref[0, 0])
+    loses = overlapping & ((r2 > r1) | ((r2 == r1) & (ii < jj.T)))
+    tile_removed = jnp.any(loses, axis=1, keepdims=True)
+
+    j_tile = pl.program_id(1)
+
+    @pl.when(j_tile == 0)
+    def _():
+        removed_ref[:] = jnp.zeros_like(removed_ref)
+
+    removed_ref[:] = jnp.maximum(
+        removed_ref[:], tile_removed.astype(jnp.float32))
+
+
+def prune_overlap_pallas(
+        coords: jax.Array, sigmas: jax.Array, valid: jax.Array,
+        overlap_thresh: float, ndim: int = 3,
+        interpret: bool = False) -> jax.Array:
+    """Pallas-tiled sphere-overlap pruning; same contract as
+    ``peaks.prune_overlapping_blobs``."""
+    k = coords.shape[0]
+    tile = min(_TILE, k)
+    if k % tile:
+        pad = tile - k % tile
+        coords = jnp.pad(coords, ((0, pad), (0, 0)))
+        sigmas = jnp.pad(sigmas, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+    kp = coords.shape[0]
+    n_tiles = kp // tile
+
+    pos = coords.astype(jnp.float32)
+    r = (sigmas.astype(jnp.float32)
+         * jnp.sqrt(jnp.float32(ndim)))[:, None]
+    v = valid.astype(jnp.float32)[:, None]
+    idx = jnp.arange(kp, dtype=jnp.float32)[:, None]
+    thresh = jnp.full((1, 1), overlap_thresh, jnp.float32)
+
+    grid = (n_tiles, n_tiles)
+    row_spec = lambda w: pl.BlockSpec(
+        (tile, w), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    col_spec = lambda w: pl.BlockSpec(
+        (tile, w), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+
+    removed = pl.pallas_call(
+        _prune_kernel,
+        grid=grid,
+        in_specs=[
+            row_spec(3), row_spec(1), row_spec(1),
+            col_spec(3), col_spec(1), col_spec(1),
+            row_spec(1), col_spec(1),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kp, 1), jnp.float32),
+        interpret=interpret,
+    )(pos, r, v, pos, r, v, idx, idx, thresh)
+
+    removed_mask = removed[:k, 0] > 0.5
+    return valid[:k].astype(bool) & ~removed_mask

@@ -84,6 +84,19 @@ def _sphere_overlap_fraction(
     return frac
 
 
+def prune_overlapping_blobs_auto(
+        coords: jax.Array, sigmas: jax.Array, valid: jax.Array,
+        overlap_thresh: float, ndim: int = 3) -> jax.Array:
+    """Dispatch pruning to the Pallas kernel on TPU backends (tiled VMEM
+    pass, no K x K HBM matrices) and the jnp path elsewhere."""
+    if jax.default_backend() != "cpu":
+        from magellanmapper_tpu.ops import pallas_kernels
+        return pallas_kernels.prune_overlap_pallas(
+            coords, sigmas, valid, overlap_thresh, ndim)
+    return prune_overlapping_blobs(
+        coords, sigmas, valid, overlap_thresh, ndim)
+
+
 def prune_overlapping_blobs(
         coords: jax.Array, sigmas: jax.Array, valid: jax.Array,
         overlap_thresh: float, ndim: int = 3) -> jax.Array:
