@@ -375,3 +375,111 @@ def _disk(radius: int) -> np.ndarray:
     n = 2 * radius + 1
     grid = ((np.indices((n, n)) - radius) ** 2).sum(axis=0)
     return grid <= radius * radius
+
+
+def rotate_nd(
+        img: np.ndarray, angle: float, axis: int = 0, order: int = 1,
+        resize: bool = False) -> np.ndarray:
+    """Rotate plane-by-plane about an axis
+    (reference ``cv_nd.rotate_nd :81``)."""
+    axes = tuple(ax for ax in range(3) if ax != axis)[:2]
+    return scipy_ndi.rotate(
+        img, angle, axes=axes, reshape=resize, order=order,
+        mode="constant")
+
+
+def affine_nd(
+        img: np.ndarray, axis_along: int, axis_shift: int,
+        shift: Sequence[float], bounds: Sequence[Sequence[int]],
+        axis_attach: Optional[int] = None) -> np.ndarray:
+    """Graded shear within bounds (reference ``cv_nd.affine_nd :185``):
+    shifts ``axis_shift`` coordinates by amounts interpolated from
+    ``shift[0]`` to ``shift[1]`` along ``axis_along``."""
+    out = np.array(img)
+    start, stop = bounds[axis_along]
+    n = stop - start
+    shifts = np.linspace(shift[0], shift[1], max(n, 1))
+    for i, plane_i in enumerate(range(start, stop)):
+        sl = [slice(b[0], b[1]) for b in bounds]
+        sl[axis_along] = plane_i
+        region = out[tuple(sl)]
+        out[tuple(sl)] = np.roll(
+            region, int(round(shifts[i])),
+            axis=axis_shift - (1 if axis_shift > axis_along else 0))
+    return out
+
+
+def filter_adaptive_size(
+        mask: np.ndarray, fn_filter, filter_size: int,
+        min_filter_size: int = 1, min_size_ratio: float = 0.2,
+        name: str = "") -> Tuple[np.ndarray, int]:
+    """Apply a binary filter, shrinking the footprint until enough of the
+    region survives (reference ``cv_nd.filter_adaptive_size :986``)."""
+    size_orig = int(np.sum(mask))
+    out = mask
+    used = 0
+    for fsize in range(filter_size, min_filter_size - 1, -1):
+        selem = get_selem(mask.ndim)(fsize)
+        try:
+            cand = fn_filter(mask, structure=selem)
+        except TypeError:
+            cand = fn_filter(mask, selem)
+        if np.sum(cand) >= max(min_size_ratio * size_orig, 1):
+            out = cand
+            used = fsize
+            break
+    return out, used
+
+
+def interpolate_contours(
+        plane_a: np.ndarray, plane_b: np.ndarray, frac: float
+) -> np.ndarray:
+    """Interpolate between two binary planes via signed distance maps
+    (reference ``cv_nd.interpolate_contours :797``)."""
+    def sdf(mask):
+        mask = mask.astype(bool)
+        inside = distance_transform_edt(mask)
+        outside = distance_transform_edt(~mask)
+        return np.where(mask, -inside, outside)
+
+    blended = (1 - frac) * sdf(plane_a) + frac * sdf(plane_b)
+    return blended <= 0
+
+
+def interpolate_label_between_planes(
+        labels_img: np.ndarray, label_id: int, axis: int,
+        bounds: Sequence[int]) -> np.ndarray:
+    """Fill a label between two annotated planes by contour interpolation
+    (reference ``cv_nd.interpolate_label_between_planes :835``)."""
+    out = np.array(labels_img)
+    start, stop = int(bounds[0]), int(bounds[1])
+
+    def get_plane(arr, i):
+        sl = [slice(None)] * arr.ndim
+        sl[axis] = i
+        return arr[tuple(sl)]
+
+    plane_a = get_plane(labels_img, start) == label_id
+    plane_b = get_plane(labels_img, stop) == label_id
+    n = stop - start
+    for i in range(1, n):
+        frac = i / n
+        interp = interpolate_contours(plane_a, plane_b, frac)
+        dst = get_plane(out, start + i)
+        dst[interp] = label_id
+    return out
+
+
+def angle_indices(
+        shape: Sequence[int], offset: Sequence[int], angle_deg: float
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Indices along a line at an angle within a 2D plane
+    (reference ``cv_nd.angle_indices :1170``)."""
+    h, w = shape[:2]
+    theta = np.deg2rad(angle_deg)
+    length = int(np.hypot(h, w))
+    t = np.arange(length)
+    ys = (offset[0] + t * np.sin(theta)).astype(int)
+    xs = (offset[1] + t * np.cos(theta)).astype(int)
+    keep = (ys >= 0) & (ys < h) & (xs >= 0) & (xs < w)
+    return ys[keep], xs[keep]
