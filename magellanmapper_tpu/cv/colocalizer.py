@@ -172,3 +172,70 @@ def colocalize_blobs_match(
                     b2, b1, offset, size, thresh, scaling, inner_padding)
             matches_all[(int(c1), int(c2))] = BlobMatch(matches)
     return matches_all
+
+
+class StackColocalizer:
+    """Whole-stack match-based colocalization with block re-chunking
+    (reference ``colocalizer.StackColocalizer :221``).
+
+    Re-chunks the blob set with inner-padding halos, matches channel
+    pairs per block, then prunes cross-block duplicate matches keeping
+    the shortest distance (reference ``:296-335``).
+    """
+
+    @classmethod
+    def colocalize_stack(
+            cls, shape, blobs: np.ndarray, tol,
+            block_size: int = 128,
+            channels: Optional[Sequence[int]] = None) -> dict:
+        """Match-colocalize blobs across the whole stack.
+
+        Args:
+            shape: z,y,x stack shape.
+            blobs: all blobs (N x >=7).
+            tol: per-axis matching tolerance.
+            block_size: re-chunk edge length.
+            channels: channels to pair; defaults to all present.
+
+        Returns:
+            dict ``(chl1, chl2) -> BlobMatch`` with duplicates pruned.
+        """
+        from magellanmapper_tpu.cv import chunking as chunking_mod
+        if channels is None:
+            channels = np.unique(
+                blobs_mod.Blobs.get_blobs_channel(blobs)).astype(int)
+        tol = np.asarray(tol, float)
+        pad = np.ceil(tol).astype(int)
+        slices, offsets = chunking_mod.stack_splitter(
+            shape, (block_size,) * 3, pad)
+
+        collected: dict = {}
+        for coord in np.ndindex(*slices.shape):
+            sl = slices[coord]
+            lo = np.asarray([s.start for s in sl])
+            hi = np.asarray([s.stop for s in sl])
+            in_block = np.all(
+                (blobs[:, :3] >= lo - pad) & (blobs[:, :3] < hi + pad),
+                axis=1)
+            sub = blobs[in_block]
+            if len(sub) < 2:
+                continue
+            matches = colocalize_blobs_match(
+                sub, lo[::-1], (hi - lo)[::-1], tol, channels)
+            for pair, bm in matches.items():
+                if bm.df is None or not len(bm.df):
+                    continue
+                collected.setdefault(pair, []).append(bm.df)
+
+        out = {}
+        for pair, dfs in collected.items():
+            df = pd.concat(dfs, ignore_index=True)
+            # prune duplicate matches across blocks: same blob1 coords ->
+            # keep shortest distance (reference :296-335)
+            keys = df[BlobMatch.Cols.BLOB1.value].map(
+                lambda b: tuple(np.round(np.asarray(b)[:3]).astype(int)))
+            df = df.assign(_key=keys).sort_values(
+                BlobMatch.Cols.DIST.value)
+            df = df.drop_duplicates("_key").drop(columns="_key")
+            out[pair] = BlobMatch(df=df.reset_index(drop=True))
+        return out

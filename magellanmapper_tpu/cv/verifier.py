@@ -189,3 +189,55 @@ def verify_stack(
     false_neg = len(blobs_truth) - true_pos
     return calc_sens_ppv(
         len(blobs_truth), true_pos, false_pos, false_neg)
+
+
+def verify_rois(
+        rois, blobs: np.ndarray, blobs_truth: np.ndarray,
+        tol, output_db, exp_name: str,
+        channel: Optional[Sequence[int]] = None):
+    """Verify detections against per-ROI truth sets, persisting verified
+    flags to a database (reference ``verifier.verify_rois :292``).
+
+    Args:
+        rois: iterable of ROI records with offset_*/size_* fields (the
+            sqlite row format) in x,y,z.
+        blobs: detected blobs (absolute z,y,x coords).
+        blobs_truth: truth blobs.
+        tol: per-axis tolerance z,y,x.
+        output_db: ClrDB to write verified blobs into.
+        exp_name: experiment name for the output DB.
+        channel: channels to verify.
+
+    Returns:
+        ``(stats, fdbk)``: [pos, true_pos, false_pos] totals and a
+        summary string.
+    """
+    from magellanmapper_tpu.cv import blobs as blobs_mod_
+
+    thresh, scaling, inner_padding, *_ = setup_match_blobs_roi(tol)
+    exp_id = output_db.select_or_insert_experiment(exp_name)
+    channels = (np.unique(blobs_mod_.Blobs.get_blobs_channel(
+        blobs)).astype(int) if channel is None
+        else np.atleast_1d(channel))
+    total = np.zeros(3, dtype=int)
+    for roi in rois:
+        offset = (roi["offset_x"], roi["offset_y"], roi["offset_z"])
+        size = (roi["size_x"], roi["size_y"], roi["size_z"])
+        roi_id, _ = output_db.select_or_insert_roi(
+            exp_id, 0, offset, size)
+        for chl in channels:
+            b_chl = blobs_mod_.Blobs.blobs_in_channel(blobs, chl)
+            t_chl = blobs_mod_.Blobs.blobs_in_channel(blobs_truth, chl)
+            inner_plus, truth_plus, off_in, size_in, matches = \
+                match_blobs_roi(
+                    np.array(b_chl), np.array(t_chl), offset, size,
+                    thresh, scaling, inner_padding)
+            pos = len(truth_plus)
+            true_pos = int(np.sum(inner_plus[:, 4] == 1))
+            false_pos = int(np.sum(inner_plus[:, 4] == 0))
+            total += (pos, true_pos, false_pos)
+            if len(inner_plus):
+                output_db.insert_blobs(roi_id, inner_plus)
+    sens, ppv, msg = calc_sens_ppv(
+        total[0], total[1], total[2], total[0] - total[1])
+    return total, msg
