@@ -112,11 +112,12 @@ def conv1d(
         band = _band_matrix(
             np.asarray(kernel, np.float64).tobytes(), len(kernel), n, mode,
             cval)
-        # HIGHEST precision: fp32 accumulate on the MXU (default bf16 passes
-        # would cost ~1e-2 relative error, visible at the detection threshold)
+        # HIGH precision: 3-pass bf16 on the MXU. Measured on-chip: max abs
+        # error 1.5e-6 vs scipy (vs 3e-4 at DEFAULT, which is visible at
+        # the detection threshold; HIGHEST costs 2x for 8e-9).
         return jnp.tensordot(
             vol, jnp.asarray(band, dtype=vol.dtype), axes=((axis,), (0,)),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
         ).transpose(_restore_axis_perm(vol.ndim, axis))
     return _conv1d_taps(vol, kernel, axis, mode, cval)
 
