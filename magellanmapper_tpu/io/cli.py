@@ -24,47 +24,11 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from magellanmapper_tpu.settings import config as cfg
+from magellanmapper_tpu.settings.config import ProcessTypes, RegisterTypes
 from magellanmapper_tpu.settings.roi_prof import ROIProfile
 from magellanmapper_tpu.settings.atlas_prof import AtlasProfile
 
 _logger = logging.getLogger(__name__)
-
-
-class ProcessTypes(Enum):
-    """``--proc`` task vocabulary (reference ``config.ProcessTypes``)."""
-    IMPORT_ONLY = auto()
-    DETECT = auto()
-    DETECT_COLOC = auto()
-    COLOC_MATCH = auto()
-    CLASSIFY = auto()
-    LOAD = auto()
-    EXTRACT = auto()
-    EXPORT_ROIS = auto()
-    TRANSFORM = auto()
-    ANIMATED = auto()
-    EXPORT_BLOBS = auto()
-    EXPORT_PLANES = auto()
-    EXPORT_PLANES_CHANNELS = auto()
-    EXPORT_RAW = auto()
-    EXPORT_TIF = auto()
-    PREPROCESS = auto()
-
-
-class RegisterTypes(Enum):
-    """``--register`` task vocabulary (reference ``config.RegisterTypes``,
-    core subset)."""
-    SINGLE = auto()
-    GROUP = auto()
-    REGISTER_REV = auto()
-    IMPORT_ATLAS = auto()
-    EXPORT_REGIONS = auto()
-    NEW_ATLAS = auto()
-    MAKE_EDGE_IMAGES = auto()
-    MERGE_ATLAS_SEGS = auto()
-    VOL_STATS = auto()
-    MAKE_DENSITY_IMAGES = auto()
-    SMOOTHING_METRICS = auto()
-    LABELS_DIFF = auto()
 
 
 @dataclass
