@@ -197,4 +197,85 @@ class AtlasProfile(Profile):
             },
             # combine hemisphere values in regional stats
             "combinesides": {"combine_sides": True},
+
+            # ADMBA developing-mouse atlases (key curation values per
+            # reference atlas_prof.py:376-716)
+            "abae11pt5": {
+                "target_size": (345, 371, 158),
+                "labels_mirror": {RegKeys.ACTIVE: True, "start": 0.52},
+                "labels_edge": {RegKeys.ACTIVE: False, "start": None},
+                "log_atlas_thresh": True,
+                "atlas_threshold": 75,
+                "atlas_threshold_all": 5,
+                "rotate": {"rotation": ((-5, 1), (-1, 2), (-30, 0)),
+                           "resize": False},
+            },
+            "abae13pt5": {
+                "target_size": (552, 673, 340),
+                "labels_mirror": {RegKeys.ACTIVE: True, "start": 0.48},
+                "labels_edge": {RegKeys.ACTIVE: True, "start": -1},
+                "atlas_threshold": 55,
+                "rotate": {"rotation": ((-4, 1), (-2, 2)),
+                           "resize": False},
+                "crop_to_labels": True,
+            },
+            "abae15pt5": {
+                "target_size": (704, 982, 386),
+                "labels_mirror": {RegKeys.ACTIVE: True, "start": 0.49},
+                "labels_edge": {RegKeys.ACTIVE: True, "start": -1,
+                                "surr_size": 12, "smoothing_size": 5,
+                                RegKeys.MARKER_EROSION: 19},
+                "atlas_threshold": 45,
+                "rotate": {"rotation": ((-4, 1),), "resize": False},
+            },
+            "abae18pt5": {
+                "target_size": (278, 581, 370),
+                "labels_mirror": {RegKeys.ACTIVE: True, "start": 0.525},
+                "labels_edge": {RegKeys.ACTIVE: True, "start": 0.137,
+                                "surr_size": 12,
+                                RegKeys.MARKER_EROSION: 12,
+                                RegKeys.MARKER_EROSION_USE_MIN: True},
+                "rotate": {"rotation": ((1.5, 1), (2, 2)),
+                           "resize": False},
+                "smooth": 3,
+            },
+            "abap4": {
+                "target_size": (724, 403, 398),
+                "labels_mirror": {RegKeys.ACTIVE: True, "start": 0.487},
+                "labels_edge": {RegKeys.ACTIVE: True, "start": -1,
+                                "surr_size": 12,
+                                RegKeys.MARKER_EROSION: 8},
+            },
+            "abap14": {
+                "target_size": (390, 794, 469),
+                "labels_mirror": {RegKeys.ACTIVE: True, "start": 0.5},
+                "labels_edge": {RegKeys.ACTIVE: True, "start": -1},
+            },
+            "abap28": {
+                "target_size": (863, 480, 418),
+                "labels_mirror": {RegKeys.ACTIVE: True, "start": 0.48},
+                "labels_edge": {RegKeys.ACTIVE: True, "start": -1},
+            },
+            "abap56": {
+                "target_size": (528, 320, 456),
+                "labels_mirror": {RegKeys.ACTIVE: True, "start": 0.5},
+                "labels_edge": {RegKeys.ACTIVE: True, "start": -1},
+            },
+            "abaadult": {
+                "target_size": (528, 320, 456),
+                "labels_mirror": {RegKeys.ACTIVE: True, "start": 0.5},
+                "labels_edge": {RegKeys.ACTIVE: True, "start": -1},
+            },
+            "abaccfv3": {
+                "target_size": (528, 320, 456),
+                "labels_mirror": {RegKeys.ACTIVE: True, "start": None},
+                "labels_edge": {RegKeys.ACTIVE: False, "start": None},
+                "smooth": 2,
+            },
+            "whsrat": {
+                "target_size": (441, 1017, 383),
+                "labels_mirror": {RegKeys.ACTIVE: True, "start": None},
+                "labels_edge": {RegKeys.ACTIVE: False, "start": None},
+                "smooth": 4,
+            },
         }
