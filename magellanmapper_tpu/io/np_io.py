@@ -177,3 +177,72 @@ def find_scaling(
     """Per-axis scaling between a full image and a rescaled one
     (reference ``np_io.find_scaling``)."""
     return np.divide(scaled_shape[:3], img5d_shape[:3])
+
+
+def assign_blob_regions(
+        blobs: np.ndarray, labels_img: np.ndarray,
+        scaling: Sequence[float]) -> np.ndarray:
+    """Append/overwrite the blobs' region column from a labels image
+    (reference ``np_io.setup_images`` blob-to-region assignment
+    ``np_io.py:582-588``)."""
+    from magellanmapper_tpu.atlas import ontology
+    coords = ontology.scale_coords(
+        blobs[:, :3], scaling, labels_img.shape)
+    regions = ontology.get_label_ids_from_position(coords, labels_img)
+    if blobs.shape[1] >= 11:
+        blobs[:, 10] = regions
+        return blobs
+    return np.column_stack([blobs, regions])
+
+
+def setup_images(
+        filename: str,
+        series: Optional[int] = None,
+        offset: Optional[Sequence[int]] = None,
+        size: Optional[Sequence[int]] = None,
+        load_blobs: bool = True,
+        reg_suffixes: Optional[Dict[str, str]] = None,
+        labels_ref_path: Optional[str] = None) -> Dict:
+    """Master loader (reference ``np_io.setup_images :193``): main image
+    (memmap), blobs archive, registered atlas/labels by suffix, labels
+    reference, and blob region assignment.
+
+    Returns dict with ``img5d``, ``blobs`` (Blobs or None),
+    ``labels_img``, ``atlas_img``, ``labels_ref`` (loaded entries only).
+    """
+    from magellanmapper_tpu.cv import blobs as blobs_mod
+    from magellanmapper_tpu.io import sitk_io
+    from magellanmapper_tpu.utils import libmag
+
+    out: Dict = {}
+    img5d = read_file(filename, series, offset=offset, size=size)
+    out["img5d"] = img5d
+
+    if load_blobs:
+        blobs_path = libmag.combine_paths(filename, SUFFIX_BLOBS)
+        if os.path.exists(blobs_path):
+            out["blobs"] = blobs_mod.Blobs().load_blobs(blobs_path)
+
+    if reg_suffixes:
+        for key, name in reg_suffixes.items():
+            try:
+                img = sitk_io.load_registered_img(filename, name)
+            except (FileNotFoundError, ValueError):
+                continue
+            if key in ("annotation", "labels"):
+                out["labels_img"] = img
+            elif key == "atlas":
+                out["atlas_img"] = img
+
+    if labels_ref_path:
+        from magellanmapper_tpu.atlas import ontology
+        out["labels_ref"] = ontology.LabelsRef(labels_ref_path).load()
+
+    blobs = out.get("blobs")
+    labels_img = out.get("labels_img")
+    if blobs is not None and blobs.blobs is not None \
+            and labels_img is not None:
+        scaling = find_scaling(img5d.img.shape[1:4], labels_img.shape)
+        blobs.blobs = assign_blob_regions(
+            blobs.blobs, labels_img, scaling)
+    return out

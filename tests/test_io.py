@@ -82,3 +82,38 @@ class TestMedFormats:
         img5d = sitk_io.read_sitk_files(path)
         assert img5d.img.shape == (1, 6, 8, 8)
         np.testing.assert_allclose(img5d.resolutions, [[2.0, 1.0, 1.0]])
+
+
+class TestSetupImages:
+    def test_master_loader_with_blobs_and_labels(self, tmp_path, rng):
+        from magellanmapper_tpu.cv import blobs as blobs_mod
+        from magellanmapper_tpu.io import sitk_io
+        from magellanmapper_tpu.utils import libmag
+
+        base = str(tmp_path / "brain.npy")
+        vol = rng.random((1, 8, 16, 16)).astype(np.float32)
+        np_io.write_npy(base, vol)
+
+        # blobs archive
+        arr = blobs_mod.Blobs(np.array(
+            [[2.0, 4, 4, 3], [6, 12, 12, 3]])).format_blobs(0)
+        b = blobs_mod.Blobs(arr)
+        b.path = libmag.combine_paths(base, "blobs.npz")
+        b.save_archive()
+
+        # registered labels at half resolution
+        labels = np.zeros((4, 8, 8), np.int32)
+        labels[:2] = 5
+        labels[2:] = 9
+        sitk_io.write_reg_images(
+            {"annotation.mhd": sitk_io.MedImage(labels)}, base)
+
+        out = np_io.setup_images(
+            base, reg_suffixes={"annotation": "annotation.mhd"})
+        assert out["img5d"].img.shape == (1, 8, 16, 16)
+        assert "labels_img" in out
+        blobs_out = out["blobs"].blobs
+        assert blobs_out.shape[1] == 11
+        # blob at z=2 (scaled z=1) -> label 5; z=6 -> scaled 3 -> label 9
+        assert blobs_out[0, 10] == 5
+        assert blobs_out[1, 10] == 9
