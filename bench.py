@@ -42,12 +42,13 @@ def bench_tpu(vol, sigmas, threshold, overlap, capacity, iters=3):
     sig = tuple(sigmas)
     # warmup/compile
     raw, valid = detector.blob_log(x, sig, threshold, overlap, capacity)
-    raw.block_until_ready()
     n_blobs = int(np.asarray(valid).sum())
     t0 = time.perf_counter()
     for _ in range(iters):
         raw, valid = detector.blob_log(x, sig, threshold, overlap, capacity)
-    raw.block_until_ready()
+        # force a real device round trip per iteration: block_until_ready
+        # is unreliable over the remote-TPU tunnel
+        int(np.asarray(valid).sum())
     dt = (time.perf_counter() - t0) / iters
     return vol.size / dt / 1e6, n_blobs
 
