@@ -1,0 +1,81 @@
+"""Headless 3D visualization exports (reference ``magmap/gui/vis_3d.py``).
+
+The reference renders blobs and ROI surfaces interactively through
+Mayavi/VTK (C++). Headless equivalents: matplotlib 3D blob point clouds
+(``Vis3D`` points mode), maximum-intensity projections (the practical
+surface view), and isotropic visual scaling (``isotropic_vis``).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional, Sequence
+
+import numpy as np
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+from magellanmapper_tpu.plot import colormaps, plot_support  # noqa: E402
+
+_logger = logging.getLogger(__name__)
+
+
+def plot_blobs_3d(
+        blobs: np.ndarray, roi_shape: Sequence[int],
+        out_path: Optional[str] = None,
+        isotropic_vis: Sequence[float] = (1, 1, 1),
+        color_by_channel: bool = True):
+    """3D scatter of blobs sized by radius (Vis3D points mode)."""
+    fig = plt.figure(figsize=(7, 7))
+    ax = fig.add_subplot(projection="3d")
+    scale = np.asarray(isotropic_vis, float)
+    coords = blobs[:, :3] * scale
+    sizes = np.clip(blobs[:, 3] ** 2 * 4, 4, 200)
+    chls = blobs[:, 6].astype(int) if blobs.shape[1] > 6 else \
+        np.zeros(len(blobs), int)
+    for chl in np.unique(chls):
+        sel = chls == chl
+        color = colormaps.CHANNEL_COLORS[
+            chl % len(colormaps.CHANNEL_COLORS)]
+        ax.scatter(coords[sel, 2], coords[sel, 1], coords[sel, 0],
+                   s=sizes[sel], color=color, alpha=0.6,
+                   label=f"chl {chl}")
+    ax.set_xlim(0, roi_shape[2] * scale[2])
+    ax.set_ylim(0, roi_shape[1] * scale[1])
+    ax.set_zlim(0, roi_shape[0] * scale[0])
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    ax.set_zlabel("z")
+    ax.invert_zaxis()
+    ax.legend()
+    if out_path:
+        plot_support.save_fig(fig, out_path)
+    plt.close(fig)
+    return fig
+
+
+def plot_max_intensity_projections(
+        roi: np.ndarray, out_path: Optional[str] = None,
+        blobs: Optional[np.ndarray] = None):
+    """Orthogonal maximum-intensity projections (surface-view stand-in)."""
+    vol = roi if roi.ndim == 3 else roi.max(axis=-1)
+    fig, axes = plt.subplots(1, 3, figsize=(12, 4))
+    titles = ("xy (max over z)", "xz (max over y)", "yz (max over x)")
+    for ax, axis, title in zip(axes, (0, 1, 2), titles):
+        mip = vol.max(axis=axis)
+        ax.imshow(mip, cmap="magma")
+        ax.set_title(title, fontsize=9)
+        ax.axis("off")
+        if blobs is not None and len(blobs):
+            plane_coords = {
+                0: (blobs[:, 2], blobs[:, 1]),
+                1: (blobs[:, 2], blobs[:, 0]),
+                2: (blobs[:, 1], blobs[:, 0])}[axis]
+            ax.scatter(*plane_coords, s=8, facecolors="none",
+                       edgecolors="cyan", linewidths=0.6)
+    if out_path:
+        plot_support.save_fig(fig, out_path)
+    plt.close(fig)
+    return fig

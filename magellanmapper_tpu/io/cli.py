@@ -60,6 +60,8 @@ class RunConfig:
     verbose: bool = False
     labels: Dict[str, object] = field(default_factory=dict)
     groups: Optional[List[str]] = None
+    df_task: Optional[List[str]] = None
+    plot_2d_task: Optional[str] = None
 
     def get_roi_profile(self, channel: int) -> ROIProfile:
         if self.roi_profiles and channel < len(self.roi_profiles):
@@ -205,6 +207,8 @@ def process_cli_args(argv: Optional[Sequence[str]] = None) -> RunConfig:
     rc.groups = args.groups
     if args.truth_db:
         rc.truth_db = args.truth_db[-1]
+    rc.df_task = args.df
+    rc.plot_2d_task = args.plot_2d
     return rc
 
 
@@ -217,6 +221,10 @@ def process_tasks(rc: RunConfig) -> Optional[object]:
     priority: register > grid search > proc."""
     if rc.register_type is not None:
         return _process_register(rc)
+    if rc.plot_2d_task:
+        return _plot_2d(rc)
+    if rc.df_task:
+        return _df_task(rc)
     if rc.grid_search:
         return _grid_search(rc)
     if rc.proc is not None:
@@ -397,6 +405,51 @@ def _vol_stats(rc: RunConfig):
     out_csv = (rc.prefix or os.path.splitext(path)[0]) + "_vols.csv"
     df.to_csv(out_csv, index=False)
     return df
+
+
+def _df_task(rc: RunConfig):
+    """Dispatch a --df task over CSV inputs (reference df_io.main)."""
+    import pandas as pd
+    from magellanmapper_tpu.io import df_io
+    task = _parse_enum(df_io.DFTasks, rc.df_task[0])
+    paths = rc.df_task[1:] or rc.filenames
+    if task is df_io.DFTasks.MERGE_CSVS:
+        return df_io.merge_csvs(paths, rc.prefix)
+    if task is df_io.DFTasks.MELT_COLS:
+        df = pd.read_csv(paths[0])
+        id_cols = str(rc.labels.get("id_cols", "Region")).split(",")
+        melt_cols = str(rc.labels.get("melt_cols", "")).split(",")
+        out = df_io.melt_cols(df, id_cols, melt_cols)
+        if rc.prefix:
+            df_io.data_frames_to_csv(out, rc.prefix)
+        return out
+    if task is df_io.DFTasks.ZSCORE:
+        df = pd.read_csv(paths[0])
+        group_cols = str(rc.labels.get("group_cols", "Region")).split(",")
+        metric_cols = str(rc.labels.get("metric_cols", "Volume")).split(",")
+        out = df_io.zscore_df(df, group_cols, metric_cols)
+        if rc.prefix:
+            df_io.data_frames_to_csv(out, rc.prefix)
+        return out
+    raise SystemExit(f"--df {task.name.lower()} is not supported yet")
+
+
+def _plot_2d(rc: RunConfig):
+    """Dispatch a --plot_2d task over a CSV input."""
+    import pandas as pd
+    from magellanmapper_tpu.plot import plot_2d
+    task = _parse_enum(plot_2d.Plot2DTypes, rc.plot_2d_task)
+    df = pd.read_csv(rc.filenames[0])
+    out_path = rc.prefix or (rc.filenames[0] + ".png")
+    if task is plot_2d.Plot2DTypes.ROC_CURVE:
+        return plot_2d.plot_roc(df, out_path)
+    x_col = str(rc.labels.get("x_col", df.columns[0]))
+    y_col = str(rc.labels.get("y_col", df.columns[1]))
+    if task is plot_2d.Plot2DTypes.BAR_PLOT:
+        return plot_2d.plot_bars(df, x_col, y_col, out_path)
+    if task is plot_2d.Plot2DTypes.LINE_PLOT:
+        return plot_2d.plot_lines(df, x_col, [y_col], out_path)
+    return plot_2d.plot_scatter(df, x_col, y_col, path=out_path)
 
 
 def _grid_search(rc: RunConfig):

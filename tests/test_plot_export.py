@@ -115,3 +115,36 @@ class TestCloudMeta:
         meta2 = LabelsMeta(str(tmp_path / "atlas.mhd")).load()
         assert meta2.path_ref == "/refs/aba.json"
         assert meta2.region_ids_orig == [1, 2, 3]
+
+
+class TestVis3D:
+    def test_blob_scatter_and_mips(self, tmp_path, rng):
+        from magellanmapper_tpu.gui import vis_3d
+        roi = rng.random((8, 24, 24)).astype(np.float32)
+        blobs = np.array([[2.0, 5, 5, 3, -1, -1, 0],
+                          [6.0, 18, 12, 2, -1, -1, 1]])
+        p1 = str(tmp_path / "blobs3d.png")
+        p2 = str(tmp_path / "mips.png")
+        vis_3d.plot_blobs_3d(blobs, roi.shape, p1)
+        vis_3d.plot_max_intensity_projections(roi, p2, blobs)
+        assert os.path.exists(p1) and os.path.exists(p2)
+
+
+class TestCliDfPlot:
+    def test_df_merge_and_plot2d(self, tmp_path):
+        from magellanmapper_tpu.io import cli
+        p1 = tmp_path / "a.csv"
+        p2 = tmp_path / "b.csv"
+        pd.DataFrame({"Region": [1], "Volume": [2.0]}).to_csv(
+            p1, index=False)
+        pd.DataFrame({"Region": [2], "Volume": [3.0]}).to_csv(
+            p2, index=False)
+        out = cli.main([
+            "--df", "merge_csvs", str(p1), str(p2),
+            "--prefix", str(tmp_path / "merged.csv")])
+        assert len(out) == 2
+        fig = cli.main([
+            "--img", str(p1), "--plot_2d", "bar_plot",
+            "--labels", "x_col=Region", "y_col=Volume",
+            "--prefix", str(tmp_path / "bars.png")])
+        assert os.path.exists(str(tmp_path / "bars.png"))
