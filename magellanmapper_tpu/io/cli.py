@@ -322,6 +322,13 @@ def _detect(rc: RunConfig, coloc: bool = False):
     blobs.basename = os.path.basename(base)
     blobs.path = libmag.combine_paths(base, "blobs.npz")
     blobs.save_archive()
+    # stage timing CSV (reference stack_detection_times.csv,
+    # stack_detect.py:500-515)
+    import pandas as pd
+    pd.DataFrame([{k: v for k, v in timing.items()
+                   if isinstance(v, (int, float))}]).to_csv(
+        libmag.combine_paths(base, "stack_detection_times.csv"),
+        index=False)
     _logger.info(
         "Detected %d blobs in %.2fs (detection %.2fs, pruning %.2fs)",
         len(blobs), timing.get("Total_stack", 0),
