@@ -279,7 +279,7 @@ def detect_blobs_blocks(
             )
 
         small_volume = np.any(np.asarray(shape) < block_shape)
-        for i0 in range(0, len(coords_list), batch_size):
+        def gather_batch(i0):
             batch_coords = coords_list[i0:i0 + batch_size]
             starts = [
                 _window_for_block(
@@ -306,13 +306,35 @@ def detect_blobs_blocks(
                     np.asarray(chan_img) if not isinstance(
                         chan_img, np.ndarray) else chan_img,
                     np.asarray(starts), block_shape)
-            batch = jnp.asarray(stacked)
-            raw_b, valid_b = _detect_batch(
-                batch, sigmas, float(settings["detection_threshold"]),
-                float(settings["overlap"]), capacity, denoise_shape, prep)
-            raw_b = np.asarray(raw_b)
-            valid_b = np.asarray(valid_b)
+            return batch_coords, starts, stacked
 
+        def dispatch(i0):
+            batch_coords, starts, stacked = gather_batch(i0)
+            raw_b, valid_b = _detect_batch(
+                jnp.asarray(stacked), sigmas,
+                float(settings["detection_threshold"]),
+                float(settings["overlap"]), capacity, denoise_shape, prep)
+            return batch_coords, starts, raw_b, valid_b
+
+        # one-deep software pipeline: dispatch batch i+1 before pulling
+        # batch i's results so the host gather/unpack overlaps device
+        # compute (JAX dispatch is async)
+        batch_starts_idx = list(range(0, len(coords_list), batch_size))
+        in_flight = dispatch(batch_starts_idx[0]) if batch_starts_idx \
+            else None
+        results = []
+        for next_i in batch_starts_idx[1:] + [None]:
+            batch_coords, starts, raw_b, valid_b = in_flight
+            if next_i is not None:
+                nxt = dispatch(next_i)
+            else:
+                nxt = None
+            results.append(
+                (batch_coords, starts, np.asarray(raw_b),
+                 np.asarray(valid_b)))
+            in_flight = nxt
+
+        for batch_coords, starts, raw_b, valid_b in results:
             for bi, coord in enumerate(batch_coords):
                 n_valid = int(valid_b[bi].sum())
                 if n_valid >= capacity:
