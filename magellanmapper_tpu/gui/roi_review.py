@@ -19,7 +19,6 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 from matplotlib import patches  # noqa: E402
 
-from magellanmapper_tpu.cv import blobs as blobs_mod  # noqa: E402
 from magellanmapper_tpu.plot import plot_support  # noqa: E402
 
 _logger = logging.getLogger(__name__)

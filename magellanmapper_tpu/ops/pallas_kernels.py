@@ -14,7 +14,6 @@ used in CPU tests).
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

@@ -10,7 +10,6 @@ cross-device duplicates and no pruning pass.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional, Sequence, Tuple
 
