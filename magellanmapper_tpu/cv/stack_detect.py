@@ -299,6 +299,15 @@ def detect_blobs_blocks(
                     win = np.pad(win, pads, mode="symmetric")
                     windows.append(np.asarray(win, np.float32))
                 stacked = np.stack(windows)
+            elif chan_img.dtype in (np.uint8, np.uint16, np.int16):
+                # ship integer volumes in their native dtype (halves
+                # host->device bytes); the device kernel casts to f32
+                bz, by, bx = (int(v) for v in block_shape)
+                stacked = np.empty(
+                    (len(starts), bz, by, bx), chan_img.dtype)
+                for bi, (z0, y0, x0) in enumerate(starts):
+                    stacked[bi] = chan_img[
+                        z0:z0 + bz, y0:y0 + by, x0:x0 + bx]
             else:
                 # native threaded gather+cast from the (memmapped) volume
                 from magellanmapper_tpu import native

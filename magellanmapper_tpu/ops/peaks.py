@@ -83,8 +83,12 @@ def _sparse_top_k(flat_vals: jax.Array, capacity: int):
     descending order.
     """
     n = flat_vals.shape[0]
-    if n % _GROUP or n // _GROUP < capacity:
-        vals, idx = jax.lax.top_k(flat_vals, capacity)
+    if n % _GROUP:
+        flat_vals = jnp.pad(
+            flat_vals, (0, _GROUP - n % _GROUP),
+            constant_values=-jnp.inf)
+    if flat_vals.shape[0] // _GROUP < capacity:
+        vals, idx = jax.lax.top_k(flat_vals[:n], capacity)
         return vals, idx
     rows = flat_vals.reshape(-1, _GROUP)
     g = rows.shape[0]

@@ -154,3 +154,46 @@ class TestExportRegions:
         df = export_regions.export_region_ids(ref, out)
         assert os.path.exists(out)
         assert 1 in set(df["Region"])
+
+
+class TestCLIRegister:
+    def test_register_single_cli(self, tmp_path):
+        import jax.numpy as jnp
+        from magellanmapper_tpu.io import sitk_io
+        from magellanmapper_tpu.atlas import transform
+
+        # fixed sample volume saved as npy
+        zz, yy, xx = np.indices((20, 24, 24)).astype(np.float32)
+        fixed = np.exp(-(((zz-10)/7)**2 + ((yy-12)/9)**2
+                         + ((xx-12)/9)**2) * 2).astype(np.float32)
+        base = str(tmp_path / "samp.npy")
+        np_io.write_npy(base, fixed[None])
+
+        # moving atlas dir: shifted copy + labels
+        moving = np.asarray(transform.resample(
+            jnp.asarray(fixed), {"t": jnp.asarray([-2.0, 0, 0])},
+            "translation", fixed.shape))
+        labels = (moving > 0.3).astype(np.int32) * 4
+        atlas_dir = tmp_path / "atlas"
+        atlas_dir.mkdir()
+        sitk_io.write_med_img(
+            str(atlas_dir / "atlasVolume.mhd"), sitk_io.MedImage(moving))
+        sitk_io.write_med_img(
+            str(atlas_dir / "annotation.mhd"), sitk_io.MedImage(labels))
+
+        out = cli.main([
+            "--img", base, str(atlas_dir),
+            "--register", "single",
+            "--atlas_profile", "ncc,noaffine,nobspline,smalliter",
+            "--prefix", str(tmp_path / "reg")])
+        assert out["metrics"]["DSC_atlas_sample"] > 0.7
+        assert os.path.exists(str(tmp_path / "reg_annotation.mhd"))
+
+    def test_subimg_detection(self, tmp_path):
+        base, centers = make_volume(tmp_path, shape=(24, 48, 48))
+        out = cli.main([
+            "--img", base, "--proc", "detect",
+            "--subimg_offset", "8,8,4", "--subimg_size", "32,32,16",
+            "--roi_profile", "4xnuc"])
+        arr = out.blobs
+        assert arr is not None
