@@ -87,7 +87,8 @@ def register_stage(
         fixed: jnp.ndarray, moving: jnp.ndarray, stage: Dict,
         init_params: Optional[Dict] = None,
         pre_affine: Optional[Dict] = None,
-        iters_scale: float = 1.0) -> Tuple[Dict, float]:
+        iters_scale: float = 1.0,
+        kind: Optional[str] = None) -> Tuple[Dict, float]:
     """Run one registration stage (translation / affine / bspline).
 
     Args:
@@ -104,10 +105,12 @@ def register_stage(
     Returns:
         ``(params, final_loss)``.
     """
-    kind = stage["map_name"]
+    kind = kind or stage.get("map_name")
+    if kind is None:
+        raise ValueError("stage needs map_name or an explicit kind")
     metric = stage.get("metric_similarity", "AdvancedMattesMutualInformation")
     levels = int(stage.get("num_resolutions", 4) or 4)
-    max_iter = max(1, int(stage["max_iter"] * iters_scale))
+    max_iter = max(1, int(stage.get("max_iter", 512) * iters_scale))
 
     fixed = jnp.asarray(fixed, jnp.float32)
     moving = jnp.asarray(moving, jnp.float32)
@@ -214,19 +217,19 @@ def register_duo(
     for kind, stage in stages_cfg:
         if kind == "translation":
             params, loss = register_stage(
-                fixed, moving, stage, iters_scale=iters_scale)
+                fixed, moving, stage, iters_scale=iters_scale, kind=kind)
             init_affine = {"W": jnp.zeros((3, 3)), "t": params["t"]}
         elif kind == "affine":
             params, loss = register_stage(
                 fixed, moving, stage, init_params=init_affine,
-                iters_scale=iters_scale)
+                iters_scale=iters_scale, kind=kind)
             pre_affine = params
         else:
             if pre_affine is None and init_affine is not None:
                 pre_affine = init_affine
             params, loss = register_stage(
                 fixed, moving, stage, pre_affine=pre_affine,
-                iters_scale=iters_scale)
+                iters_scale=iters_scale, kind=kind)
             gsv = stage.get("grid_space_voxels") or 50
             bspline_spacing = (float(gsv),) * 3
         _logger.info("stage %s done, loss %.5f", kind, loss)
