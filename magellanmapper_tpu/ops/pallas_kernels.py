@@ -120,3 +120,64 @@ def prune_overlap_pallas(
 
     removed_mask = removed[:k, 0] > 0.5
     return valid[:k].astype(bool) & ~removed_mask
+
+
+# ---------------------------------------------------------------------------
+# candidate extraction: in-VMEM iterated argmax over lane groups
+
+
+#: rows per extraction tile and rounds (peaks per 128-lane group)
+_XT_ROWS = 512
+_XT_ROUNDS = 8
+
+
+def _extract_kernel(vals_ref, out_vals_ref, out_idx_ref):
+    """Per tile: top-_XT_ROUNDS values+lanes per row, found by iterated
+    masked argmax entirely in VMEM (the XLA formulation re-reads the full
+    array from HBM every round)."""
+    work = vals_ref[:]                              # (ROWS, 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, work.shape, 1)
+    for r in range(_XT_ROUNDS):
+        m = jnp.max(work, axis=1)
+        a = jnp.argmax(work, axis=1).astype(jnp.int32)
+        out_vals_ref[:, r] = m
+        out_idx_ref[:, r] = a
+        work = jnp.where(lane == a[:, None], -jnp.inf, work)
+
+
+def extract_candidates_pallas(
+        masked_vals: jax.Array, interpret: bool = False):
+    """Harvest up to ``_XT_ROUNDS`` peak candidates per 128-lane group.
+
+    Args:
+        masked_vals: ``(G, 128)`` float32 rows (-inf at non-peaks).
+
+    Returns:
+        ``(vals, lanes)``: each ``(G, _XT_ROUNDS)`` — per-group candidate
+        values (descending per group) and lane offsets.
+    """
+    g = masked_vals.shape[0]
+    rows = min(_XT_ROWS, g)
+    if g % rows:
+        pad = rows - g % rows
+        masked_vals = jnp.pad(
+            masked_vals, ((0, pad), (0, 0)), constant_values=-jnp.inf)
+    gp = masked_vals.shape[0]
+    vals, lanes = pl.pallas_call(
+        _extract_kernel,
+        grid=(gp // rows,),
+        in_specs=[pl.BlockSpec(
+            (rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((rows, _XT_ROUNDS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, _XT_ROUNDS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((gp, _XT_ROUNDS), jnp.float32),
+            jax.ShapeDtypeStruct((gp, _XT_ROUNDS), jnp.int32),
+        ),
+        interpret=interpret,
+    )(masked_vals)
+    return vals[:g], lanes[:g]

@@ -92,19 +92,26 @@ def _sparse_top_k(flat_vals: jax.Array, capacity: int):
         return vals, idx
     rows = flat_vals.reshape(-1, _GROUP)
     g = rows.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (g, _GROUP), 1)
     base = jnp.arange(g, dtype=jnp.int32) * _GROUP
-    cand_vals = []
-    cand_idx = []
-    work = rows
-    for _ in range(_ROUNDS):
-        m = jnp.max(work, axis=1)
-        a = jnp.argmax(work, axis=1).astype(jnp.int32)
-        cand_vals.append(m)
-        cand_idx.append(base + a)
-        work = jnp.where(lane == a[:, None], -jnp.inf, work)
-    vals = jnp.concatenate(cand_vals)
-    idxs = jnp.concatenate(cand_idx)
+    if jax.default_backend() != "cpu":
+        # Pallas: all rounds in VMEM, one pass over the cube
+        from magellanmapper_tpu.ops import pallas_kernels
+        cand_v, cand_l = pallas_kernels.extract_candidates_pallas(rows)
+        vals = cand_v.T.reshape(-1)
+        idxs = (base[None, :] + cand_l.T).reshape(-1)
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (g, _GROUP), 1)
+        cand_vals = []
+        cand_idx = []
+        work = rows
+        for _ in range(_ROUNDS):
+            m = jnp.max(work, axis=1)
+            a = jnp.argmax(work, axis=1).astype(jnp.int32)
+            cand_vals.append(m)
+            cand_idx.append(base + a)
+            work = jnp.where(lane == a[:, None], -jnp.inf, work)
+        vals = jnp.concatenate(cand_vals)
+        idxs = jnp.concatenate(cand_idx)
     top_vals, pos = jax.lax.top_k(vals, capacity)
     return top_vals, idxs[pos]
 
