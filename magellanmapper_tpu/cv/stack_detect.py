@@ -471,6 +471,7 @@ def detect_blobs_stack(
         profiles,
         resolutions: Sequence[float],
         channels: Optional[Sequence[int]] = None,
+        classifier_model=None,
         **kwargs,
 ) -> Tuple[Optional[blobs_mod.Blobs], Dict[str, float]]:
     """Detect blobs across all channels, grouping channels whose profiles
@@ -519,7 +520,14 @@ def detect_blobs_stack(
             if isinstance(v, (int, float)):
                 timing[k] = timing.get(k, 0.0) + v
 
-    blobs = blobs_mod.Blobs(
-        np.vstack(all_blobs) if all_blobs else None)
+    merged = np.vstack(all_blobs) if all_blobs else None
+    if merged is not None and classifier_model is not None:
+        # post-detection patch classification into the confirmed column
+        # (reference detect_blobs_stack classifier step, :600-607)
+        from magellanmapper_tpu.cv import classifier as classifier_mod
+        vol = image[..., 0] if image.ndim > 3 else image
+        merged = classifier_mod.classify_whole_image(
+            classifier_model, np.asarray(vol), merged)
+    blobs = blobs_mod.Blobs(merged)
     blobs.resolutions = np.atleast_2d(np.asarray(resolutions, float))
     return blobs, timing
