@@ -320,6 +320,33 @@ def _detect(rc: RunConfig, coloc: bool = False):
     # save blobs archive next to the image
     base = rc.prefix or rc.filenames[0]
     blobs.basename = os.path.basename(base)
+    if rc.truth_db:
+        # verify detections against a truth database
+        # (reference truth-DB modes, cli.py:907 setup_dbs)
+        from magellanmapper_tpu.cv import detector as det_mod
+        from magellanmapper_tpu.io import sqlite as sqlite_mod
+        truth_db = sqlite_mod.load_truth_db(rc.truth_db)
+        truth = truth_db.select_blobs_confirmed(1)
+        if len(truth):
+            from magellanmapper_tpu.cv import verifier as verifier_mod
+            tol = det_mod.calc_overlap(res) * np.asarray(
+                rc.roi_profile["verify_tol_factor"])
+            sens, ppv, msg = verifier_mod.verify_stack(
+                blobs.blobs, truth, tol)
+            _logger.info("verification vs truth DB:\n%s", msg)
+            import pandas as pd
+            pd.DataFrame([{"sens": sens, "ppv": ppv}]).to_csv(
+                libmag.combine_paths(base, "verify.csv"), index=False)
+        truth_db.close()
+
+    if rc.save_subimg and img5d.subimg_offset is not None:
+        # persist the extracted sub-image (reference --save_subimg)
+        from magellanmapper_tpu.io import importer as importer_mod
+        sub_name = importer_mod.make_subimage_name(
+            base, img5d.subimg_offset[::-1], img5d.subimg_size[::-1])
+        np.save(libmag.combine_paths(sub_name, "subimg.npy"),
+                np.asarray(img5d.img[0]))
+
     blobs.path = libmag.combine_paths(base, "blobs.npz")
     blobs.save_archive()
     # stage timing CSV (reference stack_detection_times.csv,

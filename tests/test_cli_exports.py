@@ -197,3 +197,27 @@ class TestCLIRegister:
             "--roi_profile", "4xnuc"])
         arr = out.blobs
         assert arr is not None
+
+
+class TestCLITruthDB:
+    def test_detect_with_truth_verification(self, tmp_path):
+        from magellanmapper_tpu.io import sqlite
+        base, centers = make_volume(tmp_path, n=10, seed=3)
+        # truth DB from planted centers
+        db = sqlite.load_db(str(tmp_path / "truth.db"))
+        exp = db.select_or_insert_experiment("samp")
+        roi_id, _ = db.select_or_insert_roi(exp, 0, (0, 0, 0),
+                                            (40, 40, 24))
+        truth = np.column_stack([
+            centers, np.full(len(centers), 3.0),
+            np.ones(len(centers)), np.ones(len(centers)),
+            np.zeros(len(centers))])
+        db.insert_blobs(roi_id, truth)
+        db.close()
+        out = cli.main([
+            "--img", base, "--proc", "detect",
+            "--roi_profile", "4xnuc",
+            "--truth_db", str(tmp_path / "truth.db")])
+        assert os.path.exists(str(tmp_path / "samp_verify.csv"))
+        df = pd.read_csv(str(tmp_path / "samp_verify.csv"))
+        assert df["sens"][0] > 0.5
