@@ -246,3 +246,16 @@ def setup_images(
         blobs.blobs = assign_blob_regions(
             blobs.blobs, labels_img, scaling)
     return out
+
+
+def read_tif(path: str, lazy: bool = True):
+    """Open a TIFF lazily when possible (reference ``np_io.read_tif
+    :646``); falls back to an eager read for compressed/multi-strip
+    files."""
+    from magellanmapper_tpu.io import tiff as tiff_mod
+    if lazy:
+        try:
+            return tiff_mod.LazyTiffStack(path)
+        except ValueError:
+            pass
+    return tiff_mod.read_tiff(path)

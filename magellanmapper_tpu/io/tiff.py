@@ -167,3 +167,91 @@ def write_tiff(path: str, arr: np.ndarray) -> None:
             f.write(struct.pack("<I", ifd_off))
             f.seek(end)
             prev_ifd_link = next_link_pos
+
+
+class LazyTiffStack:
+    """Lazy multi-page TIFF: pages map on demand via ``np.memmap``.
+
+    Covers the reference's lazy TIF loading (``magmap/io/np_io.py:646``
+    ``read_tif`` memmap/zarr path) for uncompressed stacks: no pixel
+    data is read until a page is indexed.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._offsets: List[int] = []
+        self._shape_page: Optional[Tuple[int, int]] = None
+        self.dtype: Optional[np.dtype] = None
+        self._scan()
+
+    def _scan(self):
+        with open(self.path, "rb") as f:
+            hdr = f.read(8)
+            bo = {"II": "<", "MM": ">"}[hdr[:2].decode("ascii")]
+            magic = struct.unpack(bo + "H", hdr[2:4])[0]
+            if magic == 43:
+                f.seek(8)
+                ifd_off = struct.unpack(bo + "Q", f.read(8))[0]
+                big = True
+            else:
+                ifd_off = struct.unpack(bo + "I", hdr[4:8])[0]
+                big = False
+            while ifd_off:
+                f.seek(ifd_off)
+                tags, ifd_off = _read_ifd_entries(f, bo, big)
+                if _TAG_WIDTH not in tags:
+                    continue
+                comp = tags.get(_TAG_COMPRESSION, [1])[0]
+                offsets = tags[_TAG_STRIP_OFFSETS]
+                if comp != 1 or len(offsets) != 1:
+                    raise ValueError(
+                        "LazyTiffStack requires uncompressed single-strip "
+                        f"pages: {self.path}")
+                w = tags[_TAG_WIDTH][0]
+                h = tags[_TAG_HEIGHT][0]
+                bits = tags.get(_TAG_BITS, [8])[0]
+                sfmt = tags.get(_TAG_SAMPLE_FORMAT, [1])[0]
+                dtype = np.dtype({
+                    (1, 8): np.uint8, (1, 16): np.uint16,
+                    (1, 32): np.uint32, (2, 8): np.int8,
+                    (2, 16): np.int16, (2, 32): np.int32,
+                    (3, 32): np.float32, (3, 64): np.float64,
+                }[(sfmt, bits)]).newbyteorder(bo)
+                if self._shape_page is None:
+                    self._shape_page = (h, w)
+                    self.dtype = dtype
+                elif self._shape_page != (h, w) or self.dtype != dtype:
+                    raise ValueError("inconsistent TIFF pages")
+                self._offsets.append(offsets[0])
+
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        return (len(self._offsets),) + self._shape_page
+
+    def __len__(self):
+        return len(self._offsets)
+
+    def page(self, i: int) -> np.ndarray:
+        """Memory-map one page (no copy)."""
+        h, w = self._shape_page
+        return np.memmap(
+            self.path, dtype=self.dtype, mode="r",
+            offset=self._offsets[i], shape=(h, w))
+
+    def __getitem__(self, key):
+        if isinstance(key, int):
+            return self.page(key)
+        if isinstance(key, slice):
+            return np.stack(
+                [self.page(i) for i in range(*key.indices(len(self)))])
+        # (z, y, x)-style tuple: map z pages, slice the rest
+        z = key[0]
+        rest = key[1:]
+        if isinstance(z, int):
+            return self.page(z)[rest]
+        return np.stack(
+            [self.page(i)[rest]
+             for i in range(*z.indices(len(self)))])
+
+    def asarray(self) -> np.ndarray:
+        return self[:]

@@ -69,3 +69,18 @@ class TestImporter:
         name = importer.make_subimage_name(
             "/d/brain.npy", (10, 20, 30), (40, 50, 60))
         assert name == "/d/brain_(10,20,30)x(40,50,60).npy"
+
+
+class TestLazyTiff:
+    def test_lazy_pages_match_eager(self, tmp_path, rng):
+        from magellanmapper_tpu.io import np_io
+        arr = rng.integers(0, 60000, (6, 20, 24)).astype(np.uint16)
+        path = str(tmp_path / "lazy.tif")
+        tiff.write_tiff(path, arr)
+        stack = np_io.read_tif(path)
+        assert stack.shape == (6, 20, 24)
+        np.testing.assert_array_equal(stack[2], arr[2])
+        np.testing.assert_array_equal(stack[1:4], arr[1:4])
+        np.testing.assert_array_equal(
+            stack[2:5, 5:10, 0:7], arr[2:5, 5:10, 0:7])
+        assert isinstance(stack.page(0), np.memmap)
