@@ -81,3 +81,27 @@ class TestShardedDetection:
         # shard 2's appended halo = shard 3's first 2 planes
         np.testing.assert_array_equal(
             out[2, -2:], vol[3 * shard_z:3 * shard_z + 2])
+
+
+class TestDistributedBlocks:
+    def test_sharded_blocks_match_single(self):
+        """Block batches sharded over 8 devices must match the
+        single-device whole-stack result."""
+        from magellanmapper_tpu.cv import ref_detect, stack_detect
+        from magellanmapper_tpu.parallel import distributed
+        vol, centers = _nuclei(21, (40, 60, 60), 30)
+        prof = ROIProfile()
+        prof["min_sigma_factor"] = 2.0
+        prof["max_sigma_factor"] = 4.0
+        prof["num_sigma"] = 5
+        prof["segment_size"] = 30
+        prof["denoise_size"] = None
+        prof["max_blobs_per_block"] = 512
+        m = mesh_mod.make_mesh(8, dp=8, sp=1)
+        sharded, t1 = distributed.detect_blobs_blocks_sharded(
+            vol, prof, (1.0, 1.0, 1.0), mesh=m)
+        single, t2 = stack_detect.detect_blobs_blocks(
+            vol, prof, (1.0, 1.0, 1.0), preprocess=False)
+        n_match = ref_detect.match_blob_sets(
+            sharded[:, :3], single[:, :3], (2, 2, 2))
+        assert n_match >= 0.97 * max(len(sharded), len(single))
