@@ -181,3 +181,166 @@ def extract_candidates_pallas(
         interpret=interpret,
     )(masked_vals)
     return vals[:g], lanes[:g]
+
+
+# ---------------------------------------------------------------------------
+# fused peak finding: maxfilter + threshold + candidate harvest, one pass
+
+
+def _slab_max3(slab):
+    """Max over the 3^3 neighborhood within a (S, Y, X) slab, constant-0
+    boundaries on every axis (scale included)."""
+    out = slab
+    for ax in range(3):
+        n = out.shape[ax]
+        pad = [(0, 0)] * 3
+        pad[ax] = (1, 1)
+        padded = jnp.pad(out, pad, constant_values=0.0)
+        lo = jax.lax.slice_in_dim(padded, 0, n, axis=ax)
+        mid = jax.lax.slice_in_dim(padded, 1, n + 1, axis=ax)
+        hi = jax.lax.slice_in_dim(padded, 2, n + 2, axis=ax)
+        out = jnp.maximum(jnp.maximum(lo, mid), hi)
+    return out
+
+
+def _peak_candidates_kernel(
+        cur_ref, thresh_ref, vals_ref, lanes_ref,
+        cur_slab, dma_sem, r_prev, m_prev, cond1_prev,
+        rounds: int, pad_x: int):
+    """Rolling-window stencil: step i ingests plane i, emits plane i-1.
+
+    VMEM scratch carries the previous plane's responses, its
+    neighborhood-max slab, and an int8 partial peak condition
+    (``r_{p} >= max(M_{p-1}, M_p)``), so each cube plane is read exactly
+    once and only ~4.5 MB of window state persists.
+    """
+    i = pl.program_id(0)
+    nz = pl.num_programs(0)  # == Z + 1
+    z_total = nz - 1
+    # manual single-buffered DMA of plane min(i, Z-1) from HBM
+    zi = jnp.minimum(i, z_total - 1)
+    pltpu.make_async_copy(
+        cur_ref.at[:, pl.ds(zi, 1)], cur_slab.at[:], dma_sem).start()
+    pltpu.make_async_copy(
+        cur_ref.at[:, pl.ds(zi, 1)], cur_slab.at[:], dma_sem).wait()
+    cur = jnp.where(i == nz - 1, jnp.zeros_like(cur_slab[:, 0]),
+                    cur_slab[:, 0])
+    m_cur = _slab_max3(cur)
+
+    @pl.when(i >= 1)
+    def _():
+        prev_plane = r_prev[:]
+        is_peak = ((cond1_prev[:].astype(jnp.float32) > 0)
+                   & (prev_plane >= m_cur)
+                   & (prev_plane > thresh_ref[0, 0]))
+        work = jnp.where(is_peak, prev_plane, -jnp.inf)
+        if pad_x:
+            work = jnp.pad(
+                work, ((0, 0), (0, 0), (0, pad_x)),
+                constant_values=-jnp.inf)
+        work = work.reshape(-1, 128)
+        lane = jax.lax.broadcasted_iota(jnp.int32, work.shape, 1)
+        for r in range(rounds):
+            mx = jnp.max(work, axis=1)
+            a = jnp.argmax(work, axis=1).astype(jnp.int32)
+            vals_ref[0, :, r] = mx
+            lanes_ref[0, :, r] = a
+            work = jnp.where(lane == a[:, None], -jnp.inf, work)
+
+    @pl.when(i == 0)
+    def _():
+        vals_ref[...] = jnp.full_like(vals_ref, -jnp.inf)
+        lanes_ref[...] = jnp.zeros_like(lanes_ref)
+
+    # partial condition for the current plane: r_i >= max(M_{i-1}, M_i);
+    # M_{i-1} is the constant-0 z border at i == 0 (scratch is NOT
+    # zero-initialized, so mask it explicitly)
+    m_before = jnp.where(i == 0, jnp.zeros_like(m_cur), m_prev[:])
+    cond1 = ((cur >= m_cur) & (cur >= m_before)).astype(jnp.bfloat16)
+    # rotate the rolling window
+    cond1_prev[:] = cond1
+    r_prev[:] = cur
+    m_prev[:] = m_cur
+
+
+def peak_candidates_pallas(
+        cube: jax.Array, threshold: float, rounds: int = 8,
+        interpret: bool = False):
+    """Fused local-maxima + candidate harvest over a (S, Z, Y, X) cube.
+
+    One sequential pass over z-planes: the 3^4 neighborhood max
+    (constant-0 borders), threshold mask, and per-128-lane-group
+    iterated-argmax harvest all happen in VMEM with a rolling window —
+    the XLA formulation walks the ~270 MB cube ~12x for the same result.
+
+    Returns ``(vals, lanes)``: per-z candidate values ``(Z, R, rounds)``
+    (R = padded slab rows) and their lane offsets. Every peak appears
+    exactly once among the candidates (up to ``rounds`` per lane group),
+    so the peak count equals the number of finite candidate values.
+    """
+    s, z, y, x = cube.shape
+    pad_x = (-x) % 128
+    r_rows = s * y * (x + pad_x) // 128
+    thresh = jnp.full((1, 1), threshold, jnp.float32)
+
+    import functools as _ft
+    vals, lanes = pl.pallas_call(
+        _ft.partial(_peak_candidates_kernel, rounds=rounds, pad_x=pad_x),
+        grid=(z + 1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # cube stays in HBM
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, r_rows, rounds),
+                         lambda i: (jnp.maximum(i - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_rows, rounds),
+                         lambda i: (jnp.maximum(i - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((z, r_rows, rounds), jnp.float32),
+            jax.ShapeDtypeStruct((z, r_rows, rounds), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((s, 1, y, x), jnp.float32),  # cur_slab (DMA dst)
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((s, y, x), jnp.float32),   # r_prev
+            pltpu.VMEM((s, y, x), jnp.float32),   # m_prev
+            pltpu.VMEM((s, y, x), jnp.bfloat16),  # cond1_prev
+        ],
+        interpret=interpret,
+    )(cube.astype(jnp.float32), thresh)
+    return vals, lanes
+
+
+def find_peaks_fused(
+        cube: jax.Array, threshold: float, capacity: int,
+        interpret: bool = False):
+    """Drop-in for ``ops.peaks.find_peaks`` using the fused kernel."""
+    s, z, y, x = cube.shape
+    pad_x = (-x) % 128
+    xp = x + pad_x
+    vals, lanes = peak_candidates_pallas(
+        cube, threshold, interpret=interpret)
+    count = jnp.minimum(
+        jnp.sum(jnp.isfinite(vals)), capacity).astype(jnp.int32)
+    flat_vals = vals.reshape(-1)
+    top_vals, pos = jax.lax.top_k(flat_vals, capacity)
+    # decode (z, row, round) -> (s, z, y, x)
+    rounds = vals.shape[2]
+    r_rows = vals.shape[1]
+    zz = (pos // (r_rows * rounds)).astype(jnp.int32)
+    row = ((pos // rounds) % r_rows).astype(jnp.int32)
+    lane = lanes.reshape(-1)[pos]
+    per_s = y * (xp // 128)
+    ss = row // per_s
+    rem = row % per_s
+    yy = rem // (xp // 128)
+    xx = (rem % (xp // 128)) * 128 + lane
+    coords = jnp.stack([ss, zz, yy, xx], axis=-1)
+    valid = (jnp.arange(capacity) < count) & jnp.isfinite(top_vals)
+    coords = jnp.where(valid[:, None], coords, 0)
+    return coords, top_vals, count

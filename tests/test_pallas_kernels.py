@@ -45,3 +45,20 @@ class TestPrunePallas:
             0.5, interpret=True))
         # smaller of the overlapping pair (index 0) loses; both others stay
         np.testing.assert_array_equal(out, [False, True, True])
+
+
+class TestFusedPeaks:
+    @pytest.mark.parametrize("shape", [(4, 6, 32, 128), (3, 5, 20, 130)])
+    def test_fused_matches_find_peaks(self, rng, shape):
+        cube = np.full(shape, -0.05, np.float32)
+        cs = np.column_stack([rng.integers(0, s, 40) for s in shape])
+        for c in cs:
+            cube[tuple(c)] = rng.uniform(0.2, 1.0)
+        rc, rv, rn = peaks.find_peaks(jnp.asarray(cube), 0.1, 64)
+        oc, ov, on = pallas_kernels.find_peaks_fused(
+            jnp.asarray(cube), 0.1, 64, interpret=True)
+        k = int(rn)
+        assert int(on) == k
+        np.testing.assert_allclose(np.asarray(ov)[:k], np.asarray(rv)[:k])
+        assert ({tuple(r) for r in np.asarray(rc)[:k]}
+                == {tuple(r) for r in np.asarray(oc)[:k]})
