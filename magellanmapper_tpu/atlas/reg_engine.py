@@ -53,21 +53,39 @@ def _scale_params(params: Dict, factor: float, kind: str) -> Dict:
     return out
 
 
+#: cap on metric sample points per optimizer step (Elastix subsamples
+#: its metric too; full grids at fine pyramid levels waste bandwidth)
+_MAX_METRIC_SAMPLES = 1 << 19
+
+
+def _metric_stride(shape) -> Tuple[int, int, int]:
+    stride = [1, 1, 1]
+    while np.prod([-(-s // st) for s, st in zip(shape, stride)]) \
+            > _MAX_METRIC_SAMPLES:
+        ax = int(np.argmax([s / st for s, st in zip(shape, stride)]))
+        stride[ax] *= 2
+    return tuple(stride)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("kind", "metric", "iters", "spacing", "lrs"))
+    jax.jit, static_argnames=("kind", "metric", "iters", "spacing", "lrs",
+                              "stride"))
 def _optimize_level(
         fixed: jnp.ndarray, moving: jnp.ndarray, params: Dict,
         pre_affine: Optional[Dict], kind: str, metric: str, iters: int,
         spacing: Optional[Tuple[float, ...]], lrs: Tuple[Tuple[str, float],
-                                                         ...]):
+                                                         ...],
+        stride: Tuple[int, int, int] = (1, 1, 1)):
     """Run ``iters`` Adam steps at one pyramid level (single XLA program)."""
     lr_map = dict(lrs)
     opt = optax.adam(1.0)
+    fixed_s = fixed[::stride[0], ::stride[1], ::stride[2]]
 
     def loss_fn(p):
         moved = transform.resample(
-            moving, p, kind, fixed.shape, spacing, pre_affine, order=1)
-        return metrics.metric_loss(metric, fixed, moved)
+            moving, p, kind, fixed.shape, spacing, pre_affine, order=1,
+            stride=stride)
+        return metrics.metric_loss(metric, fixed_s, moved)
 
     def step(_, state):
         p, opt_state = state
@@ -152,8 +170,10 @@ def register_stage(
         lrs = tuple(sorted(
             (k, _LEARNING_RATES.get(k, 1.0)) for k in params))
         iters = max(1, max_iter // (2 ** lvl))
+        stride = _metric_stride(f_l.shape)
         params, loss = _optimize_level(
-            f_l, m_l, params, pre_l, kind, metric, iters, sp, lrs)
+            f_l, m_l, params, pre_l, kind, metric, iters, sp, lrs,
+            stride)
         if lvl < levels - 1:
             params = _scale_params(params, 2.0, kind)
     return params, float(loss)

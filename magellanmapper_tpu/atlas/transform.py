@@ -34,9 +34,11 @@ def identity_params(kind: str, grid_shape=None) -> Dict[str, jnp.ndarray]:
     raise ValueError(kind)
 
 
-def _coords(shape: Sequence[int]) -> jnp.ndarray:
+def _coords(shape: Sequence[int],
+            stride: Sequence[int] = (1, 1, 1)) -> jnp.ndarray:
     """Voxel-center coordinate grid, shape ``(3, Z, Y, X)``."""
-    ranges = [jnp.arange(s, dtype=jnp.float32) for s in shape]
+    ranges = [jnp.arange(0, s, st, dtype=jnp.float32)
+              for s, st in zip(shape, stride)]
     zz, yy, xx = jnp.meshgrid(*ranges, indexing="ij")
     return jnp.stack([zz, yy, xx])
 
@@ -52,11 +54,14 @@ def cubic_bspline(u: np.ndarray) -> np.ndarray:
     return out
 
 
-@functools.lru_cache(maxsize=64)
-def _bspline_basis(n_vox: int, n_ctrl: int, spacing: float) -> np.ndarray:
-    """Dense basis matrix ``B (n_vox, n_ctrl)``: control points sit at
-    ``(j - 1) * spacing`` so the grid pads one point beyond each edge."""
-    x = np.arange(n_vox, dtype=np.float64)
+@functools.lru_cache(maxsize=128)
+def _bspline_basis(n_vox: int, n_ctrl: int, spacing: float,
+                   stride: int = 1) -> np.ndarray:
+    """Dense basis matrix ``B (ceil(n_vox/stride), n_ctrl)``: control
+    points sit at ``(j - 1) * spacing`` so the grid pads one point beyond
+    each edge; ``stride`` evaluates the basis at every ``stride``-th
+    voxel (metric subsampling)."""
+    x = np.arange(0, n_vox, stride, dtype=np.float64)
     j = np.arange(n_ctrl, dtype=np.float64)
     u = x[:, None] / spacing - (j[None, :] - 1.0)
     return cubic_bspline(u).astype(np.float32)
@@ -72,13 +77,16 @@ def bspline_grid_shape(
 
 def bspline_displacement(
         grid: jnp.ndarray, shape: Sequence[int],
-        spacing: Sequence[float]) -> jnp.ndarray:
+        spacing: Sequence[float],
+        stride: Sequence[int] = (1, 1, 1)) -> jnp.ndarray:
     """Dense displacement field ``(3, Z, Y, X)`` from control grid
-    ``(3, gz, gy, gx)`` via separable cubic B-spline tensor product."""
+    ``(3, gz, gy, gx)`` via separable cubic B-spline tensor product;
+    ``stride`` evaluates on a strided voxel grid."""
     out = grid
     for ax in range(3):
         basis = jnp.asarray(_bspline_basis(
-            int(shape[ax]), int(grid.shape[ax + 1]), float(spacing[ax])))
+            int(shape[ax]), int(grid.shape[ax + 1]), float(spacing[ax]),
+            int(stride[ax])))
         # contract control axis ax+1 against basis -> voxel axis at end
         out = jnp.tensordot(
             out, basis, axes=((1,), (1,)),
@@ -92,19 +100,21 @@ def transform_coords(
         params: Dict[str, jnp.ndarray], kind: str,
         shape: Sequence[int],
         spacing: Optional[Sequence[float]] = None,
-        pre_affine: Optional[Dict[str, jnp.ndarray]] = None) -> jnp.ndarray:
+        pre_affine: Optional[Dict[str, jnp.ndarray]] = None,
+        stride: Sequence[int] = (1, 1, 1)) -> jnp.ndarray:
     """Map fixed voxel coords to moving voxel coords, ``(3, Z, Y, X)``.
 
     ``bspline`` composes with ``pre_affine`` (affine applied after the
     FFD warp of fixed-space coordinates, the ANTs-style composition).
+    ``stride`` maps only every stride-th fixed voxel (metric sampling).
     """
-    coords = _coords(shape)
+    coords = _coords(shape, stride)
     if kind == "translation":
         return coords + params["t"][:, None, None, None]
     if kind == "affine":
         return _apply_affine(params, coords, shape)
     if kind == "bspline":
-        disp = bspline_displacement(params["grid"], shape, spacing)
+        disp = bspline_displacement(params["grid"], shape, spacing, stride)
         warped = coords + disp
         if pre_affine is not None:
             return _apply_affine(pre_affine, warped, shape)
@@ -137,7 +147,9 @@ def resample(
         out_shape: Sequence[int],
         spacing: Optional[Sequence[float]] = None,
         pre_affine: Optional[Dict[str, jnp.ndarray]] = None,
-        order: int = 1) -> jnp.ndarray:
+        order: int = 1,
+        stride: Sequence[int] = (1, 1, 1)) -> jnp.ndarray:
     """Resample the moving image into fixed space under the transform."""
-    coords = transform_coords(params, kind, out_shape, spacing, pre_affine)
+    coords = transform_coords(
+        params, kind, out_shape, spacing, pre_affine, stride)
     return sample_volume(moving, coords, order=order)

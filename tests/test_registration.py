@@ -151,3 +151,38 @@ class TestRegistration:
         dsc = float(metrics.dice(
             jnp.asarray(labels_moved > 0), jnp.asarray(fixed > 0.3)))
         assert dsc > 0.75
+
+
+class TestBsplineRecovery:
+    def test_bspline_improves_alignment_after_warp(self):
+        """Register a known FFD-warped volume back; NCC must recover."""
+        fixed = blobby_volume(seed=7, shape=(40, 40, 40), n=20)
+        spacing = (12.0, 12.0, 12.0)
+        gs = transform.bspline_grid_shape(fixed.shape, spacing)
+        rng = np.random.default_rng(2)
+        true_grid = jnp.asarray(
+            rng.uniform(-4.0, 4.0, (3,) + gs).astype(np.float32))
+        moving = np.asarray(transform.resample(
+            jnp.asarray(fixed), {"grid": true_grid}, "bspline",
+            fixed.shape, spacing))
+        stage = make_reg_param_map(
+            "bspline", 80, metric="ncc", num_resolutions=2,
+            grid_space_voxels=12)
+        params, loss = reg_engine.register_stage(fixed, moving, stage)
+        moved = np.asarray(transform.resample(
+            jnp.asarray(moving), params, "bspline", fixed.shape,
+            spacing))
+        ncc_before = float(metrics.ncc(
+            jnp.asarray(fixed), jnp.asarray(moving)))
+        ncc_after = float(metrics.ncc(
+            jnp.asarray(fixed), jnp.asarray(moved)))
+        # recover at least 75% of the alignment deficit, to near-perfect
+        assert 1 - ncc_after < 0.25 * (1 - ncc_before)
+        assert ncc_after > 0.995
+
+    def test_metric_stride_selection(self):
+        assert reg_engine._metric_stride((32, 32, 32)) == (1, 1, 1)
+        big = reg_engine._metric_stride((512, 512, 512))
+        n = np.prod([-(-512 // s) for s in big])
+        assert n <= reg_engine._MAX_METRIC_SAMPLES
+        assert max(big) > 1
