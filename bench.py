@@ -53,16 +53,22 @@ def bench_tpu(vol, sigmas, threshold, overlap, capacity, iters=3):
     return vol.size / dt / 1e6, n_blobs
 
 
-def bench_cpu_baseline(vol, sigmas, threshold, overlap, max_seconds=120.0):
-    """Single-CPU scipy baseline on a sub-volume, extrapolated per-voxel."""
+def bench_cpu_baseline(vol, sigmas, threshold, overlap, repeats=2):
+    """Single-CPU scipy baseline on a sub-volume, extrapolated per-voxel.
+
+    Takes the fastest of ``repeats`` runs (the shared CPU core is noisy;
+    the fastest run is the most conservative comparison point)."""
     from magellanmapper_tpu.cv import ref_detect
     sub = vol[:32, :128, :128]
-    t0 = time.perf_counter()
-    ref_detect.blob_log_reference(
-        sub, float(sigmas[0]), float(sigmas[-1]), len(sigmas),
-        threshold, overlap)
-    dt = time.perf_counter() - t0
-    return sub.size / dt / 1e6
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        ref_detect.blob_log_reference(
+            sub, float(sigmas[0]), float(sigmas[-1]), len(sigmas),
+            threshold, overlap)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return sub.size / best / 1e6
 
 
 def main():
