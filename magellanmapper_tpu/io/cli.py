@@ -404,11 +404,24 @@ def _process_register(rc: RunConfig):
     if task is RegisterTypes.MAKE_EDGE_IMAGES:
         from magellanmapper_tpu.atlas import edge_seg
         from magellanmapper_tpu.io import sitk_io
-        atlas = sitk_io.load_registered_img(
-            rc.filenames[0], "atlasVolume.mhd")
-        labels = sitk_io.load_registered_img(
-            rc.filenames[0], "annotation.mhd")
-        return edge_seg.make_edge_images(atlas, labels)
+        import numpy as np_
+        path = rc.filenames[0]
+        atlas = sitk_io.load_registered_img(path, "atlasVolume.mhd")
+        labels = sitk_io.load_registered_img(path, "annotation.mhd")
+        imgs = edge_seg.make_edge_images(
+            atlas, labels, log_sigma=rc.atlas_profile["log_sigma"])
+        # write the edge/distance set under the RegNames vocabulary
+        sitk_io.write_reg_images({
+            "atlasEdge.mhd": sitk_io.MedImage(
+                imgs["atlas_edge"].astype(np_.uint8)),
+            "atlasLoG.mhd": sitk_io.MedImage(
+                imgs["atlas_log"].astype(np_.float32)),
+            "annotationEdge.mhd": sitk_io.MedImage(
+                imgs["labels_edge"].astype(np_.uint8)),
+            "annotationDist.mhd": sitk_io.MedImage(
+                imgs["dist_to_edge"].astype(np_.float32)),
+        }, rc.prefix or path)
+        return imgs
     if task is RegisterTypes.VOL_STATS:
         return _vol_stats(rc)
     if task is RegisterTypes.MAKE_DENSITY_IMAGES:

@@ -221,3 +221,24 @@ class TestCLITruthDB:
         assert os.path.exists(str(tmp_path / "samp_verify.csv"))
         df = pd.read_csv(str(tmp_path / "samp_verify.csv"))
         assert df["sens"][0] > 0.5
+
+
+class TestCLIEdgeImages:
+    def test_make_edge_images_writes_set(self, tmp_path):
+        from magellanmapper_tpu.io import sitk_io
+        zz, yy, xx = np.indices((32, 40, 40)).astype(np.float32)
+        atlas = np.exp(-(((zz-16)/12)**2 + ((yy-20)/16)**2
+                         + ((xx-20)/16)**2) * 2).astype(np.float32)
+        # internal structure so the LoG has zero crossings inside labels
+        atlas = atlas * (1 + 0.3 * np.sin(zz / 3) * np.sin(yy / 4))
+        atlas = atlas.astype(np.float32)
+        labels = (atlas > 0.2).astype(np.int32) * 5
+        base = str(tmp_path / "s.npy")
+        sitk_io.write_reg_images({
+            "atlasVolume.mhd": sitk_io.MedImage(atlas),
+            "annotation.mhd": sitk_io.MedImage(labels)}, base)
+        out = cli.main(["--img", base, "--register", "make_edge_images"])
+        assert out["atlas_edge"].any()
+        for suffix in ("atlasEdge.mhd", "atlasLoG.mhd",
+                       "annotationEdge.mhd", "annotationDist.mhd"):
+            assert os.path.exists(str(tmp_path / f"s_{suffix}"))
