@@ -227,15 +227,22 @@ def register_rev(
 
 def register_group(
         imgs: Sequence[np.ndarray], profile,
-        n_iters: int = 2, iters_scale: float = 1.0
+        n_iters: int = 2, iters_scale: float = 1.0,
+        joint: bool = True
 ) -> Tuple[np.ndarray, list]:
-    """Groupwise registration by iterating registration to the group mean
-    (reference ``register_group :1189`` joins images into a 4D stack for
-    Elastix's groupwise metric; registering to an evolving mean is the
-    equivalent fixed-image-free formulation).
+    """Groupwise registration (reference ``register_group :1189``).
+
+    ``joint=True`` (default) optimizes all images' affine parameters
+    together against the 4D group-variance metric
+    (``reg_engine.register_groupwise``), matching the reference's
+    Elastix groupwise formulation; ``joint=False`` falls back to
+    iterative registration to an evolving mean.
 
     Returns the final mean image and per-image transform results.
     """
+    if joint:
+        max_iter = int(profile["groupwise_iter_max"] * iters_scale)
+        return reg_engine.register_groupwise(imgs, max_iter=max_iter)
     shapes = np.asarray([im.shape for im in imgs])
     target_shape = shapes.min(axis=0)
     vols = [np.asarray(im[:target_shape[0], :target_shape[1],

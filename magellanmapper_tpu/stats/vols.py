@@ -275,3 +275,22 @@ def map_meas_to_labels(
     for _, row in df.iterrows():
         out[work == row["Region"]] = row[meas]
     return out
+
+
+def measure_labels_metrics_levels(
+        atlas_img: Optional[np.ndarray],
+        labels_img: np.ndarray,
+        labels_ref: "ontology.LabelsRef",
+        max_level: int,
+        **kwargs) -> pd.DataFrame:
+    """Per-region metrics at every ontology level up to ``max_level``
+    (reference per-level CSVs, ``register.volumes_by_id`` with
+    ``max_level``): rows concatenate with a ``Level`` column."""
+    dfs = []
+    for level in range(max_level + 1):
+        df = measure_labels_metrics(
+            atlas_img, labels_img, labels_ref=labels_ref, level=level,
+            **kwargs)
+        df.insert(0, "Level", level)
+        dfs.append(df)
+    return pd.concat(dfs, ignore_index=True)

@@ -163,3 +163,19 @@ class TestVols:
             None, labels, labels_ref=ref, level=1)
         assert set(df["Region"]) == {2}
         assert df.iloc[0]["VolPx"] == 64
+
+
+def test_levels_aggregation_concat(aba_ref):
+    labels = np.zeros((6, 6, 6), np.int32)
+    labels[:3] = 4
+    labels[3:] = 5
+    df = vols.measure_labels_metrics_levels(
+        None, labels, aba_ref, max_level=2)
+    assert set(df["Level"]) == {0, 1, 2}
+    # level 2 keeps leaves; level 1 collapses to cortex (2);
+    # level 0 collapses to root (1)
+    lvl2 = df[df.Level == 2]
+    assert set(lvl2["Region"]) == {4, 5}
+    lvl1 = df[df.Level == 1]
+    assert set(lvl1["Region"]) == {2}
+    assert lvl1.iloc[0]["VolPx"] == 216

@@ -186,3 +186,23 @@ class TestBsplineRecovery:
         n = np.prod([-(-512 // s) for s in big])
         assert n <= reg_engine._MAX_METRIC_SAMPLES
         assert max(big) > 1
+
+
+class TestGroupwise:
+    def test_joint_groupwise_reduces_variance(self):
+        fixed = blobby_volume(seed=9, shape=(32, 32, 32), n=12)
+        shifts = [(-3, 0, 2), (0, 0, 0), (3, -2, 0), (-1, 2, -2)]
+        imgs = [np.asarray(transform.resample(
+            jnp.asarray(fixed), {"t": jnp.asarray([-float(v) for v in s])},
+            "translation", fixed.shape)) for s in shifts]
+        var_before = np.var(np.stack(imgs), axis=0).mean()
+        mean_img, params = reg_engine.register_groupwise(
+            imgs, max_iter=96, num_resolutions=2)
+        moved = [np.asarray(transform.resample(
+            jnp.asarray(im), {"W": jnp.asarray(p["W"]),
+                              "t": jnp.asarray(p["t"])},
+            "affine", fixed.shape)) for im, p in zip(imgs, params)]
+        var_after = np.var(np.stack(moved), axis=0).mean()
+        assert var_after < 0.5 * var_before
+        # aligned mean sharper than unaligned mean
+        assert mean_img.max() > np.mean(np.stack(imgs), axis=0).max()
