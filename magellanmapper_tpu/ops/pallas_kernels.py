@@ -184,7 +184,9 @@ def extract_candidates_pallas(
 
 
 # ---------------------------------------------------------------------------
-# fused peak finding: maxfilter + threshold + candidate harvest, one pass
+# fused peak finding: two cooperating kernels
+#   K1: per z-plane neighborhood max (scale/y/x 3-max), plane-local
+#   K2: rolling peak test across z + in-VMEM candidate harvest
 
 
 def _slab_max3(slab):
@@ -203,64 +205,91 @@ def _slab_max3(slab):
     return out
 
 
-def _peak_candidates_kernel(
-        cur_ref, thresh_ref, vals_ref, lanes_ref,
-        cur_slab, dma_sem, r_prev, m_prev, cond1_prev,
-        rounds: int, pad_x: int):
-    """Rolling-window stencil: step i ingests plane i, emits plane i-1.
+def _plane_max_kernel(cur_ref, out_ref):
+    out_ref[:, 0] = _slab_max3(cur_ref[:, 0])
 
-    VMEM scratch carries the previous plane's responses, its
-    neighborhood-max slab, and an int8 partial peak condition
-    (``r_{p} >= max(M_{p-1}, M_p)``), so each cube plane is read exactly
-    once and only ~4.5 MB of window state persists.
+
+def _plane_max(cube: jax.Array, interpret: bool = False) -> jax.Array:
+    """Per-plane (S, Y, X) neighborhood max for every z (K1)."""
+    s, z, y, x = cube.shape
+    return pl.pallas_call(
+        _plane_max_kernel,
+        grid=(z,),
+        in_specs=[pl.BlockSpec(
+            (s, 1, y, x), lambda i: (0, i, 0, 0),
+            memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (s, 1, y, x), lambda i: (0, i, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s, z, y, x), jnp.float32),
+        interpret=interpret,
+    )(cube.astype(jnp.float32))
+
+
+def _peak_harvest_kernel(
+        cube_ref, m_ref, thresh_ref, vals_ref, lanes_ref,
+        r_buf, m_buf, m_acc, dma_sems, rounds: int, pad_x: int,
+        n_chunks: int):
+    """K2 step z: peak test for plane z via DMA'd M planes + harvest.
+
+    M(z-1), M(z), M(z+1) stream through one ping-pong buffer into a
+    running max; the harvest runs in row chunks to bound VMEM stack.
     """
-    i = pl.program_id(0)
-    nz = pl.num_programs(0)  # == Z + 1
-    z_total = nz - 1
-    # manual single-buffered DMA of plane min(i, Z-1) from HBM
-    zi = jnp.minimum(i, z_total - 1)
-    pltpu.make_async_copy(
-        cur_ref.at[:, pl.ds(zi, 1)], cur_slab.at[:], dma_sem).start()
-    pltpu.make_async_copy(
-        cur_ref.at[:, pl.ds(zi, 1)], cur_slab.at[:], dma_sem).wait()
-    cur = jnp.where(i == nz - 1, jnp.zeros_like(cur_slab[:, 0]),
-                    cur_slab[:, 0])
-    m_cur = _slab_max3(cur)
+    z = pl.program_id(0)
+    nz = pl.num_programs(0)
 
-    @pl.when(i >= 1)
+    def dma_cube(dst, src_z, slot):
+        cp = pltpu.make_async_copy(
+            cube_ref.at[:, pl.ds(src_z, 1)], dst.at[:], dma_sems.at[slot])
+        cp.start()
+        cp.wait()
+
+    def dma_m(dst, src_z, slot):
+        cp = pltpu.make_async_copy(
+            m_ref.at[:, pl.ds(src_z, 1)], dst.at[:], dma_sems.at[slot])
+        cp.start()
+        cp.wait()
+
+    dma_cube(r_buf, z, 0)
+    dma_m(m_acc, z, 1)                    # M(z)
+
+    @pl.when(z > 0)
     def _():
-        prev_plane = r_prev[:]
-        is_peak = ((cond1_prev[:].astype(jnp.float32) > 0)
-                   & (prev_plane >= m_cur)
-                   & (prev_plane > thresh_ref[0, 0]))
-        work = jnp.where(is_peak, prev_plane, -jnp.inf)
+        dma_m(m_buf, z - 1, 2)            # M(z-1)
+        m_acc[:] = jnp.maximum(m_acc[:], m_buf[:])
+
+    @pl.when(z < nz - 1)
+    def _():
+        dma_m(m_buf, z + 1, 3)            # M(z+1)
+        m_acc[:] = jnp.maximum(m_acc[:], m_buf[:])
+
+    # harvest in row chunks to bound stack temporaries
+    s_dim, _, y_dim, x_dim = r_buf.shape
+    xp = x_dim + pad_x
+    total_rows = s_dim * y_dim * xp // 128
+    chunk_rows = total_rows // n_chunks
+    rows_per_s = y_dim * xp // 128
+
+    for ci in range(n_chunks):
+        s0 = ci * (s_dim // n_chunks)
+        s1 = (ci + 1) * (s_dim // n_chunks)
+        cur = r_buf[s0:s1, 0]
+        m = m_acc[s0:s1, 0]
+        is_peak = (cur == m) & (cur > thresh_ref[0, 0])
+        work = jnp.where(is_peak, cur, -jnp.inf)
         if pad_x:
             work = jnp.pad(
                 work, ((0, 0), (0, 0), (0, pad_x)),
                 constant_values=-jnp.inf)
         work = work.reshape(-1, 128)
         lane = jax.lax.broadcasted_iota(jnp.int32, work.shape, 1)
+        row0 = s0 * rows_per_s
         for r in range(rounds):
             mx = jnp.max(work, axis=1)
             a = jnp.argmax(work, axis=1).astype(jnp.int32)
-            vals_ref[0, :, r] = mx
-            lanes_ref[0, :, r] = a
+            vals_ref[0, pl.ds(row0, chunk_rows), r] = mx
+            lanes_ref[0, pl.ds(row0, chunk_rows), r] = a
             work = jnp.where(lane == a[:, None], -jnp.inf, work)
-
-    @pl.when(i == 0)
-    def _():
-        vals_ref[...] = jnp.full_like(vals_ref, -jnp.inf)
-        lanes_ref[...] = jnp.zeros_like(lanes_ref)
-
-    # partial condition for the current plane: r_i >= max(M_{i-1}, M_i);
-    # M_{i-1} is the constant-0 z border at i == 0 (scratch is NOT
-    # zero-initialized, so mask it explicitly)
-    m_before = jnp.where(i == 0, jnp.zeros_like(m_cur), m_prev[:])
-    cond1 = ((cur >= m_cur) & (cur >= m_before)).astype(jnp.bfloat16)
-    # rotate the rolling window
-    cond1_prev[:] = cond1
-    r_prev[:] = cur
-    m_prev[:] = m_cur
 
 
 def peak_candidates_pallas(
@@ -268,10 +297,10 @@ def peak_candidates_pallas(
         interpret: bool = False):
     """Fused local-maxima + candidate harvest over a (S, Z, Y, X) cube.
 
-    One sequential pass over z-planes: the 3^4 neighborhood max
-    (constant-0 borders), threshold mask, and per-128-lane-group
-    iterated-argmax harvest all happen in VMEM with a rolling window —
-    the XLA formulation walks the ~270 MB cube ~12x for the same result.
+    Two passes instead of XLA's ~12: K1 writes per-plane neighborhood
+    maxima; K2 walks z once, DMA-ing the response plane plus three M
+    planes into single-buffered VMEM, and harvests up to ``rounds``
+    peak candidates per 128-lane group entirely on-chip.
 
     Returns ``(vals, lanes)``: per-z candidate values ``(Z, R, rounds)``
     (R = padded slab rows) and their lane offsets. Every peak appears
@@ -282,22 +311,28 @@ def peak_candidates_pallas(
     pad_x = (-x) % 128
     r_rows = s * y * (x + pad_x) // 128
     thresh = jnp.full((1, 1), threshold, jnp.float32)
+    cube = cube.astype(jnp.float32)
+    m_cube = _plane_max(cube, interpret=interpret)
 
+    n_chunks = s if s % 2 == 0 or s == 1 else 1
+    n_chunks = min(4, n_chunks) if n_chunks > 1 else 1
+    while s % n_chunks:
+        n_chunks -= 1
     import functools as _ft
     vals, lanes = pl.pallas_call(
-        _ft.partial(_peak_candidates_kernel, rounds=rounds, pad_x=pad_x),
-        grid=(z + 1,),
+        _ft.partial(_peak_harvest_kernel, rounds=rounds, pad_x=pad_x,
+                    n_chunks=n_chunks),
+        grid=(z,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # cube stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # cube in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # M cube in HBM
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, r_rows, rounds),
-                         lambda i: (jnp.maximum(i - 1, 0), 0, 0),
+            pl.BlockSpec((1, r_rows, rounds), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r_rows, rounds),
-                         lambda i: (jnp.maximum(i - 1, 0), 0, 0),
+            pl.BlockSpec((1, r_rows, rounds), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -305,14 +340,13 @@ def peak_candidates_pallas(
             jax.ShapeDtypeStruct((z, r_rows, rounds), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((s, 1, y, x), jnp.float32),  # cur_slab (DMA dst)
-            pltpu.SemaphoreType.DMA,
-            pltpu.VMEM((s, y, x), jnp.float32),   # r_prev
-            pltpu.VMEM((s, y, x), jnp.float32),   # m_prev
-            pltpu.VMEM((s, y, x), jnp.bfloat16),  # cond1_prev
+            pltpu.VMEM((s, 1, y, x), jnp.float32),  # response plane
+            pltpu.VMEM((s, 1, y, x), jnp.float32),  # M ping-pong
+            pltpu.VMEM((s, 1, y, x), jnp.float32),  # M running max
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
-    )(cube.astype(jnp.float32), thresh)
+    )(cube, m_cube, thresh)
     return vals, lanes
 
 

@@ -53,10 +53,11 @@ def find_peaks(
         ``values``: ``(capacity,)`` peak values (-inf past the count).
         ``count``: scalar int32 number of valid peaks (clipped to capacity).
     """
-    # NOTE: ops.pallas_kernels.find_peaks_fused fuses this whole function
-    # into one rolling-window pass but currently exceeds the 16 MB VMEM
-    # scoped limit at production slab sizes (needs a y-striped kernel);
-    # it stays experimental until then.
+    # NOTE: ops.pallas_kernels.find_peaks_fused implements this whole
+    # function as two Pallas kernels (per-plane max + streaming harvest);
+    # it compiles and matches exactly on-chip but the sequential
+    # per-plane DMA chain doesn't pipeline yet and loses to this XLA
+    # formulation, so it stays experimental.
     is_peak = (cube == max_filter_full(cube)) & (cube > threshold)
     count = jnp.minimum(jnp.sum(is_peak), capacity).astype(jnp.int32)
     flat_vals = jnp.where(is_peak, cube, -jnp.inf).reshape(-1)
