@@ -32,6 +32,7 @@ class Plot2DTypes(Enum):
     SCATTER_PLOT = auto()
     ROC_CURVE = auto()
     SWARM_PLOT = auto()
+    HISTOGRAM = auto()
 
 
 def plot_bars(
@@ -122,8 +123,53 @@ def main(task: Plot2DTypes, df: pd.DataFrame, path: Optional[str] = None,
         return plot_bars(df, path=path, **kwargs)
     if task is Plot2DTypes.LINE_PLOT:
         return plot_lines(df, path=path, **kwargs)
-    if task in (Plot2DTypes.SCATTER_PLOT, Plot2DTypes.SWARM_PLOT):
+    if task is Plot2DTypes.SCATTER_PLOT:
         return plot_scatter(df, path=path, **kwargs)
+    if task is Plot2DTypes.SWARM_PLOT:
+        return plot_swarm(df, path=path, **kwargs)
+    if task is Plot2DTypes.HISTOGRAM:
+        return plot_histogram(df, path=path, **kwargs)
     if task is Plot2DTypes.ROC_CURVE:
         return plot_roc(df, path=path, **kwargs)
     raise ValueError(task)
+
+
+def plot_histogram(
+        df_or_vals, col: Optional[str] = None,
+        path: Optional[str] = None, bins: int = 50,
+        title: Optional[str] = None):
+    """Histogram task (reference ``plot_2d`` histogram)."""
+    vals = df_or_vals[col] if col is not None else df_or_vals
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.hist(np.asarray(vals), bins=bins)
+    ax.set_xlabel(col or "value")
+    ax.set_ylabel("count")
+    if title:
+        ax.set_title(title)
+    if path:
+        plot_support.save_fig(fig, path)
+    plt.close(fig)
+    return fig
+
+
+def plot_swarm(
+        df: pd.DataFrame, group_col: str, value_col: str,
+        path: Optional[str] = None, jitter: float = 0.25,
+        seed: int = 0):
+    """Jittered category scatter (reference swarm/jitter plots)."""
+    rng = np.random.default_rng(seed)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    groups = list(pd.unique(df[group_col]))
+    for gi, name in enumerate(groups):
+        vals = df[df[group_col] == name][value_col].to_numpy()
+        xs = gi + rng.uniform(-jitter, jitter, len(vals))
+        ax.scatter(xs, vals, s=14, alpha=0.7)
+        ax.plot([gi - 0.3, gi + 0.3],
+                [np.median(vals)] * 2, c="k", lw=1.5)
+    ax.set_xticks(range(len(groups)))
+    ax.set_xticklabels([str(g) for g in groups])
+    ax.set_ylabel(value_col)
+    if path:
+        plot_support.save_fig(fig, path)
+    plt.close(fig)
+    return fig
