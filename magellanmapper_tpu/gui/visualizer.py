@@ -1,0 +1,111 @@
+"""Headless visualization/session controller.
+
+The reference's ``magmap/gui/visualizer.py`` is a 4.3k-line TraitsUI app
+whose *workflows* are: load an image set, pick ROI offset/size, run
+ROI-level detection, adjust display, confirm blobs to the database, and
+save figures. This module provides those workflows as a scriptable
+controller (``Visualization``) without the Qt event loop — the same
+attribute vocabulary (``roi_offset/roi_size/channel``, profiles, blob
+confirmation) driving the headless renderers in ``gui.roi_review`` and
+``gui.vis_3d``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from magellanmapper_tpu.cv import detector
+from magellanmapper_tpu.io import np_io, sqlite
+from magellanmapper_tpu.settings.prefs_prof import PrefsProfile
+from magellanmapper_tpu.settings.roi_prof import ROIProfile
+
+_logger = logging.getLogger(__name__)
+
+
+class Visualization:
+    """Scriptable session controller (reference ``Visualization``)."""
+
+    def __init__(self, prefs: Optional[PrefsProfile] = None):
+        self.prefs = prefs or PrefsProfile().load_prefs()
+        self.img5d: Optional[np_io.Image5d] = None
+        self.labels_img: Optional[np.ndarray] = None
+        self.blobs: Optional[np.ndarray] = None
+        self.db: Optional[sqlite.ClrDB] = None
+        #: ROI position/size in x,y,z (reference slider conventions)
+        self.roi_offset = (0, 0, 0)
+        self.roi_size = (64, 64, 8)
+        self.channel: Optional[Sequence[int]] = None
+        self.roi_profile = ROIProfile()
+
+    # -- image loading --------------------------------------------------------
+
+    def load_image(self, path: str, **kwargs) -> np_io.Image5d:
+        """Load the main image set (reference ``_setup_for_image``)."""
+        out = np_io.setup_images(path, **kwargs)
+        self.img5d = out["img5d"]
+        self.labels_img = out.get("labels_img")
+        if out.get("blobs") is not None:
+            self.blobs = out["blobs"].blobs
+        return self.img5d
+
+    def open_db(self, path: str = sqlite.DB_NAME) -> sqlite.ClrDB:
+        self.db = sqlite.load_db(path)
+        return self.db
+
+    # -- ROI workflows ---------------------------------------------------------
+
+    def get_roi(self) -> np.ndarray:
+        """Current ROI array (z,y,x[,c])."""
+        off = self.roi_offset[::-1]
+        size = self.roi_size[::-1]
+        return np.asarray(self.img5d.roi(off, size))
+
+    def detect_blobs(self) -> np.ndarray:
+        """ROI-level detection (reference ``_blob_detection_fired``)."""
+        roi = self.get_roi()
+        res = (self.img5d.resolutions[0]
+               if self.img5d.resolutions is not None else (1.0, 1.0, 1.0))
+        blobs = detector.detect_blobs(
+            roi, self.roi_profile, res, channel=self.channel)
+        self.blobs = blobs
+        n = 0 if blobs is None else len(blobs)
+        _logger.info("detected %d blobs in ROI %s+%s", n,
+                     self.roi_offset, self.roi_size)
+        return blobs
+
+    def save_blobs(self, experiment: str = "exp", series: int = 0) -> int:
+        """Persist current ROI blobs to the database (reference
+        verified-blob save)."""
+        if self.db is None or self.blobs is None:
+            return 0
+        exp_id = self.db.select_or_insert_experiment(experiment)
+        roi_id, _ = self.db.select_or_insert_roi(
+            exp_id, series, self.roi_offset, self.roi_size)
+        return self.db.insert_blobs(roi_id, self.blobs)
+
+    def confirm_blob(self, index: int, flag: int = 1) -> None:
+        """Flag a blob (1 correct / 0 incorrect / 2 maybe)."""
+        self.blobs[index, 4] = flag
+
+    # -- rendering -------------------------------------------------------------
+
+    def show_roi(self, out_path: str, n_cols: int = 5):
+        """ROI plane grid with blob overlays (ROI Editor view)."""
+        from magellanmapper_tpu.gui import roi_review
+        return roi_review.plot_roi_planes(
+            self.get_roi(), self.blobs, out_path, n_cols=n_cols)
+
+    def show_3d(self, out_path: str):
+        """3D blob point cloud (Vis3D points mode)."""
+        from magellanmapper_tpu.gui import vis_3d
+        iso = self.roi_profile["isotropic_vis"] or (1, 1, 1)
+        return vis_3d.plot_blobs_3d(
+            self.blobs, self.get_roi().shape[:3], out_path,
+            isotropic_vis=iso)
+
+    def save_prefs(self, path: Optional[str] = None) -> str:
+        return self.prefs.save_prefs(path or "prefs.yaml")

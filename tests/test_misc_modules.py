@@ -151,3 +151,36 @@ class TestRoiReview:
         back = db.select_blobs_by_roi(roi_id)
         assert (back[:, 4] == 1).sum() == 1
         db.close()
+
+
+class TestVisualizationController:
+    def test_full_session_workflow(self, tmp_path, rng):
+        import os as _os
+        _os.chdir(tmp_path)
+        from magellanmapper_tpu.gui.visualizer import Visualization
+        from magellanmapper_tpu.io import np_io as np_io_mod
+
+        # volume with one obvious nucleus inside the ROI
+        vol = rng.normal(0.05, 0.01, (16, 64, 64)).astype(np.float32)
+        zz, yy, xx = np.indices((16, 64, 64)).astype(np.float32)
+        vol += np.exp(-((zz-8)**2 + (yy-32)**2 + (xx-32)**2) / 8.0)
+        base = str(tmp_path / "sess.npy")
+        np_io_mod.write_npy(base, vol[None])
+
+        vis = Visualization()
+        vis.load_image(base)
+        vis.roi_offset = (16, 16, 2)   # x,y,z
+        vis.roi_size = (32, 32, 12)
+        vis.roi_profile["min_sigma_factor"] = 2.0
+        vis.roi_profile["max_sigma_factor"] = 4.0
+        vis.roi_profile["num_sigma"] = 5
+        blobs = vis.detect_blobs()
+        assert blobs is not None and len(blobs) >= 1
+        vis.confirm_blob(0, 1)
+        vis.open_db(str(tmp_path / "sess.db"))
+        n = vis.save_blobs("sess")
+        assert n == len(blobs)
+        vis.show_roi(str(tmp_path / "roi.png"))
+        vis.show_3d(str(tmp_path / "b3d.png"))
+        assert _os.path.exists(str(tmp_path / "roi.png"))
+        vis.db.close()
