@@ -92,7 +92,8 @@ def register(
         write_imgs: bool = True,
         prefix: Optional[str] = None,
         iters_scale: float = 1.0,
-        channel: int = 0) -> Dict:
+        channel: int = 0,
+        reg_suffixes: Optional[Dict[str, str]] = None) -> Dict:
     """Register a moving atlas onto a fixed sample image
     (reference ``register.register :647``).
 
@@ -133,16 +134,21 @@ def register(
                 resolutions = img5d.resolutions[0]
     fixed = np.asarray(fixed, np.float32)
 
-    # load moving atlas + labels
+    # load moving atlas + labels (names configurable via reg_suffixes,
+    # reference --reg_suffixes atlas=... annotation=...)
     if isinstance(moving_dir_or_imgs, dict):
         moving_atlas = np.asarray(moving_dir_or_imgs["atlas"], np.float32)
         moving_labels = np.asarray(moving_dir_or_imgs["labels"])
     else:
+        atlas_name = (reg_suffixes or {}).get("atlas", "atlasVolume")
+        labels_name = (reg_suffixes or {}).get("annotation", "annotation")
+        atlas_name = os.path.splitext(atlas_name)[0]
+        labels_name = os.path.splitext(labels_name)[0]
         moving_atlas = sitk_io.read_med_img(sitk_io.find_sitk_file(
-            os.path.join(moving_dir_or_imgs, "atlasVolume"))).img.astype(
+            os.path.join(moving_dir_or_imgs, atlas_name))).img.astype(
             np.float32)
         moving_labels = sitk_io.read_med_img(sitk_io.find_sitk_file(
-            os.path.join(moving_dir_or_imgs, "annotation"))).img
+            os.path.join(moving_dir_or_imgs, labels_name))).img
 
     # register: translation -> affine -> bspline per profile
     moved, result = reg_engine.register_duo(

@@ -387,7 +387,7 @@ def _process_register(rc: RunConfig):
     if task is RegisterTypes.SINGLE:
         return register_mod.register(
             rc.filenames[0], rc.filenames[1], rc.atlas_profile,
-            prefix=rc.prefix)
+            prefix=rc.prefix, reg_suffixes=rc.reg_suffixes or None)
     if task is RegisterTypes.REGISTER_REV:
         return register_mod.register_rev(
             rc.filenames[0], rc.filenames[1], rc.atlas_profile,
