@@ -157,6 +157,25 @@ def read_file(
         # direct .npy path given
         path_img = filename
     meta, ver = load_metadata(path_meta)
+
+    if offset is not None and size is not None:
+        # prefer a previously saved sub-image archive
+        # (reference np_io.setup_images :292 subimg .npy path)
+        from magellanmapper_tpu.io import importer as importer_mod
+        from magellanmapper_tpu.utils import libmag as libmag_mod
+        sub_name = importer_mod.make_subimage_name(
+            filename, offset, size)
+        sub_path = libmag_mod.combine_paths(sub_name, SUFFIX_SUBIMG)
+        if os.path.exists(sub_path):
+            sub = np.load(sub_path, mmap_mode="r")
+            img5d = Image5d(
+                img=sub[None] if sub.ndim < 4 else sub,
+                path_img=sub_path, path_meta=path_meta, img_io="np",
+                meta=meta)
+            img5d.subimg_offset = offset[::-1]
+            img5d.subimg_size = size[::-1]
+            return img5d
+
     img = np.load(path_img, mmap_mode="r")
     img5d = Image5d(
         img=img, path_img=path_img, path_meta=path_meta, img_io="np",

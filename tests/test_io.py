@@ -117,3 +117,20 @@ class TestSetupImages:
         # blob at z=2 (scaled z=1) -> label 5; z=6 -> scaled 3 -> label 9
         assert blobs_out[0, 10] == 5
         assert blobs_out[1, 10] == 9
+
+
+def test_subimg_archive_preferred(tmp_path, rng):
+    """A saved sub-image archive loads instead of slicing the main image
+    (reference subimg .npy flow)."""
+    from magellanmapper_tpu.io import importer
+    from magellanmapper_tpu.utils import libmag
+    arr = rng.random((1, 12, 20, 20)).astype(np.float32)
+    base = str(tmp_path / "m.npy")
+    np_io.write_npy(base, arr)
+    offset, size = (5, 2, 1), (10, 8, 4)  # x,y,z
+    sub_name = importer.make_subimage_name(base, offset, size)
+    sub_path = libmag.combine_paths(sub_name, "subimg.npy")
+    marker = np.full((4, 8, 10), 7.0, np.float32)
+    np.save(sub_path, marker)
+    img5d = np_io.read_file(base, offset=offset, size=size)
+    np.testing.assert_array_equal(np.asarray(img5d.img[0]), marker)
