@@ -47,9 +47,13 @@ class LabelsRef:
         if not path or not os.path.exists(path):
             raise FileNotFoundError(
                 f"Could not load labels reference file from '{path}'")
-        if os.path.splitext(path)[1] == ".json":
+        ext = os.path.splitext(path)[1]
+        if ext == ".json":
             with open(path) as f:
                 self.loaded_ref = json.load(f)
+        elif ext == ".txt":
+            # ITK-SNAP label description file
+            self.loaded_ref = convert_itksnap_to_df(path)
         else:
             df = pd.read_csv(path)
             self.loaded_ref = df.rename(
@@ -235,3 +239,30 @@ def replace_labels(
     for _, row in df.iterrows():
         out[labels_img == row["Region"]] = row["RegionTo"]
     return out
+
+
+def convert_itksnap_to_df(path: str) -> pd.DataFrame:
+    """Parse an ITK-SNAP label description file into a Region frame
+    (reference ``ontology.convert_itksnap_to_df :347``).
+
+    Format per line: ``IDX R G B A VIS MSH "LABEL"``.
+    """
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split('"')
+            name = parts[1] if len(parts) > 1 else ""
+            nums = parts[0].split()
+            if not nums:
+                continue
+            rows.append({
+                ABA_ID: int(nums[0]),
+                ABA_NAME: name,
+                "R": int(nums[1]) if len(nums) > 1 else 0,
+                "G": int(nums[2]) if len(nums) > 2 else 0,
+                "B": int(nums[3]) if len(nums) > 3 else 0,
+            })
+    return pd.DataFrame(rows)

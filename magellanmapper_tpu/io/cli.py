@@ -424,6 +424,38 @@ def _process_register(rc: RunConfig):
         return imgs
     if task is RegisterTypes.VOL_STATS:
         return _vol_stats(rc)
+    if task is RegisterTypes.MAKE_SUBSEGS:
+        from magellanmapper_tpu.atlas import edge_seg
+        from magellanmapper_tpu.io import sitk_io
+        import numpy as np_
+        path = rc.filenames[0]
+        labels = sitk_io.load_registered_img(path, "annotation.mhd")
+        edges = sitk_io.load_registered_img(path, "atlasEdge.mhd")
+        sub = edge_seg.make_sub_segmented_labels(labels, edges)
+        sitk_io.write_med_img(
+            sitk_io.reg_out_path(rc.prefix or path,
+                                 "annotationSubseg.mhd"),
+            sitk_io.MedImage(sub.astype(np_.int32)))
+        return sub
+    if task is RegisterTypes.EXPORT_COMMON_LABELS:
+        from magellanmapper_tpu.io import export_regions
+        out = (rc.prefix or "regions_common.csv")
+        return export_regions.export_common_labels(rc.filenames, out)
+    if task is RegisterTypes.CONVERT_ITKSNAP_LABELS:
+        from magellanmapper_tpu.atlas import ontology
+        df = ontology.convert_itksnap_to_df(rc.filenames[0])
+        out = rc.prefix or (rc.filenames[0] + ".csv")
+        df.to_csv(out, index=False)
+        return df
+    if task is RegisterTypes.EXPORT_REGIONS:
+        from magellanmapper_tpu.atlas import ontology
+        from magellanmapper_tpu.io import export_regions
+        ref_path = rc.labels.get("path_ref") or rc.filenames[0]
+        ref = ontology.LabelsRef(str(ref_path)).load()
+        out = rc.prefix or "region_ids.csv"
+        level = rc.labels.get("level")
+        return export_regions.export_region_ids(
+            ref, out, int(level) if level else None)
     if task is RegisterTypes.MAKE_DENSITY_IMAGES:
         from magellanmapper_tpu.io import export_regions
         return export_regions.make_density_image(rc.filenames[0])

@@ -129,3 +129,22 @@ def make_labels_level_img(
         sitk_io.write_med_img(out_path, sitk_io.MedImage(
             out.astype(np.int32)))
     return out
+
+
+def export_common_labels(
+        img_paths, out_path: Optional[str] = None) -> pd.DataFrame:
+    """Labels present in every sample's annotation image
+    (reference ``config.PATH_COMMON_LABELS`` flow)."""
+    common = None
+    per_sample = {}
+    for path in img_paths:
+        labels = sitk_io.load_registered_img(path, "annotation.mhd")
+        ids = set(int(i) for i in np.unique(labels) if i != 0)
+        per_sample[os.path.basename(path)] = ids
+        common = ids if common is None else (common & ids)
+    df = pd.DataFrame({"Region": sorted(common or [])})
+    if out_path:
+        df.to_csv(out_path, index=False)
+    _logger.info("%d labels common across %d samples",
+                 len(df), len(img_paths))
+    return df

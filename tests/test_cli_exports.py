@@ -242,3 +242,33 @@ class TestCLIEdgeImages:
         for suffix in ("atlasEdge.mhd", "atlasLoG.mhd",
                        "annotationEdge.mhd", "annotationDist.mhd"):
             assert os.path.exists(str(tmp_path / f"s_{suffix}"))
+
+
+class TestCLIMoreRegisterTasks:
+    def test_itksnap_conversion(self, tmp_path):
+        snap = tmp_path / "labels.txt"
+        snap.write_text(
+            '# header\n1 255 0 0 255 1 1 "Cortex"\n'
+            '2 0 255 0 255 1 1 "Thalamus"\n')
+        df = cli.main([
+            "--img", str(snap), "--register", "convert_itksnap_labels",
+            "--prefix", str(tmp_path / "labels.csv")])
+        assert list(df["id"]) == [1, 2]
+        assert list(df["name"]) == ["Cortex", "Thalamus"]
+        assert os.path.exists(str(tmp_path / "labels.csv"))
+
+    def test_export_common_labels(self, tmp_path):
+        from magellanmapper_tpu.io import sitk_io
+        paths = []
+        for i, ids in enumerate(([1, 2, 3], [2, 3, 4])):
+            labels = np.zeros((4, 4, 4), np.int32)
+            for j, lid in enumerate(ids):
+                labels[j] = lid
+            base = str(tmp_path / f"s{i}.npy")
+            sitk_io.write_reg_images(
+                {"annotation.mhd": sitk_io.MedImage(labels)}, base)
+            paths.append(base)
+        df = cli.main([
+            "--img", *paths, "--register", "export_common_labels",
+            "--prefix", str(tmp_path / "common.csv")])
+        assert list(df["Region"]) == [2, 3]
