@@ -130,12 +130,20 @@ def _preproc_sub_blocks(
 
 def _blob_log_impl(
         roi: jax.Array, sigmas: Tuple[float, ...], threshold: float,
-        overlap: float, capacity: int) -> Tuple[jax.Array, jax.Array]:
-    """Un-jitted LoG detection body (see ``detector.blob_log``)."""
+        overlap: float, capacity: int,
+        fast: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """Un-jitted LoG detection body (see ``detector.blob_log``).
+
+    ``fast=True`` (profile ``log_dtype="bfloat16"``) runs the LoG convs
+    at DEFAULT MXU precision (single bf16 pass, ~3x conv rate, ~3e-4 abs
+    error) — an opt-in trade for throughput-bound whole-brain runs.
+    """
     from magellanmapper_tpu.ops import filters
+    prec = jax.lax.Precision.DEFAULT if fast else None
     roi = roi.astype(jnp.float32)
     cube = jnp.stack([
-        -filters.gaussian_laplace(roi, s) * jnp.float32(s * s)
+        -filters.gaussian_laplace(roi, s, precision=prec)
+        * jnp.float32(s * s)
         for s in sigmas])
     coords4, values, count = peaks.find_peaks(cube, threshold, capacity)
     valid = jnp.arange(capacity) < count

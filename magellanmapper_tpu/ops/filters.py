@@ -100,7 +100,8 @@ def _band_matrix(
 
 def conv1d(
         vol: jax.Array, kernel: np.ndarray, axis: int,
-        mode: str = "reflect", cval: float = 0.0) -> jax.Array:
+        mode: str = "reflect", cval: float = 0.0,
+        precision=None) -> jax.Array:
     """Correlate ``vol`` with a 1D ``kernel`` along ``axis``.
 
     Symmetric kernels only (correlation == convolution); this covers the
@@ -112,12 +113,13 @@ def conv1d(
         band = _band_matrix(
             np.asarray(kernel, np.float64).tobytes(), len(kernel), n, mode,
             cval)
-        # HIGH precision: 3-pass bf16 on the MXU. Measured on-chip: max abs
-        # error 1.5e-6 vs scipy (vs 3e-4 at DEFAULT, which is visible at
-        # the detection threshold; HIGHEST costs 2x for 8e-9).
+        # HIGH precision default: 3-pass bf16 on the MXU. Measured
+        # on-chip: max abs error 1.5e-6 vs scipy (vs 3e-4 at DEFAULT,
+        # which is visible at the detection threshold; HIGHEST costs 2x
+        # for 8e-9). Callers may pass DEFAULT as an opt-in fast path.
         return jnp.tensordot(
             vol, jnp.asarray(band, dtype=vol.dtype), axes=((axis,), (0,)),
-            precision=jax.lax.Precision.HIGH,
+            precision=precision or jax.lax.Precision.HIGH,
         ).transpose(_restore_axis_perm(vol.ndim, axis))
     return _conv1d_taps(vol, kernel, axis, mode, cval)
 
@@ -177,7 +179,8 @@ def gaussian_filter(
 
 def gaussian_laplace(
         vol: jax.Array, sigma: Union[float, Sequence[float]],
-        mode: str = "reflect", truncate: float = 4.0) -> jax.Array:
+        mode: str = "reflect", truncate: float = 4.0,
+        precision=None) -> jax.Array:
     """Laplacian of Gaussian (scipy ``gaussian_laplace`` semantics).
 
     Sum over axes of the second-derivative-of-Gaussian response; shares the
@@ -198,11 +201,12 @@ def gaussian_laplace(
             out = term if out is None else out + term
         return out
     # 3D: share smoothing passes (8 convs instead of 9)
-    a = conv1d(vol, k0[2], 2, mode)            # G0x f
-    t1 = conv1d(conv1d(a, k0[1], 1, mode), k2[0], 0, mode)   # K2z G0y A
-    t2 = conv1d(conv1d(a, k2[1], 1, mode), k0[0], 0, mode)   # G0z K2y A
-    b = conv1d(vol, k2[2], 2, mode)            # K2x f
-    t3 = conv1d(conv1d(b, k0[1], 1, mode), k0[0], 0, mode)   # G0z G0y B
+    c = lambda v, k, ax: conv1d(v, k, ax, mode, precision=precision)
+    a = c(vol, k0[2], 2)                      # G0x f
+    t1 = c(c(a, k0[1], 1), k2[0], 0)          # K2z G0y A
+    t2 = c(c(a, k2[1], 1), k0[0], 0)          # G0z K2y A
+    b = c(vol, k2[2], 2)                      # K2x f
+    t3 = c(c(b, k0[1], 1), k0[0], 0)          # G0z G0y B
     return t1 + t2 + t3
 
 
