@@ -61,10 +61,10 @@ def sigma_list(
 
 @functools.partial(
     jax.jit, static_argnames=(
-        "sigmas", "threshold", "overlap", "capacity"))
+        "sigmas", "threshold", "overlap", "capacity", "fast"))
 def blob_log(
         roi: jax.Array, sigmas: Tuple[float, ...], threshold: float,
-        overlap: float, capacity: int
+        overlap: float, capacity: int, fast: bool = False
 ) -> Tuple[jax.Array, jax.Array]:
     """LoG blob detection on a single-channel 3D block.
 
@@ -80,9 +80,11 @@ def blob_log(
         ``valid``: ``(capacity,)`` bool row validity.
     """
     roi = roi.astype(jnp.float32)
+    prec = jax.lax.Precision.DEFAULT if fast else None
     # scale-normalized negated LoG response cube, scales-major
     cube = jnp.stack([
-        -filters.gaussian_laplace(roi, s) * jnp.float32(s * s)
+        -filters.gaussian_laplace(roi, s, precision=prec)
+        * jnp.float32(s * s)
         for s in sigmas])
     coords4, values, count = peaks.find_peaks(cube, threshold, capacity)
     valid = jnp.arange(capacity) < count
@@ -172,7 +174,8 @@ def detect_blobs(
         raw, valid = blob_log(
             roi_detect, sigmas, float(chl_set["detection_threshold"]),
             float(chl_set["overlap"]),
-            int(chl_set["max_blobs_per_block"] or 4096))
+            int(chl_set["max_blobs_per_block"] or 4096),
+            fast=str(chl_set["log_dtype"]).lower() == "bfloat16")
         raw = np.asarray(raw)[np.asarray(valid)]
         if raw.shape[0] < 1:
             continue

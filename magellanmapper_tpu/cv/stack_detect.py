@@ -157,12 +157,13 @@ def _blob_log_impl(
 @functools.partial(
     jax.jit, static_argnames=(
         "sigmas", "threshold", "overlap", "capacity", "denoise_shape",
-        "preproc_items"))
+        "preproc_items", "fast"))
 def _detect_batch(
         batch: jax.Array, sigmas: Tuple[float, ...], threshold: float,
         overlap: float, capacity: int,
         denoise_shape: Optional[Tuple[int, ...]],
-        preproc_items: Optional[Tuple[Tuple[str, float], ...]]):
+        preproc_items: Optional[Tuple[Tuple[str, float], ...]],
+        fast: bool = False):
     """Batched per-block pipeline: [sub-block preproc] -> LoG -> peaks."""
 
     def one(vol):
@@ -178,7 +179,8 @@ def _detect_batch(
                     vol, params["clip_min"], params["clip_max"],
                     params["tot_var_denoise"], params["unsharp_strength"],
                     params["erosion_threshold"])
-        return _blob_log_impl(vol, sigmas, threshold, overlap, capacity)
+        return _blob_log_impl(vol, sigmas, threshold, overlap, capacity,
+                              fast=fast)
 
     return jax.vmap(one)(batch)
 
@@ -330,7 +332,8 @@ def detect_blobs_blocks(
             raw_b, valid_b = _detect_batch(
                 jnp.asarray(stacked), sigmas,
                 float(settings["detection_threshold"]),
-                float(settings["overlap"]), capacity, denoise_shape, prep)
+                float(settings["overlap"]), capacity, denoise_shape, prep,
+                fast=str(settings["log_dtype"]).lower() == "bfloat16")
             return batch_coords, starts, raw_b, valid_b
 
         # one-deep software pipeline: dispatch batch i+1 before pulling
