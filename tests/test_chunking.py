@@ -124,3 +124,34 @@ class TestStackDetect:
         assert blocks.overlap[0] >= 3
         assert blocks.overlap_padding[0] == 0
         assert blocks.sub_roi_slices.shape == (3, 3, 3)
+
+
+class TestSubBlockPreproc:
+    def test_matches_per_subblock_loop(self, rng):
+        """The reshaped vmap must equal preprocessing each denoise
+        sub-block independently (reference detect_sub_roi loop)."""
+        import jax.numpy as jnp
+        from magellanmapper_tpu.cv.stack_detect import _preproc_sub_blocks
+        from magellanmapper_tpu.ops import preproc
+
+        vol = rng.random((16, 24, 24)).astype(np.float32)
+        dshape = (8, 8, 8)
+        params = {
+            "clip_vmin": 5.0, "clip_vmax": 99.5, "max_thresh": 0.5,
+            "clip_min": 0.2, "clip_max": 1.0, "tot_var_denoise": 0.0,
+            "unsharp_strength": 0.3, "erosion_threshold": 0.2,
+        }
+        fused = np.asarray(_preproc_sub_blocks(
+            jnp.asarray(vol), dshape, params))
+
+        expected = np.zeros_like(vol)
+        for z0 in range(0, 16, 8):
+            for y0 in range(0, 24, 8):
+                for x0 in range(0, 24, 8):
+                    tile = vol[z0:z0+8, y0:y0+8, x0:x0+8]
+                    t = preproc.saturate(
+                        jnp.asarray(tile), 5.0, 99.5, 0.5)
+                    t = preproc.denoise(
+                        t, 0.2, 1.0, 0.0, 0.3, 0.2)
+                    expected[z0:z0+8, y0:y0+8, x0:x0+8] = np.asarray(t)
+        np.testing.assert_allclose(fused, expected, rtol=1e-5, atol=1e-6)
