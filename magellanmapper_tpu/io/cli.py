@@ -411,6 +411,11 @@ def _process_register(rc: RunConfig):
         imgs = edge_seg.make_edge_images(
             atlas, labels, log_sigma=rc.atlas_profile["log_sigma"])
         # write the edge/distance set under the RegNames vocabulary
+        # erode labels into watershed markers/interiors too
+        eros = rc.atlas_profile[
+            "edge_aware_reannotation"]["marker_erosion"]
+        markers, interior, _ = edge_seg.erode_labels(
+            labels, filter_size=int(eros))
         sitk_io.write_reg_images({
             "atlasEdge.mhd": sitk_io.MedImage(
                 imgs["atlas_edge"].astype(np_.uint8)),
@@ -420,10 +425,31 @@ def _process_register(rc: RunConfig):
                 imgs["labels_edge"].astype(np_.uint8)),
             "annotationDist.mhd": sitk_io.MedImage(
                 imgs["dist_to_edge"].astype(np_.float32)),
+            "annotationMarkers.mhd": sitk_io.MedImage(
+                markers.astype(np_.int32)),
+            "annotationInterior.mhd": sitk_io.MedImage(
+                interior.astype(np_.int32)),
         }, rc.prefix or path)
         return imgs
     if task is RegisterTypes.VOL_STATS:
         return _vol_stats(rc)
+    if task is RegisterTypes.MERGE_ATLAS_SEGS:
+        from magellanmapper_tpu.atlas import edge_seg
+        from magellanmapper_tpu.io import sitk_io
+        import numpy as np_
+        outs = []
+        for path in rc.filenames:
+            atlas = sitk_io.load_registered_img(path, "atlasVolume.mhd")
+            labels = sitk_io.load_registered_img(path, "annotation.mhd")
+            seg, metr = edge_seg.edge_aware_segmentation(
+                atlas, labels,
+                log_sigma=rc.atlas_profile["log_sigma"])
+            sitk_io.write_med_img(
+                sitk_io.reg_out_path(path, "annotation.mhd"),
+                sitk_io.MedImage(seg.astype(np_.int32)))
+            _logger.info("reannotated %s: %s", path, metr)
+            outs.append(metr)
+        return outs
     if task is RegisterTypes.MAKE_SUBSEGS:
         from magellanmapper_tpu.atlas import edge_seg
         from magellanmapper_tpu.io import sitk_io

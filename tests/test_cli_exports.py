@@ -272,3 +272,23 @@ class TestCLIMoreRegisterTasks:
             "--img", *paths, "--register", "export_common_labels",
             "--prefix", str(tmp_path / "common.csv")])
         assert list(df["Region"]) == [2, 3]
+
+
+class TestCLIMergeSegs:
+    def test_merge_atlas_segs_reannotates(self, tmp_path):
+        from magellanmapper_tpu.io import sitk_io
+        zz, yy, xx = np.indices((20, 28, 28)).astype(np.float32)
+        atlas = np.exp(-(((zz-10)/8)**2 + ((yy-14)/11)**2
+                         + ((xx-14)/11)**2) * 2).astype(np.float32)
+        labels = np.zeros(atlas.shape, np.int32)
+        labels[atlas > 0.3] = 4
+        labels[:, :, :14][atlas[:, :, :14] > 0.3] = 7
+        base = str(tmp_path / "m.npy")
+        sitk_io.write_reg_images({
+            "atlasVolume.mhd": sitk_io.MedImage(atlas),
+            "annotation.mhd": sitk_io.MedImage(labels)}, base)
+        out = cli.main([
+            "--img", base, "--register", "merge_atlas_segs"])
+        assert out[0]["DSC_orig_new"] > 0.5
+        seg = sitk_io.load_registered_img(base, "annotation.mhd")
+        assert set(np.unique(seg)) <= set(np.unique(labels))
