@@ -139,3 +139,35 @@ def detect_blobs_sharded(
     out = out[out[:, 0] < z]  # drop pad-zone blobs
     out[:, 3] *= math.sqrt(3)
     return blobs_mod.Blobs(out).format_blobs(0)
+
+
+def detect_blobs_sharded_stack(
+        volume: np.ndarray,
+        profiles,
+        resolutions: Sequence[float],
+        mesh: Optional[Mesh] = None,
+        channels: Optional[Sequence[int]] = None) -> Optional[np.ndarray]:
+    """Multichannel sharded whole-volume detection: channels loop over the
+    single-channel sharded pipeline with per-channel profiles, channel
+    stamped into the blob rows."""
+    from magellanmapper_tpu.cv import blobs as blobs_mod
+
+    multichannel = volume.ndim > 3
+    if channels is None:
+        channels = list(range(volume.shape[3])) if multichannel else [0]
+
+    def get_prof(chl):
+        if isinstance(profiles, (list, tuple)):
+            return profiles[min(chl, len(profiles) - 1)]
+        return profiles
+
+    out = []
+    for chl in channels:
+        vol = volume[..., chl] if multichannel else volume
+        blobs = detect_blobs_sharded(
+            np.asarray(vol), get_prof(chl), resolutions, mesh=mesh)
+        if blobs is None:
+            continue
+        blobs_mod.Blobs.set_blob_channel(blobs, chl)
+        out.append(blobs)
+    return np.vstack(out) if out else None

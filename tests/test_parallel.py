@@ -105,3 +105,19 @@ class TestDistributedBlocks:
         n_match = ref_detect.match_blob_sets(
             sharded[:, :3], single[:, :3], (2, 2, 2))
         assert n_match >= 0.97 * max(len(sharded), len(single))
+
+
+class TestShardedMultichannel:
+    def test_channels_stamped(self):
+        vol, centers = _nuclei(31, (32, 40, 40), 12)
+        img = np.stack([vol, vol], axis=-1)
+        prof = ROIProfile()
+        prof["min_sigma_factor"] = 2.0
+        prof["max_sigma_factor"] = 4.0
+        prof["num_sigma"] = 4
+        prof["max_blobs_per_block"] = 256
+        m = mesh_mod.make_mesh(4, dp=1)
+        blobs = halo.detect_blobs_sharded_stack(
+            img, prof, (1.0, 1.0, 1.0), mesh=m)
+        assert blobs is not None
+        assert set(np.unique(blobs[:, 6]).tolist()) == {0.0, 1.0}
