@@ -292,3 +292,74 @@ class TestCLIMergeSegs:
         assert out[0]["DSC_orig_new"] > 0.5
         seg = sitk_io.load_registered_img(base, "annotation.mhd")
         assert set(np.unique(seg)) <= set(np.unique(labels))
+
+
+class TestCLIFullWorkflow:
+    def test_register_density_volstats_chain(self, tmp_path):
+        """The full --register single -> make_density_images ->
+        vol_stats CLI chain on one sample."""
+        import jax.numpy as jnp
+        from magellanmapper_tpu.atlas import transform
+        from magellanmapper_tpu.io import sitk_io
+
+        # sample with nuclei + shifted atlas with labels
+        rng = np.random.default_rng(2)
+        shape = (24, 40, 40)
+        zz, yy, xx = np.indices(shape).astype(np.float32)
+        body = np.exp(-(((zz-12)/9)**2 + ((yy-20)/15)**2
+                        + ((xx-20)/15)**2) * 2).astype(np.float32)
+        sample = body.copy()
+        for c in rng.uniform(8, 32, (15, 3)):
+            sample += 0.5 * np.exp(
+                -((zz-c[0])**2 + (yy-c[1])**2 + (xx-c[2])**2) / 6.0)
+        sample /= sample.max()
+        base = str(tmp_path / "s.npy")
+        np_io.write_npy(base, sample[None])
+
+        moving = np.asarray(transform.resample(
+            jnp.asarray(body), {"t": jnp.asarray([-2.0, 1.0, 0.0])},
+            "translation", shape))
+        labels = (moving > 0.3).astype(np.int32) * 3
+        atlas_dir = tmp_path / "atlas"
+        atlas_dir.mkdir()
+        sitk_io.write_med_img(str(atlas_dir / "atlasVolume.mhd"),
+                              sitk_io.MedImage(moving))
+        sitk_io.write_med_img(str(atlas_dir / "annotation.mhd"),
+                              sitk_io.MedImage(labels))
+
+        # 1. register
+        out = cli.main([
+            "--img", base, str(atlas_dir), "--register", "single",
+            "--atlas_profile", "ncc,noaffine,nobspline,smalliter",
+            "--prefix", base])
+        # chain correctness is the target here; registration quality
+        # gates live in test_registration/test_atlas
+        assert out["metrics"]["DSC_atlas_sample"] > 0.6
+        # 2. detect + 3. density image + 4. vol stats
+        cli.main(["--img", base, "--proc", "detect",
+                  "--roi_profile", "4xnuc"])
+        cli.main(["--img", base, "--register", "make_density_images"])
+        df = cli.main(["--img", base, "--register", "vol_stats"])
+        assert "Nuclei" in df.columns
+        assert df["Nuclei"].sum() > 0
+        assert os.path.exists(base[:-4] + "_vols.csv")
+
+    def test_detect_coloc_and_match(self, tmp_path):
+        rng = np.random.default_rng(4)
+        shape = (16, 32, 32)
+        zz, yy, xx = np.indices(shape).astype(np.float32)
+        vol = rng.normal(0.03, 0.01, shape).astype(np.float32)
+        for c in rng.uniform(6, 26, (6, 3)):
+            vol += np.exp(-((zz-c[0])**2 + (yy-c[1])**2
+                            + (xx-c[2])**2) / 6.0)
+        img = np.stack([vol, vol], axis=-1)
+        base = str(tmp_path / "c.npy")
+        np_io.write_npy(base, img[None])
+        blobs = cli.main([
+            "--img", base, "--proc", "detect_coloc",
+            "--roi_profile", "4xnuc"])
+        assert blobs.colocalizations is not None
+        assert blobs.colocalizations.shape[1] == 2
+        matches = cli.main([
+            "--img", base, "--proc", "coloc_match"])
+        assert (0, 1) in matches
