@@ -58,7 +58,7 @@ def _create_db(path: str):
         "FOREIGN KEY (blob2) REFERENCES blobs (id) "
         "ON UPDATE CASCADE ON DELETE CASCADE)")
     cur.execute("INSERT INTO about (version, date) VALUES (?, ?)",
-                (DB_VERSION, datetime.datetime.now()))
+                (DB_VERSION, datetime.datetime.now().isoformat()))
     conn.commit()
     return conn, cur
 
@@ -98,7 +98,7 @@ class ClrDB:
             return row["id"]
         self.cur.execute(
             "INSERT INTO experiments (name, date) VALUES (?, ?)",
-            (exp_name, date or datetime.datetime.now()))
+            (exp_name, date or datetime.datetime.now().isoformat()))
         self.conn.commit()
         return self.cur.lastrowid
 

@@ -155,3 +155,33 @@ class TestSubBlockPreproc:
                         t, 0.2, 1.0, 0.0, 0.3, 0.2)
                     expected[z0:z0+8, y0:y0+8, x0:x0+8] = np.asarray(t)
         np.testing.assert_allclose(fused, expected, rtol=1e-5, atol=1e-6)
+
+
+class TestEdgeCases:
+    def test_zero_volume_returns_empty(self):
+        vol = np.zeros((40, 48, 48), np.float32)
+        prof = ROIProfile()
+        prof["segment_size"] = 30
+        prof["denoise_size"] = None
+        prof["max_blobs_per_block"] = 256
+        blobs, timing = stack_detect.detect_blobs_stack(
+            vol, prof, (1.0, 1.0, 1.0), preprocess=False)
+        assert len(blobs) == 0
+        assert blobs.blobs is None
+
+    def test_volume_smaller_than_block(self, rng):
+        vol = rng.random((10, 12, 12)).astype(np.float32)
+        zz, yy, xx = np.indices(vol.shape).astype(np.float32)
+        vol += 3 * np.exp(-((zz-5)**2 + (yy-6)**2 + (xx-6)**2) / 5.0)
+        vol /= vol.max()
+        prof = ROIProfile()
+        prof["min_sigma_factor"] = 1.5
+        prof["max_sigma_factor"] = 3.0
+        prof["num_sigma"] = 4
+        prof["denoise_size"] = None
+        prof["max_blobs_per_block"] = 64
+        blobs, _ = stack_detect.detect_blobs_blocks(
+            vol, prof, (1.0, 1.0, 1.0), preprocess=False)
+        assert blobs is not None and len(blobs) >= 1
+        # no blob coordinates in the reflect-pad zone
+        assert np.all(blobs[:, :3] < np.asarray(vol.shape))
