@@ -71,6 +71,39 @@ def bench_cpu_baseline(vol, sigmas, threshold, overlap, repeats=2):
     return sub.size / best / 1e6
 
 
+def bench_registration(shape=(64, 96, 96), iters=192):
+    """Registration optimizer steps/sec (BASELINE.json second metric):
+    affine stage with the Mattes-MI metric, single level, steady state."""
+    import jax
+    import jax.numpy as jnp
+    from magellanmapper_tpu.atlas import reg_engine, transform
+
+    rng = np.random.default_rng(0)
+    zz, yy, xx = np.indices(shape).astype(np.float32)
+    fixed = np.exp(-(((zz - shape[0]/2) / (shape[0]/3)) ** 2
+                     + ((yy - shape[1]/2) / (shape[1]/3)) ** 2
+                     + ((xx - shape[2]/2) / (shape[2]/3)) ** 2) * 2)
+    fixed += 0.2 * np.sin(zz / 5) * np.sin(yy / 6)
+    fixed = np.clip(fixed, 0, None).astype(np.float32)
+    moving = np.asarray(transform.resample(
+        jnp.asarray(fixed), {"t": jnp.asarray([-2.0, 3.0, -1.0])},
+        "translation", shape))
+    params = transform.identity_params("affine")
+    lrs = (("W", 0.01), ("t", 1.0))
+    # warmup/compile with the SAME static iteration count
+    p0, l0 = reg_engine._optimize_level(
+        jnp.asarray(fixed), jnp.asarray(moving), params, None, "affine",
+        "AdvancedMattesMutualInformation", iters, None, lrs, (1, 1, 1))
+    float(np.asarray(l0))
+    t0 = time.perf_counter()
+    p, loss = reg_engine._optimize_level(
+        jnp.asarray(fixed), jnp.asarray(moving), params, None, "affine",
+        "AdvancedMattesMutualInformation", iters, None, lrs, (1, 1, 1))
+    float(np.asarray(loss))  # force sync
+    dt = time.perf_counter() - t0
+    return iters / dt
+
+
 def main():
     shape = (128, 256, 256)
     sigmas = np.linspace(2.0, 4.0, 8)
@@ -79,6 +112,10 @@ def main():
     vol = make_volume(shape)
     tpu_mvox, n_blobs = bench_tpu(vol, sigmas, threshold, overlap, capacity)
     cpu_mvox = bench_cpu_baseline(vol, sigmas, threshold, overlap)
+    try:
+        reg_ips = round(bench_registration(), 1)
+    except Exception:
+        reg_ips = None
 
     print(json.dumps({
         "metric": "blob_detection_throughput",
@@ -87,7 +124,9 @@ def main():
         "vs_baseline": round(tpu_mvox / cpu_mvox, 2),
         "extra": {
             "volume": list(shape), "num_sigma": len(sigmas),
-            "blobs": n_blobs, "cpu_baseline_mvox_s": round(cpu_mvox, 3)},
+            "blobs": n_blobs, "cpu_baseline_mvox_s": round(cpu_mvox, 3),
+            "registration_iters_per_s": reg_ips,
+            "registration_bench": "affine stage, Mattes-MI, (64,96,96)"},
     }))
 
 
