@@ -90,15 +90,17 @@ def bench_registration(shape=(64, 96, 96), iters=192):
         "translation", shape))
     params = transform.identity_params("affine")
     lrs = (("W", 0.01), ("t", 1.0))
+    # same metric-sample stride the engine itself would pick at this level
+    stride = reg_engine._metric_stride(shape)
     # warmup/compile with the SAME static iteration count
     p0, l0 = reg_engine._optimize_level(
         jnp.asarray(fixed), jnp.asarray(moving), params, None, "affine",
-        "AdvancedMattesMutualInformation", iters, None, lrs, (1, 1, 1))
+        "AdvancedMattesMutualInformation", iters, None, lrs, stride)
     float(np.asarray(l0))
     t0 = time.perf_counter()
     p, loss = reg_engine._optimize_level(
         jnp.asarray(fixed), jnp.asarray(moving), params, None, "affine",
-        "AdvancedMattesMutualInformation", iters, None, lrs, (1, 1, 1))
+        "AdvancedMattesMutualInformation", iters, None, lrs, stride)
     float(np.asarray(loss))  # force sync
     dt = time.perf_counter() - t0
     return iters / dt

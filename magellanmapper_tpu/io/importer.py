@@ -42,10 +42,12 @@ def deconstruct_img_name(
 
 def make_subimage_name(
         base: str, offset: Sequence[int], size: Sequence[int]) -> str:
-    """Sub-image path naming (reference ``naming.make_subimage_name``)."""
-    from magellanmapper_tpu.utils import libmag
-    return libmag.insert_before_ext(
-        base, "_({},{},{})x({},{},{})".format(*offset, *size))
+    """Sub-image path naming with x,y,z-ordered tuples; thin wrapper over
+    ``io.naming.make_subimage_name`` (which speaks z,y,x per the
+    reference)."""
+    from magellanmapper_tpu.io import naming
+    return naming.make_subimage_name(
+        base, tuple(offset)[::-1], tuple(size)[::-1])
 
 
 def import_tiff(

@@ -1,0 +1,171 @@
+"""Headless editor controllers: ROI blob curation, atlas label editing,
+per-plane canvas (reference gui/roi_editor, gui/atlas_editor,
+gui/plot_editor flows)."""
+
+import numpy as np
+import pytest
+
+from magellanmapper_tpu.gui.atlas_editor import AtlasEditor
+from magellanmapper_tpu.gui.plot_editor import PlotEditor
+from magellanmapper_tpu.gui.roi_editor import ROIEditor
+
+
+@pytest.fixture
+def roi_ed(rng):
+    roi = rng.random((12, 20, 20)).astype(np.float32)
+    blobs = np.array([[3.0, 5, 5, 2], [8, 10, 12, 3]])
+    return ROIEditor(roi, blobs, offset=(10, 20, 30))
+
+
+class TestROIEditor:
+    def test_add_move_delete_undo(self, roi_ed):
+        idx = roi_ed.add_blob(6, 7, 8, radius=2.5, channel=1)
+        assert len(roi_ed.blobs) == 3
+        assert roi_ed.blobs[idx, 4] == 1          # manual adds confirmed
+        assert roi_ed.blobs[idx, 6] == 1
+        roi_ed.move_blob(idx, dz=100)             # clipped to ROI
+        assert roi_ed.blobs[idx, 0] == 11
+        roi_ed.delete_blob(idx)
+        assert len(roi_ed.blobs) == 2
+        assert roi_ed.undo()                       # restore deleted
+        assert len(roi_ed.blobs) == 3
+
+    def test_confirmed_cycle(self, roi_ed):
+        assert roi_ed.blobs[0, 4] == -1
+        assert roi_ed.cycle_confirmed(0) == 0
+        assert roi_ed.cycle_confirmed(0) == 1
+        assert roi_ed.cycle_confirmed(0) == -1
+        assert roi_ed.verified_counts() == (2, 0, 0)
+
+    def test_blobs_in_plane_radius(self, roi_ed):
+        # blob at z=3 r=2 spans planes 1..5; blob at z=8 r=3 spans 5..11
+        assert set(roi_ed.blobs_in_plane(2)) == {0}
+        assert set(roi_ed.blobs_in_plane(5)) == {0, 1}
+        assert set(roi_ed.blobs_in_plane(7)) == {1}
+
+    def test_absolute_coords_and_db_roundtrip(self, roi_ed, tmp_path):
+        from magellanmapper_tpu.io import sqlite as sq
+        absb = roi_ed.blobs_absolute()
+        np.testing.assert_array_equal(absb[0, :3], [13, 25, 35])
+        db = sq.load_db(str(tmp_path / "e.db"))
+        n = roi_ed.save(db, "exp1", 0)
+        assert n == 2
+        rois = db.get_rois()
+        got = db.select_blobs_by_roi(rois[0]["id"])
+        assert len(got) == 2
+        db.close()
+
+
+@pytest.fixture
+def atlas_ed(rng):
+    img = rng.random((10, 16, 16)).astype(np.float32)
+    labels = np.zeros((10, 16, 16), np.int32)
+    labels[:, 4:8, 4:8] = 5
+    return AtlasEditor(img, labels)
+
+
+class TestAtlasEditor:
+    def test_paint_erase_undo(self, atlas_ed):
+        before = atlas_ed.labels_img.copy()
+        changed = atlas_ed.paint_label(0, 2, (12, 12), 2.0, 7)
+        assert changed > 0
+        assert atlas_ed.edited
+        assert (atlas_ed.labels_img[2] == 7).sum() == changed
+        assert atlas_ed.undo()
+        np.testing.assert_array_equal(atlas_ed.labels_img, before)
+
+    def test_erase_sets_background(self, atlas_ed):
+        atlas_ed.erase_label(0, 3, (5, 5), 1.0)
+        assert atlas_ed.labels_img[3, 5, 5] == 0
+
+    def test_positions_and_label_lookup(self, atlas_ed):
+        atlas_ed.set_position(0, 99)          # clipped
+        assert atlas_ed.position[0] == 9
+        assert atlas_ed.get_label_at((0, 5, 5)) == 5
+        assert atlas_ed.get_label_name() is None   # no ref attached
+
+    def test_interpolate_from_bookmark(self, atlas_ed):
+        # paint label 9 on planes 1 and 6, then interpolate between
+        atlas_ed.paint_label(0, 1, (10, 10), 2.5, 9)
+        atlas_ed.paint_label(0, 6, (10, 10), 2.5, 9)
+        # bookmark is now (9, axis 0, plane 6); two-click back to plane 1
+        assert atlas_ed.interpolate_from_bookmark(0, 1)
+        for z in range(2, 6):
+            assert (atlas_ed.labels_img[z] == 9).any(), z
+
+    def test_save_atlas(self, atlas_ed, tmp_path):
+        from magellanmapper_tpu.io import sitk_io
+        out = atlas_ed.save_atlas(str(tmp_path / "annotationEdit.mhd"))
+        med = sitk_io.read_med_img(out)
+        np.testing.assert_array_equal(med.img, atlas_ed.labels_img)
+        assert not atlas_ed.edited
+
+
+class TestPlotEditor:
+    def test_scroll_zoom_pan(self, atlas_ed):
+        pe = atlas_ed.make_plot_editor("xy")
+        assert isinstance(pe, PlotEditor)
+        start = pe.index
+        pe.scroll(2)
+        assert pe.index == start + 2
+        pe.zoom(2.0)
+        assert pe.view[2] == 8 and pe.view[3] == 8
+        pe.pan(100, 100)                       # clipped to plane
+        assert pe.view[0] == 8 and pe.view[1] == 8
+        pe.reset_view()
+        assert pe.view == [0.0, 0.0, 16.0, 16.0]
+
+    def test_render_shapes_and_window(self, atlas_ed):
+        pe = atlas_ed.make_plot_editor("xy")
+        rgb = pe.render()
+        assert rgb.shape == (16, 16, 3)
+        assert rgb.min() >= 0 and rgb.max() <= 1
+        pe.update_intensity(0.0, 10.0)         # dim window
+        dim = pe.render()
+        # outside the label overlay the gray must dim
+        bg = ~np.isin(atlas_ed.get_plane(0, pe.index, labels=True), [0]) == 0
+        assert dim[bg].mean() < rgb[bg].mean()
+
+    def test_pick_then_paint(self, atlas_ed):
+        pe = atlas_ed.make_plot_editor("xy")
+        lid = pe.pick_label(5, 5)
+        assert lid == 5
+        pe.brush_radius = 1.5
+        changed = pe.paint(12, 12)
+        assert changed > 0
+        assert atlas_ed.labels_img[pe.index, 12, 12] == 5
+
+    def test_orthogonal_axes(self, atlas_ed):
+        pe_xz = atlas_ed.make_plot_editor("xz")
+        assert pe_xz.render().shape == (10, 16, 3)
+        pe_yz = atlas_ed.make_plot_editor("yz")
+        assert pe_yz._plane_shape() == (10, 16)
+
+
+class TestNamingLoadEnv:
+    def test_make_subimage_name_zyx(self):
+        from magellanmapper_tpu.io import naming
+        # z,y,x in -> x,y,z in the name (reference convention)
+        name = naming.make_subimage_name(
+            "/d/brain.npy", (30, 20, 10), (60, 50, 40))
+        assert name == "/d/brain_(10,20,30)x(40,50,60).npy"
+
+    def test_importer_wrapper_matches_xyz(self):
+        from magellanmapper_tpu.io import importer
+        name = importer.make_subimage_name(
+            "/d/brain.npy", (10, 20, 30), (40, 50, 60))
+        assert name == "/d/brain_(10,20,30)x(40,50,60).npy"
+
+    def test_get_roi_path(self):
+        from magellanmapper_tpu.io import naming
+        assert naming.get_roi_path("/d/b.npy", (1, 2, 3), (4, 5, 6)) \
+            == "/d/b_offset(1,2,3)x(4,5,6)"
+
+    def test_load_env_checks(self):
+        from magellanmapper_tpu.io import load_env
+        assert isinstance(load_env.is_venv_activated(), bool)
+        assert not load_env.is_conda_activated("no_such_env_prefix")
+        accel = load_env.check_accelerator()
+        assert accel["device_count"] >= 1       # CPU devices in tests
+        args = load_env.build_launch_args(["--help"])
+        assert args[-1] == "--help" and "magellanmapper_tpu.io.cli" in args
