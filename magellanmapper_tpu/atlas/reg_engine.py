@@ -269,13 +269,16 @@ def register_duo(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "lrs"))
+    jax.jit, static_argnames=("iters", "lrs", "stride"))
 def _optimize_group_level(
         vols: jnp.ndarray, params_stack: Dict, iters: int,
-        lrs: Tuple[Tuple[str, float], ...]):
+        lrs: Tuple[Tuple[str, float], ...],
+        stride: Tuple[int, int, int] = (1, 1, 1)):
     """Joint groupwise level: minimize mean per-voxel variance across the
     group under per-image affine transforms (the Elastix 4D-groupwise
-    metric family, ``register_group`` reference ``register.py:1189``)."""
+    metric family, ``register_group`` reference ``register.py:1189``).
+    The variance metric is evaluated on a ``stride``-subsampled grid —
+    the K warp gathers per step are the TPU hot spot."""
     lr_map = dict(lrs)
     opt = optax.adam(1.0)
     shape = vols.shape[1:]
@@ -283,7 +286,7 @@ def _optimize_group_level(
     def loss_fn(p):
         def move_one(vol, w, t):
             return transform.resample(
-                vol, {"W": w, "t": t}, "affine", shape)
+                vol, {"W": w, "t": t}, "affine", shape, stride=stride)
         moved = jax.vmap(move_one)(vols, p["W"], p["t"])
         var = jnp.var(moved, axis=0)
         # anchor: keep the mean transform near identity
@@ -331,7 +334,9 @@ def register_groupwise(
     lrs = (("W", 0.01), ("t", 1.0))
     for lvl, v_l in enumerate(pyr):
         iters = max(1, max_iter // (2 ** lvl))
-        params, loss = _optimize_group_level(v_l, params, iters, lrs)
+        stride = _metric_stride(v_l.shape[1:])
+        params, loss = _optimize_group_level(
+            v_l, params, iters, lrs, stride)
         if lvl < levels - 1:
             params = {"W": params["W"], "t": params["t"] * 2.0}
     _logger.info("groupwise registration done, loss %.6f", float(loss))

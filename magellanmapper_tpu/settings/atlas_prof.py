@@ -34,11 +34,13 @@ def make_reg_param_map(
         map_name: str, max_iter: int, metric="AdvancedMattesMutualInformation",
         num_resolutions: int = 4, grid_space_voxels=None,
         grid_spacing_schedule=None, erode_mask=False, point_based=False,
-        learning_rate=None) -> dict:
+        learning_rate=None, num_spatial_samples=None) -> dict:
     """One registration stage's parameters as a plain dict.
 
     Key names follow the reference ``RegParamMap`` so YAML atlas profiles
-    carry over unchanged.
+    carry over unchanged. ``num_spatial_samples`` mirrors Elastix's
+    ``NumberOfSpatialSamples`` (metric sample budget per iteration); the
+    engine default is 32768 on a strided grid.
     """
     return {
         "map_name": map_name,
@@ -50,6 +52,7 @@ def make_reg_param_map(
         "erode_mask": erode_mask,
         "point_based": point_based,
         "learning_rate": learning_rate,
+        "num_spatial_samples": num_spatial_samples,
     }
 
 
