@@ -266,3 +266,116 @@ def convert_itksnap_to_df(path: str) -> pd.DataFrame:
                 "B": int(nums[3]) if len(nums) > 3 else 0,
             })
     return pd.DataFrame(rows)
+
+
+def get_label_item(label: Optional[Dict], item_key: str, key: str = NODE):
+    """Item from a label's nested node dict, or None
+    (reference ``ontology.get_label_item :620``)."""
+    try:
+        if label is not None and label.get(key) is not None:
+            return label[key].get(item_key)
+    except (KeyError, AttributeError, TypeError):
+        pass
+    return None
+
+
+def get_label_at_level(
+        label_id: Union[int, Sequence[int]], labels_lookup: Dict[int, Dict],
+        level: Optional[int] = None) -> Optional[Dict]:
+    """Label entry, collapsed to its ``level`` ancestor when given
+    (reference ``ontology.get_label_at_level :810``)."""
+    ids = np.atleast_1d(label_id)
+    if not len(ids):
+        return None
+    lid = int(ids[0])
+    label = labels_lookup.get(lid)
+    if label is None or level is None:
+        return label
+    node_level = label[NODE].get(ABA_LEVEL)
+    if node_level is not None and node_level > level:
+        sign = -1 if lid < 0 else 1
+        for pid in label[PARENT_IDS]:
+            parent = labels_lookup.get(pid)
+            if parent is not None and \
+                    parent[NODE].get(ABA_LEVEL) == level:
+                # keep the queried hemisphere
+                return labels_lookup.get(sign * abs(pid), parent)
+    return label
+
+
+def get_label(
+        coord: Sequence[int], labels_img: np.ndarray,
+        labels_lookup: Dict[int, Dict],
+        scaling: Optional[Sequence[float]] = None,
+        level: Optional[int] = None,
+        rounding: bool = False) -> Optional[Dict]:
+    """Atlas label under a z,y,x coordinate
+    (reference ``ontology.get_label :779``)."""
+    coord = np.asarray(coord, float)[:3]
+    if scaling is not None:
+        coord = coord * np.asarray(scaling, float)
+    coord = np.round(coord).astype(int) if rounding else coord.astype(int)
+    coord = np.clip(coord, 0, np.subtract(labels_img.shape[:3], 1))
+    lid = int(labels_img[tuple(coord)])
+    return get_label_at_level(lid, labels_lookup, level)
+
+
+def get_children_from_id_df(
+        df, label_id, label_col: str = "Region",
+        parent_col: str = "Parent", incl_parent: bool = True,
+        ids: Optional[List[int]] = None) -> List[int]:
+    """Descendants of an ID per a Region/Parent data frame
+    (reference ``ontology.get_children_from_id_df :460``)."""
+    if ids is None:
+        ids = list(np.atleast_1d(label_id)) if incl_parent else []
+    children = df.loc[
+        df[parent_col].isin(np.atleast_1d(label_id)), label_col].tolist()
+    if children:
+        ids.extend(children)
+        get_children_from_id_df(
+            df, children, label_col, parent_col, incl_parent, ids)
+    return ids
+
+
+def get_region_middle(
+        labels_ref_lookup: Dict[int, Dict], label_id,
+        labels_img: np.ndarray,
+        scaling: Optional[Sequence[float]] = None,
+        both_sides=False, incl_children: bool = True):
+    """Median coordinate of a region (guaranteed inside the region),
+    its mask, and the scaled coordinate
+    (reference ``ontology.get_region_middle :862``)."""
+    ids: List[int] = []
+    sides = np.broadcast_to(
+        np.atleast_1d(both_sides), np.atleast_1d(label_id).shape)
+    for lid, both in zip(np.atleast_1d(label_id), sides):
+        if incl_children:
+            ids.extend(get_children_from_id(
+                labels_ref_lookup, int(lid), both_sides=bool(both)))
+        else:
+            ids.append(int(lid))
+            if both:
+                ids.append(-int(lid))
+    mask = np.isin(labels_img, ids)
+    coords = np.argwhere(mask)
+    if not len(coords):
+        return None, None, None
+    order = np.lexsort(coords.T[::-1])
+    mid = coords[order[len(order) // 2]]
+    coord_scaled = mid if scaling is None else np.around(
+        np.divide(mid, scaling)).astype(int)
+    return tuple(int(c) for c in mid), mask, tuple(
+        int(c) for c in coord_scaled)
+
+
+def rel_to_abs_ages(rel_ages: Sequence[str],
+                    gestation: float = 19) -> Dict[str, float]:
+    """``E``/``P`` stage names to absolute ages in days
+    (reference ``ontology.rel_to_abs_ages :955``)."""
+    ages = {}
+    for val in rel_ages:
+        age = float(val[1:])
+        if val[0].lower() == "p":
+            age += float(gestation)
+        ages[val] = age
+    return ages

@@ -483,3 +483,151 @@ def angle_indices(
     xs = (offset[1] + t * np.cos(theta)).astype(int)
     keep = (ys >= 0) & (ys < h) & (xs >= 0) & (xs < w)
     return ys[keep], xs[keep]
+
+
+def rotate90(roi: Optional[np.ndarray], rotate: int,
+             axes: Optional[Sequence[int]] = None,
+             multichannel: bool = False) -> Optional[np.ndarray]:
+    """Rotate in 90-degree increments, default in the xy plane
+    (reference ``cv_nd.rotate90 :147``). Negative ``axes`` shift down by
+    one for multichannel images so the channel axis stays last."""
+    if roi is None or not rotate:
+        return roi
+    ax = [-2, -1] if axes is None else list(axes)
+    if multichannel:
+        ax = [a - 1 if a < 0 else a for a in ax]
+    return np.rot90(roi, int(rotate), ax)
+
+
+class RegionProps:
+    """Minimal ``regionprops``-style properties of a binary mask
+    (bbox/area/centroid/image) without skimage."""
+
+    def __init__(self, mask: np.ndarray):
+        coords = np.argwhere(mask)
+        lo = coords.min(axis=0)
+        hi = coords.max(axis=0) + 1
+        self.bbox = tuple(int(v) for v in lo) + tuple(int(v) for v in hi)
+        self.area = int(len(coords))
+        self.centroid = tuple(float(c) for c in coords.mean(axis=0))
+        self.image = mask[tuple(
+            slice(int(a), int(b)) for a, b in zip(lo, hi))]
+
+
+def get_label_props(labels_img: np.ndarray, label_id) -> list:
+    """Region properties of a label or label set
+    (reference ``cv_nd.get_label_props :616``)."""
+    if isinstance(label_id, (tuple, list, np.ndarray)):
+        mask = np.isin(labels_img, label_id)
+    else:
+        mask = labels_img == label_id
+    if not mask.any():
+        return []
+    return [RegionProps(mask)]
+
+
+def extract_region(labels_img: np.ndarray, label_id):
+    """Extract a label's bounding-box view and its slices
+    (reference ``cv_nd.extract_region :658``)."""
+    bbox = get_label_bbox(labels_img, label_id)
+    if bbox is None:
+        return None, None
+    slices = get_bbox_region(bbox)
+    return labels_img[tuple(slices)], slices
+
+
+def meas_region(mask: np.ndarray, res: Sequence[float]):
+    """Physical bounding-box dimensions, volume, and properties of a
+    region mask (reference ``cv_nd.meas_region :681``)."""
+    props = get_label_props(mask.astype(np.int8), 1)
+    ndim = mask.ndim
+    bbox = props[0].bbox
+    shape = [bbox[ndim + i] - bbox[i] for i in range(ndim)]
+    meas = np.multiply(shape, res)
+    vol = float(np.prod(res) * np.sum(mask))
+    return meas, vol, props
+
+
+def compactness_count(mask_borders: np.ndarray, mask_object: np.ndarray):
+    """Compactness from simple boundary/size voxel counts
+    (reference ``cv_nd.compactness_count :376``)."""
+    borders_meas = int(np.sum(mask_borders))
+    size_object = int(np.sum(mask_object))
+    compact = calc_compactness(
+        mask_object.ndim, borders_meas, size_object)
+    return compact, borders_meas, size_object
+
+
+def calc_compactness(ndim: int, size_borders: float, size_object: float):
+    """Classical compactness: perimeter^2/area (2D), area^3/vol^2 (3D)
+    (reference ``cv_nd.calc_compactness :423``); NaN for empty objects."""
+    if size_object <= 0:
+        return np.nan
+    return size_borders ** ndim / size_object ** (ndim - 1)
+
+
+def radial_dist_map(
+        borders: np.ndarray, centroid: Sequence[float]) -> np.ndarray:
+    """Image-shaped distances from each border voxel to ``centroid``
+    (the map flavor of :func:`radial_dist`; reference ``radial_dist
+    :534`` returns this layout)."""
+    idx = np.indices(borders.shape).astype(np.float64)
+    cent = np.asarray(centroid, np.float64).reshape(
+        (-1,) + (1,) * borders.ndim)
+    dist = np.sqrt(((idx - cent) ** 2).sum(axis=0))
+    out = np.zeros_like(dist)
+    out[borders] = dist[borders]
+    return out
+
+
+def radial_dist_diff(radial_orig: np.ndarray, radial_shifted: np.ndarray,
+                     indices) -> np.ndarray:
+    """Relative border shift toward/away from the centroid: shifted
+    distance minus the distance of the nearest original border point
+    (reference ``cv_nd.radial_dist_diff :553``). ``indices`` maps each
+    voxel to its nearest original border point (e.g. from an EDT with
+    return_indices)."""
+    dist_at_nearest = radial_orig[tuple(indices)]
+    dist_at_nearest[radial_shifted <= 0] = 0
+    return np.subtract(radial_shifted, dist_at_nearest)
+
+
+def remove_bg_from_dil_fg(img: np.ndarray, mask: np.ndarray,
+                          selem: np.ndarray) -> None:
+    """Zero pixels outside the dilated foreground mask, in place
+    (reference ``cv_nd.remove_bg_from_dil_fg :780``)."""
+    import jax.numpy as _jnp
+    mask_dil = np.asarray(filters.dilation(
+        _jnp.asarray(mask.astype(np.float32)), selem)) > 0.5
+    img[~mask_dil] = 0
+
+
+def rescale_resize(
+        roi: np.ndarray, target_size=None, multichannel: bool = False,
+        preserve_range: bool = False, **kwargs) -> np.ndarray:
+    """Rescale by a factor or resize to a shape
+    (reference ``cv_nd.rescale_resize :1109``); ``order=0`` for label
+    images. Output dtype follows skimage semantics: float unless
+    ``preserve_range``."""
+    from magellanmapper_tpu.ops import resize as resize_mod
+    from magellanmapper_tpu.utils import libmag
+
+    order = kwargs.get("order", 1)
+    dtype = roi.dtype
+    chan = roi.shape[-1:] if multichannel else ()
+    spatial = roi.shape[:-1] if multichannel else roi.shape
+    if libmag.is_seq(target_size):
+        out_shape = tuple(int(s) for s in target_size)
+    else:
+        factor = float(target_size)
+        out_shape = tuple(
+            max(1, int(round(s * factor))) for s in spatial)
+
+    def one(vol):
+        return np.asarray(resize_mod.resize(vol, out_shape, order=order))
+
+    if multichannel:
+        out = np.stack([one(roi[..., c]) for c in range(chan[0])], axis=-1)
+    else:
+        out = one(roi)
+    return out.astype(dtype) if preserve_range else out

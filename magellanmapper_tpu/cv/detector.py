@@ -252,3 +252,60 @@ def remove_close_blobs_within_sorted_array(
         kept.append(blob.copy())
         kept_coords.append(blob[:3])
     return np.asarray(kept)
+
+
+def blob_surroundings(
+        blob: np.ndarray, roi: np.ndarray, padding: int = 1,
+        plane: bool = False) -> np.ndarray:
+    """Voxels surrounding a blob within radius+padding
+    (reference ``detector._blob_surroundings :844``); ``plane`` returns
+    only the blob's center z-plane."""
+    rad = blob[3]
+    start = np.maximum(np.subtract(blob[:3], rad + padding), 0).astype(int)
+    end = np.minimum(
+        np.add(blob[:3], rad + padding).astype(int),
+        np.subtract(roi.shape[:3], 1))
+    if plane:
+        z = int(np.clip(blob[0], 0, roi.shape[0] - 1))
+        return roi[z, start[1]:end[1], start[2]:end[2]]
+    return roi[start[0]:end[0], start[1]:end[1], start[2]:end[2]]
+
+
+def show_blob_surroundings(
+        blobs: np.ndarray, roi: np.ndarray, padding: int = 1) -> None:
+    """Print each blob's surrounding plane
+    (reference ``detector.show_blob_surroundings :864``)."""
+    np.set_printoptions(precision=2, linewidth=200)
+    for blob in blobs:
+        print(f"{blob} surroundings:")
+        print(blob_surroundings(blob, roi, padding, True))
+    np.set_printoptions()
+
+
+def remove_close_blobs_within_array(blobs, region, tol):
+    """Greedy self-pruning: keep each blob only if not within ``tol`` of
+    any already-kept blob (reference
+    ``detector.remove_close_blobs_within_array :1088``)."""
+    if blobs is None:
+        return None
+    kept = None
+    for blob in blobs:
+        if kept is None:
+            kept = np.array([blob])
+        else:
+            diff = np.abs(kept[:, region] - blob[region])
+            if not np.any(np.all(diff <= tol, axis=1)):
+                kept = np.concatenate([kept, [blob]])
+    return kept
+
+
+def meas_pruning_ratio(
+        num_blobs_orig: int, num_blobs_after_pruning: int,
+        num_blobs_next: int):
+    """Pruning ratios (orig count, pruned:orig, pruned:next)
+    (reference ``detector.meas_pruning_ratio :1126``)."""
+    if num_blobs_next <= 0 or num_blobs_orig <= 0:
+        return None
+    return (num_blobs_orig,
+            num_blobs_after_pruning / num_blobs_orig,
+            num_blobs_after_pruning / num_blobs_next)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 import logging
+from enum import Enum
 import math
 import time
 from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
@@ -542,3 +543,55 @@ def detect_blobs_stack(
     blobs = blobs_mod.Blobs(merged)
     blobs.resolutions = np.atleast_2d(np.asarray(resolutions, float))
     return blobs, timing
+
+
+class StackTimes(Enum):
+    """Stack processing duration keys (reference ``stack_detect.py:27``);
+    values match the timing dict returned by :func:`detect_blobs_blocks`."""
+    DETECTION = "Detection"
+    PRUNING = "Pruning"
+    TOTAL = "Total_stack"
+
+
+class StackDetector:
+    """Class-based façade over the batched block detector (reference
+    ``stack_detect.StackDetector :34``).
+
+    The reference uses class attributes so forked workers inherit state;
+    here blocks run as one vmapped jit on the accelerator, so this wrapper
+    just carries the configuration and delegates to
+    :func:`detect_blobs_blocks` / :func:`_detect_batch`.
+    """
+
+    def __init__(self, img, settings, resolutions,
+                 channel=None, coloc=False):
+        self.img = img
+        self.settings = settings
+        self.resolutions = resolutions
+        self.channel = channel
+        self.coloc = coloc
+
+    def detect_stack(self, preprocess: bool = True):
+        """Run whole-stack detection; returns (blobs, timing)."""
+        return detect_blobs_blocks(
+            self.img, self.settings, self.resolutions,
+            channels=self.channel, preprocess=preprocess)
+
+
+class StackPruner:
+    """Class-based façade over cross-block pruning (reference
+    ``stack_detect.StackPruner :618``); delegates to :func:`prune_blobs`,
+    which runs all overlap regions in fixed-capacity device batches
+    instead of one process per region."""
+
+    def __init__(self, seg_rois, blocks, shape, channels):
+        self.seg_rois = seg_rois
+        self.blocks = blocks
+        self.shape = shape
+        self.channels = channels
+
+    def prune(self):
+        """Prune duplicates in all overlap regions; returns the kept
+        blobs array."""
+        return prune_blobs(
+            self.seg_rois, self.blocks, self.shape, self.channels)

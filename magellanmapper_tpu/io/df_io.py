@@ -133,3 +133,143 @@ def print_data_frame(df: pd.DataFrame, sep: str = " ") -> str:
     s = df.to_string(index=False)
     _logger.info("\n%s", s)
     return s
+
+
+def weight_mean(vals, weights) -> float:
+    """Weighted arithmetic mean, NaN-aware (reference
+    ``df_io.weight_mean :34``): weights of NaN values drop out of the
+    total weight."""
+    vals = np.asarray(vals, float)
+    weights = np.asarray(weights, float)
+    tot = np.sum(weights[~np.isnan(vals)])
+    return float(np.nansum(vals * weights) / tot) if tot else float("nan")
+
+
+def weight_std(vals, weights):
+    """Weighted standard deviation; returns ``(std, mean)``
+    (reference ``df_io.weight_std :51``)."""
+    vals = np.asarray(vals, float)
+    mean = weight_mean(vals, weights)
+    std = float(np.sqrt(weight_mean((vals - mean) ** 2, weights)))
+    return std, mean
+
+
+def df_div(df0: pd.DataFrame, df1: pd.DataFrame, axis: int = 1):
+    """Functional ``DataFrame.div`` (reference ``df_div :67``)."""
+    return df0.div(df1, axis=axis)
+
+
+def df_add(df0: pd.DataFrame, df1: pd.DataFrame, axis: int = 1,
+           fill_value=0):
+    """Functional ``DataFrame.add`` (reference ``df_add :83``)."""
+    return df0.add(df1, axis=axis, fill_value=fill_value)
+
+
+def df_subtract(df0: pd.DataFrame, df1: pd.DataFrame, axis: int = 1,
+                fill_value=0):
+    """Functional ``DataFrame.subtract`` (reference ``df_subtract :100``)."""
+    return df0.subtract(df1, axis=axis, fill_value=fill_value)
+
+
+def func_to_paired_cols(df: pd.DataFrame, col1: str, col2: str, fn,
+                        name: str) -> None:
+    """Apply ``fn`` to a column pair into a new column, in place
+    (reference ``func_to_paired_cols :118``)."""
+    df[name] = fn(df[col1], df[col2])
+
+
+def add_cols_df(df: pd.DataFrame, cols: dict) -> pd.DataFrame:
+    """Add default-valued columns (reference ``add_cols_df :459``)."""
+    for key, val in cols.items():
+        df[key] = val
+    return df
+
+
+def append_cols(dfs, labels, fn_col=None, extra_cols=None,
+                data_cols=None) -> pd.DataFrame:
+    """Concatenate data frames column-wise, prefixing each frame's
+    columns with its label (reference ``append_cols :408``). Assumes
+    identical sample ordering across frames."""
+    out = []
+    for i, (df, label) in enumerate(zip(dfs, labels)):
+        cols = list(df.columns)
+        if fn_col is not None or data_cols:
+            cols = list(data_cols) if data_cols else cols
+            if fn_col is not None:
+                cols = [c for c in cols if fn_col(c)]
+            if i == 0 and extra_cols:
+                cols = list(extra_cols) + cols
+            df = df[cols]
+        renames = {c: f"{label}.{c}" for c in df.columns
+                   if not (i == 0 and extra_cols and c in extra_cols)}
+        out.append(df.rename(columns=renames))
+    return pd.concat(out, axis=1)
+
+
+def combine_cols(df: pd.DataFrame, combos) -> pd.DataFrame:
+    """Aggregate column groups into new columns. Each combo is an Enum
+    whose value is ``(new_col, (member_enums...), fn_aggr)``
+    (reference ``combine_cols :381``)."""
+    import warnings as _warnings
+    for combo in combos:
+        name, members, fn_aggr = combo.value
+        metrics = [m.name for m in members if m.name in df.columns]
+        if len(metrics) < len(members):
+            _warnings.warn(
+                f"Could not find all metrics for {name}; using {metrics}")
+        if metrics:
+            df.loc[:, name] = fn_aggr(df.loc[:, metrics])
+    return df
+
+
+def coefvar_df(df: pd.DataFrame, id_cols, metric_cols,
+               size_col=None) -> pd.DataFrame:
+    """Coefficient of variation of each metric per group; the size
+    column becomes its mean (reference ``coefvar_df :309``)."""
+    aggs = {m: lambda v: np.nanstd(v) / np.nanmean(v)
+            for m in metric_cols}
+    if size_col:
+        aggs[size_col] = np.nanmean
+    return df.groupby(list(id_cols)).agg(aggs).reset_index()
+
+
+def cond_to_cols_df(df: pd.DataFrame, id_cols, cond_col, cond_base,
+                    metric_cols, sep: str = "_") -> pd.DataFrame:
+    """Pivot metric rows per condition into ``metric<sep>condition``
+    columns (reference ``cond_to_cols_df :339``)."""
+    conds = list(df[cond_col].unique())
+    if cond_base is None:
+        cond_base = conds[0]
+    if cond_base in conds:
+        conds.remove(cond_base)
+        conds.insert(0, cond_base)
+    out = None
+    for cond in conds:
+        sub = df[df[cond_col] == cond][
+            list(id_cols) + list(metric_cols)].copy()
+        sub = sub.rename(
+            columns={m: f"{m}{sep}{cond}" for m in metric_cols})
+        out = sub if out is None else out.merge(
+            sub, on=list(id_cols), how="outer")
+    return out
+
+
+def exps_by_regions(path, filter_zeros: bool = True,
+                    sample_delim: str = "-"):
+    """Pivot a volumes-by-regions CSV into one frame per measurement with
+    regions as rows and samples as columns (reference
+    ``exps_by_regions :133``)."""
+    df = pd.read_csv(path)
+    measurements = [c for c in ("Volume", "Nuclei") if c in df.columns]
+    out = {}
+    for meas in measurements:
+        piv = df.pivot_table(
+            values=meas, index="Region", columns="Sample",
+            aggfunc="sum")
+        if sample_delim is not None:
+            piv = piv.rename(columns={
+                c: str(c).split(sample_delim)[0] for c in piv.columns})
+        if filter_zeros:
+            piv = piv[(piv.fillna(0) != 0).any(axis=1)]
+        out[meas] = piv
+    return out

@@ -278,3 +278,59 @@ def read_tif(path: str, lazy: bool = True):
         except ValueError:
             pass
     return tiff_mod.read_tiff(path)
+
+
+def img_to_blobs_path(path: str) -> str:
+    """Default blobs archive path for an image base path
+    (reference ``np_io.img_to_blobs_path :73``)."""
+    from magellanmapper_tpu.utils import libmag
+    return libmag.combine_paths(path, "blobs.npz")
+
+
+def read_np_archive(archive) -> Dict:
+    """NPZ archive to a dict, skipping unloadable (pickled) entries
+    (reference ``np_io.read_np_archive :159``)."""
+    out = {}
+    for key in archive.files if hasattr(archive, "files") else archive:
+        try:
+            out[key] = archive[key]
+        except Exception:
+            continue
+    return out
+
+
+def fix_memmap_shape(shape) -> Tuple[int, ...]:
+    """Shape tuple of primitive ints (NumPy-2 ``open_memmap`` rejects
+    ``np.int64`` entries; reference ``np_io.fix_memmap_shape :594``)."""
+    return tuple(int(s) for s in shape)
+
+
+def get_num_channels(img: Optional[np.ndarray] = None,
+                     is_3d: bool = False) -> int:
+    """Channel count for z,y,x[,c] (``is_3d``) or t,z,y,x[,c] arrays
+    (reference ``np_io.get_num_channels :610``)."""
+    if img is None:
+        return 1
+    chl_dim = 3 if is_3d else 4
+    return int(img.shape[chl_dim]) if img.ndim > chl_dim else 1
+
+
+def write_raw_file(arr: np.ndarray, path: str) -> str:
+    """Stream an array to a raw binary file via memmap
+    (reference ``np_io.write_raw_file :628``)."""
+    mm = np.memmap(path, dtype=arr.dtype, mode="w+", shape=arr.shape)
+    mm[:] = arr[:]
+    mm.flush()
+    return path
+
+
+def write_tif(img: np.ndarray, path: str, **kwargs) -> str:
+    """Write an array as (Big)TIFF planes
+    (reference ``np_io.write_tif :650`` uses tifffile; here the
+    self-contained writer in :mod:`magellanmapper_tpu.io.tiff`)."""
+    from magellanmapper_tpu.io import tiff as tiff_mod
+    from magellanmapper_tpu.utils import libmag
+    out = libmag.match_ext("x.tif", path) if not path.endswith(
+        (".tif", ".tiff")) else path
+    tiff_mod.write_tiff(out, np.asarray(img))
+    return out

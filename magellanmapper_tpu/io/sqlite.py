@@ -261,3 +261,107 @@ def merge_truth_dbs(paths: Sequence[str], out_path: str) -> ClrDB:
                 out.insert_blobs(roi_id, blobs)
         src.close()
     return out
+
+
+def get_exp_name(path: str) -> str:
+    """Experiment name for the DB: basename without extension, sub-image
+    suffix preserved (reference ``sqlite.get_exp_name :178``)."""
+    from magellanmapper_tpu.io import importer
+    base = importer.deconstruct_img_name(path)[0]
+    return os.path.splitext(os.path.basename(base))[0] if base else base
+
+
+def match_elements(src: str, delim: str, repeat: str) -> str:
+    """Repeat a token once per delimited element of ``src``
+    (reference ``sqlite.match_elements :493``)."""
+    return delim.join([repeat] * len(src.split(delim)))
+
+
+def _clrdb_select_about(self) -> list:
+    self.cur.execute("SELECT * FROM about")
+    return self.cur.fetchall()
+
+
+def _clrdb_db_version(self) -> int:
+    try:
+        rows = self.select_about()
+        return int(rows[-1]["version"]) if rows else 0
+    except sqlite3.OperationalError:
+        return 0
+
+
+def _clrdb_upgrade_db(self) -> int:
+    """Bring an older database to the current schema
+    (reference ``sqlite.upgrade_db :101``): adds the ``about`` table
+    (v2), blob channel column (v3), and ``blob_matches`` table (v4)."""
+    ver = self.db_version()
+    if ver >= DB_VERSION:
+        return ver
+    if ver < 2:
+        try:
+            self.cur.execute(
+                "CREATE TABLE about "
+                "(version INTEGER PRIMARY KEY, date DATE)")
+        except sqlite3.OperationalError:
+            pass
+    if ver < 3:
+        cols = [r["name"] for r in self.cur.execute(
+            "PRAGMA table_info(blobs)")]
+        if "channel" not in cols:
+            self.cur.execute(
+                "ALTER TABLE blobs ADD COLUMN channel INTEGER DEFAULT 0")
+    if ver < 4:
+        self.cur.execute(
+            "CREATE TABLE IF NOT EXISTS blob_matches "
+            "(id INTEGER PRIMARY KEY AUTOINCREMENT, roi_id INTEGER, "
+            "blob1 INTEGER, blob2 INTEGER, dist REAL)")
+    self.cur.execute("INSERT INTO about (version, date) VALUES (?, ?)",
+                     (DB_VERSION, datetime.datetime.now().isoformat()))
+    self.conn.commit()
+    return DB_VERSION
+
+
+def _clrdb_select_rois(self, exp_id=None):
+    return self.get_rois(exp_id)
+
+
+def _clrdb_select_roi(self, roi_id: int):
+    """One ROI row by ID (reference ``sqlite.select_roi :344``)."""
+    self.cur.execute("SELECT * FROM rois WHERE id = ?", (roi_id,))
+    return self.cur.fetchone()
+
+
+def _clrdb_update_rois(self, offset, size) -> int:
+    """Shift all ROI offsets by ``-offset`` and grow sizes by ``size``
+    (reference ``sqlite.update_rois :321``)."""
+    self.cur.execute("SELECT * FROM rois")
+    rows = self.cur.fetchall()
+    for row in rows:
+        self.cur.execute(
+            "UPDATE rois SET offset_x = ?, offset_y = ?, offset_z = ?, "
+            "size_x = ?, size_y = ?, size_z = ? WHERE id = ?",
+            (row["offset_x"] - offset[0], row["offset_y"] - offset[1],
+             row["offset_z"] - offset[2], row["size_x"] + size[0],
+             row["size_y"] + size[1], row["size_z"] + size[2], row["id"]))
+    self.conn.commit()
+    return len(rows)
+
+
+def _clrdb_get_roi_offset(self, roi) -> tuple:
+    """ROI offset as x,y,z (reference ``sqlite.get_roi_offset``)."""
+    return (roi["offset_x"], roi["offset_y"], roi["offset_z"])
+
+
+def _clrdb_get_roi_size(self, roi) -> tuple:
+    """ROI shape as x,y,z (reference ``sqlite.get_roi_size``)."""
+    return (roi["size_x"], roi["size_y"], roi["size_z"])
+
+
+ClrDB.select_about = _clrdb_select_about
+ClrDB.db_version = _clrdb_db_version
+ClrDB.upgrade_db = _clrdb_upgrade_db
+ClrDB.select_rois = _clrdb_select_rois
+ClrDB.select_roi = _clrdb_select_roi
+ClrDB.update_rois = _clrdb_update_rois
+ClrDB.get_roi_offset = _clrdb_get_roi_offset
+ClrDB.get_roi_size = _clrdb_get_roi_size

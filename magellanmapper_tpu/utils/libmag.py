@@ -171,3 +171,149 @@ def make_abs_path(path: str, base_dir: Optional[str] = None) -> str:
     if os.path.isabs(path) or base_dir is None:
         return path
     return os.path.join(base_dir, path)
+
+
+def is_seq(val: Any) -> bool:
+    """True for list/tuple/ndarray (not strings)."""
+    return isinstance(val, (list, tuple, np.ndarray))
+
+
+def swap_elements(arr, axis0: int, axis1: int, offset: int = 0):
+    """Swap two elements of a list/tuple/array; tuples come back as new
+    tuples (reference ``libmag.swap_elements :46``)."""
+    was_tuple = isinstance(arr, tuple)
+    out = list(arr) if not isinstance(arr, np.ndarray) else arr.copy()
+    i, j = axis0 + offset, axis1 + offset
+    out[i], out[j] = out[j], out[i]
+    return tuple(out) if was_tuple else out
+
+
+def transpose_1d(arr, plane: str):
+    """Reorder a z,y,x 1D sequence for an ``xz``/``yz`` plane view
+    (reference ``libmag.transpose_1d :71``)."""
+    if plane == "xz":
+        return swap_elements(arr, 0, 1)
+    if plane == "yz":
+        return swap_elements(swap_elements(arr, 0, 2), 1, 2)
+    return arr
+
+
+def transpose_1d_rev(arr, plane: str):
+    """Inverse of :func:`transpose_1d` (reference ``:83``)."""
+    if plane == "xz":
+        return swap_elements(arr, 1, 0)
+    if plane == "yz":
+        return swap_elements(swap_elements(arr, 2, 1), 2, 0)
+    return arr
+
+
+def roll_elements(arr, shift: int, axis: Optional[int] = None):
+    """``np.roll`` that keeps tuples as tuples (reference ``:95``)."""
+    was_tuple = isinstance(arr, tuple)
+    out = np.roll(np.asarray(arr) if was_tuple else arr, shift, axis)
+    return tuple(out) if was_tuple else out
+
+
+def replace_seq(seq: Sequence, replacement: Sequence) -> np.ndarray:
+    """Overlay ``replacement`` onto a copy of ``seq`` (as arrays),
+    replacing as many leading values as fit (reference ``:165``)."""
+    out = np.asarray(seq).copy()
+    rep = np.asarray(replacement)
+    n = min(len(out), len(rep))
+    out[:n] = rep[:n]
+    return out
+
+
+def combine_arrs(arrs, filter_none: bool = True, fn=None, **kwargs):
+    """Concatenate (or ``fn``) arrays after dropping ``None``s
+    (reference ``:196``)."""
+    if arrs is None:
+        return None
+    kept = [a for a in arrs if a is not None] if filter_none else list(arrs)
+    kept = [a for a in kept if not (hasattr(a, "__len__") and len(a) == 0)]
+    if not kept:
+        return None
+    return (fn or np.concatenate)(kept, **kwargs)
+
+
+def flatten(vals):
+    """Flatten arbitrarily nested sequences (generator, reference
+    ``:230``)."""
+    for val in vals:
+        if is_seq(val):
+            yield from flatten(val)
+        else:
+            yield val
+
+
+def match_ext(path: str, path_to_match: str) -> str:
+    """Give ``path_to_match`` the extension of ``path``
+    (reference ``match_ext :296``)."""
+    ext = splitext(path)[1]
+    if not ext:
+        return path_to_match
+    return splitext(path_to_match)[0] + ext
+
+
+def make_out_path(
+        base_path: Optional[str] = None, prefix: Optional[str] = None,
+        suffix: Optional[str] = None, combine_prefix: bool = False) -> str:
+    """Output path from base/prefix/suffix: a prefix replaces the base
+    unless ``combine_prefix`` (reference ``make_out_path :372``)."""
+    path = base_path or ""
+    if prefix and not combine_prefix:
+        path = prefix
+    elif prefix:
+        path = os.path.join(os.path.dirname(path),
+                            prefix + os.path.basename(path))
+    if suffix:
+        path = insert_before_ext(path, suffix)
+    return path
+
+
+def remove_file(path: str) -> bool:
+    """Remove a file if present; True when removed (reference ``:404``)."""
+    try:
+        if os.path.isfile(path):
+            os.remove(path)
+            return True
+    except OSError:
+        pass
+    return False
+
+
+def last_lines(path: str, n: int) -> Optional[list]:
+    """Last ``n`` lines of a text file (reference ``libmag.last_lines``)."""
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        return f.readlines()[-n:]
+
+
+def get_int(val):
+    """Parse to int, then float, else return unchanged (reference
+    ``libmag.get_int``)."""
+    try:
+        return int(val)
+    except (TypeError, ValueError):
+        try:
+            return float(val)
+        except (TypeError, ValueError):
+            return val
+
+
+def is_int(val) -> bool:
+    """True if value is integral (reference ``libmag.is_int``)."""
+    try:
+        return float(val).is_integer()
+    except (TypeError, ValueError):
+        return False
+
+
+def is_number(val) -> bool:
+    """True if value parses as a number (reference ``libmag.is_number``)."""
+    try:
+        float(val)
+        return True
+    except (TypeError, ValueError):
+        return False
