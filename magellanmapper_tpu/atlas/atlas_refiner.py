@@ -383,3 +383,94 @@ def import_atlas(
     df.to_csv(csv_path, index=False)
     paths["metrics"] = csv_path
     return paths
+
+
+def crop_to_orig(labels_img_np_orig: np.ndarray,
+                 labels_img_np: np.ndarray, crop) -> None:
+    """Zero new labels outside the original labels' extent, in place;
+    ``crop > 0`` opens the background mask by a ball of that radius
+    first (reference ``atlas_refiner.crop_to_orig :650``)."""
+    if crop is False:
+        return
+    mask = labels_img_np_orig == 0
+    if crop and crop > 0:
+        import jax.numpy as _jnp
+        from magellanmapper_tpu.ops import filters as _filters
+        fp = _filters.ball_footprint(int(crop))
+        er = np.asarray(_filters.erosion(
+            _jnp.asarray(mask.astype(np.float32)), fp)) > 0.5
+        mask = np.asarray(_filters.dilation(
+            _jnp.asarray(er.astype(np.float32)), fp)) > 0.5
+    labels_img_np[mask] = 0
+
+
+def find_labels_lost(label_ids_orig: np.ndarray, label_ids: np.ndarray,
+                     label_img_np_orig: Optional[np.ndarray] = None
+                     ) -> np.ndarray:
+    """IDs present originally but missing after refinement; logs lost
+    region sizes when the original image is given
+    (reference ``atlas_refiner.find_labels_lost :734``)."""
+    label_ids_orig = np.asarray(label_ids_orig)
+    lost = label_ids_orig[np.isin(
+        label_ids_orig, np.asarray(label_ids), invert=True)]
+    if label_img_np_orig is not None:
+        for lid in lost:
+            _logger.info(
+                "lost label %s covered %d voxels", lid,
+                int(np.sum(label_img_np_orig == lid)))
+    return lost
+
+
+def make_labels_fg(labels_img: np.ndarray) -> np.ndarray:
+    """Binary foreground of a labels image (nonzero -> 1)
+    (reference ``atlas_refiner.make_labels_fg :1768``)."""
+    fg = np.asarray(labels_img).copy()
+    fg[fg != 0] = 1
+    return fg
+
+
+def aggr_smoothing_metrics(df_pxs: pd.DataFrame) -> pd.DataFrame:
+    """Aggregate per-label smoothing stats, volume-weighted
+    (reference ``atlas_refiner.aggr_smoothing_metrics :1037``)."""
+    from magellanmapper_tpu.io import df_io
+    from magellanmapper_tpu.settings.config import SmoothingMetrics as SM
+    wt_col = "Vol_orig" if "Vol_orig" in df_pxs.columns else None
+    row = {}
+    for key in (SM.FILTER_SIZE, SM.COMPACTION, SM.DISPLACEMENT,
+                SM.SM_QUALITY, SM.COMPACTNESS):
+        col = key.value
+        if col not in df_pxs.columns:
+            continue
+        vals = df_pxs[col].to_numpy(dtype=float)
+        if wt_col:
+            row[col] = [df_io.weight_mean(
+                vals, df_pxs[wt_col].to_numpy(dtype=float))]
+        else:
+            row[col] = [np.nanmean(vals)]
+    return pd.DataFrame(row)
+
+
+def measure_atlas_refinement(
+        metrics_dict, img_atlas: np.ndarray, img_labels: np.ndarray,
+        atlas_profile=None, path: Optional[str] = None) -> pd.DataFrame:
+    """Overall refinement metrics: atlas/labels DSC and total volumes,
+    merged with accumulated per-step metrics
+    (reference ``atlas_refiner.measure_atlas_refinement :1595``)."""
+    from magellanmapper_tpu.atlas import metrics as reg_metrics
+    from magellanmapper_tpu.io import df_io
+    thresh = None
+    if atlas_profile is not None:
+        thresh = atlas_profile["atlas_threshold_all"]
+    fg_atlas = img_atlas > (
+        thresh if thresh is not None else np.mean(img_atlas))
+    fg_labels = img_labels != 0
+    metrics_dict = dict(metrics_dict or {})
+    metrics_dict.setdefault(
+        "DSC_atlas_labels",
+        [float(reg_metrics.dice(fg_atlas, fg_labels))])
+    metrics_dict.setdefault("Vol_atlas", [int(fg_atlas.sum())])
+    metrics_dict.setdefault("Vol_labels", [int(fg_labels.sum())])
+    df = df_io.dict_to_data_frame(metrics_dict)
+    if path:
+        df.to_csv(path, index=False)
+    return df

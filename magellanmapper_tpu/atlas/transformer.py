@@ -160,3 +160,60 @@ def preprocess_img(
     if out_path:
         np_io.write_npy(out_path, out)
     return out
+
+
+def make_modifier_plane(plane: str) -> str:
+    """Filename modifier for a plane transposition
+    (reference ``transformer.make_modifier_plane :76``)."""
+    return f"plane{plane.upper()}"
+
+
+def make_modifier_scale(scale: float) -> str:
+    """Filename modifier for rescaling; decimal points become ``pt``
+    (reference ``transformer.make_modifier_scale :88``)."""
+    return f"scale{scale}".replace(".", "pt")
+
+
+def make_modifier_resized(target_size) -> str:
+    """Filename modifier for a resize target (x,y,z)
+    (reference ``transformer.make_modifier_resized :104``)."""
+    return "resized({},{},{})".format(*target_size)
+
+
+def rotate_img(roi: np.ndarray, rotate: dict,
+               order: Optional[int] = None) -> np.ndarray:
+    """Apply an atlas profile's rotation schedule
+    (reference ``transformer.rotate_img :326``); ``order=0`` for label
+    images. ``rotate`` carries ``rotation`` as (angle, axis) pairs plus
+    ``resize`` and default ``order``."""
+    from magellanmapper_tpu.cv import cv_nd
+    if order is None:
+        order = rotate.get("order", 1)
+    out = np.copy(roi)
+    for angle, axis in rotate.get("rotation") or []:
+        out = cv_nd.rotate_nd(
+            out, angle, axis, order=order,
+            resize=rotate.get("resize", False))
+    return out
+
+
+class Downsampler:
+    """Chunked rescale of a large image (reference
+    ``transformer.Downsampler :21``). The reference splits planes across
+    worker processes; here the separable two-pass resize already runs as
+    one batched device program, so this wrapper only carries state and
+    delegates to :func:`transpose_img` machinery."""
+
+    def __init__(self, img: np.ndarray):
+        self.img = img
+
+    def rescale(self, scale=None, target_size=None, order: int = 1):
+        """Rescale by factor or to a target x,y,z size; returns the
+        rescaled array."""
+        from magellanmapper_tpu.cv import cv_nd
+        if target_size is not None:
+            out_shape = tuple(int(s) for s in target_size[::-1])
+            return cv_nd.rescale_resize(self.img, out_shape, order=order,
+                                        preserve_range=True)
+        return cv_nd.rescale_resize(self.img, float(scale), order=order,
+                                    preserve_range=True)

@@ -213,3 +213,74 @@ def classify_whole_image(
             clf, image[z0:z1], sub_blobs, **kwargs)
         out[np.flatnonzero(sel), 4] = classified[:, 4]
     return out
+
+
+def classify_patches(model, x: np.ndarray, thresh: float = 0.5
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Predictions and raw scores for a stack of patches
+    (reference ``classifier.classify_patches :58``). ``model`` is a
+    :class:`BlobClassifier` or anything with a ``predict`` method."""
+    y_score = np.asarray(model.predict(x)).squeeze()
+    y_pred = (y_score > thresh).astype(int)
+    return y_pred, y_score
+
+
+def setup_classification_roi(
+        image5d: np.ndarray, subimg_offset: Sequence[int],
+        subimg_size: Sequence[int], blobs, patch_size: int,
+        blobs_relative: bool = False):
+    """Extract a sub-image with an xy border of ``patch_size // 2`` so
+    edge blobs get full patches (reference
+    ``classifier.setup_classification_roi :80``).
+
+    Returns ``(roi, blobs_roi_relative, border)`` where blobs outside
+    the core sub-image are dropped and coordinates become relative to
+    the bordered ROI's origin.
+    """
+    half = patch_size // 2
+    vol = image5d[0] if image5d.ndim >= 4 else image5d
+    shape = vol.shape[:3]
+    off = np.asarray(subimg_offset, int)
+    size = np.asarray(subimg_size, int)
+    # border only in y,x (patches are 2D); clamp to image bounds
+    lo = np.array([off[0], max(off[1] - half, 0), max(off[2] - half, 0)])
+    hi = np.array([
+        min(off[0] + size[0], shape[0]),
+        min(off[1] + size[1] + half, shape[1]),
+        min(off[2] + size[2] + half, shape[2])])
+    roi = vol[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
+    border = off - lo
+
+    arr = blobs.blobs if hasattr(blobs, "blobs") else blobs
+    if arr is None or len(arr) == 0:
+        return roi, arr, border
+    coords = np.array(arr[:, :3], float)
+    if not blobs_relative:
+        coords = coords - off
+    # keep blobs inside the core sub-image
+    keep = np.all((coords >= 0) & (coords < size), axis=1)
+    rel = np.array(arr[keep])
+    rel[:, :3] = coords[keep] + border
+    return roi, rel, border
+
+
+class ClassifyImage:
+    """Whole-image classification facade (reference
+    ``classifier.ClassifyImage :221``); the reference chunks planes
+    across processes, here chunks run through the jitted patch CNN in
+    device batches via :func:`classify_whole_image`."""
+
+    def __init__(self, clf: BlobClassifier, image5d: np.ndarray,
+                 blobs=None):
+        self.clf = clf
+        self.image5d = image5d
+        self.blobs = blobs
+
+    def classify_whole_image(self, blobs=None, **kwargs) -> np.ndarray:
+        arr = blobs if blobs is not None else (
+            self.blobs.blobs if hasattr(self.blobs, "blobs")
+            else self.blobs)
+        vol = self.image5d[0] if self.image5d.ndim >= 4 else self.image5d
+        if vol.ndim > 3:
+            vol = vol[..., 0]
+        return classify_whole_image(self.clf, vol, arr, **kwargs)

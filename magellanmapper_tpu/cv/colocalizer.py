@@ -239,3 +239,82 @@ class StackColocalizer:
             df = df.drop_duplicates("_key").drop(columns="_key")
             out[pair] = BlobMatch(df=df.reset_index(drop=True))
         return out
+
+
+def get_blobs_all(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Both blob sides as ``(blobs1, blobs2)`` or None
+    (reference ``BlobMatch.get_blobs_all :121``)."""
+    out = []
+    for n in (1, 2):
+        blobs = self.get_blobs(n)
+        if blobs is None:
+            return None
+        out.append(blobs)
+    return tuple(out)
+
+
+BlobMatch.get_blobs_all = get_blobs_all
+del get_blobs_all
+
+
+def _get_roi_id(db, offset, shape, exp_name: str = "exp") -> int:
+    """Whole-image ROI row for match persistence
+    (reference ``colocalizer._get_roi_id :504``)."""
+    exp_id = db.select_or_insert_experiment(exp_name)
+    roi_id, _ = db.select_or_insert_roi(
+        exp_id, 0, tuple(offset[::-1]), tuple(shape[::-1]))
+    return roi_id
+
+
+def insert_matches(db, matches: Dict, exp_name: str = "exp") -> None:
+    """Persist channel-combo matches for a whole image under a
+    zero-sized ROI (reference ``colocalizer.insert_matches :529``)."""
+    roi_id = _get_roi_id(db, (0, 0, 0), (0, 0, 0), exp_name)
+    for chl_matches in matches.values():
+        blobs_all = chl_matches.get_blobs_all()
+        if blobs_all is None:
+            continue
+        for blobs in blobs_all:
+            db.insert_blobs(roi_id, blobs)
+        rows = []
+        for _, row in chl_matches.df.iterrows():
+            rows.append((
+                row[BlobMatch.Cols.BLOB1.value],
+                row[BlobMatch.Cols.BLOB2.value],
+                row[BlobMatch.Cols.DIST.value]))
+        db.insert_blob_matches(roi_id, rows)
+
+
+def select_matches(
+        db, channels, offset=None, shape=None,
+        exp_name: str = "exp") -> Optional[Dict]:
+    """Load whole-image matches grouped per channel pair, rebuilding
+    each side's blob row from its database ID
+    (reference ``colocalizer.select_matches :550``)."""
+    roi_id = _get_roi_id(
+        db, offset or (0, 0, 0), shape or (0, 0, 0), exp_name)
+    raw = db.select_blob_matches(roi_id)
+    if not raw:
+        return None
+
+    def blob_by_id(bid):
+        db.cur.execute(
+            "SELECT z, y, x, radius, confirmed, truth, channel "
+            "FROM blobs WHERE id = ?", (bid,))
+        r = db.cur.fetchone()
+        if r is None:
+            return None
+        return np.array([r["z"], r["y"], r["x"], r["radius"],
+                         r["confirmed"], r["truth"], r["channel"]],
+                        dtype=float)
+
+    grouped: Dict[Tuple[int, int], list] = {}
+    for b1_id, b2_id, dist in raw:
+        b1 = blob_by_id(b1_id)
+        b2 = blob_by_id(b2_id)
+        if b1 is None or b2 is None:
+            continue
+        grouped.setdefault(
+            (int(b1[6]), int(b2[6])), []).append((b1, b2, dist))
+    return {pair: BlobMatch(matches)
+            for pair, matches in grouped.items()} or None

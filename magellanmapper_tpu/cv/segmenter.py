@@ -373,3 +373,44 @@ def segment_from_labels(
     if exclude is not None:
         ws[exclude] = labels_img[exclude]
     return ws
+
+
+class LabelToMarkerErosion:
+    """Facade over per-label erosion markers (reference
+    ``segmenter.LabelToMarkerErosion :228``). The reference erodes
+    labels in forked workers sharing class-attribute state; here the
+    batched host loop in :func:`labels_to_markers_erosion` covers all
+    labels, so this class only mirrors the configuration surface."""
+
+    def __init__(self, labels_img: np.ndarray, wt_dists=None):
+        self.labels_img = labels_img
+        self.wt_dists = wt_dists
+
+    def erode_labels(self, filter_size: int = 8, **kwargs):
+        """Erode all labels to markers; returns (markers, stats)."""
+        return labels_to_markers_erosion(
+            self.labels_img, filter_size, **kwargs)
+
+
+class SubSegmenter:
+    """Facade over edge-based label sub-segmentation (reference
+    ``segmenter.SubSegmenter :633``); delegates to
+    :func:`magellanmapper_tpu.atlas.edge_seg.make_sub_segmented_labels`.
+    """
+
+    def __init__(self, labels_img_np: np.ndarray, atlas_edge: np.ndarray):
+        self.labels_img_np = labels_img_np
+        self.atlas_edge = atlas_edge
+
+    def sub_segment(self, sub_seg_mult: int = 100) -> np.ndarray:
+        from magellanmapper_tpu.atlas import edge_seg
+        return edge_seg.make_sub_segmented_labels(
+            self.labels_img_np, self.atlas_edge, sub_seg_mult)
+
+
+def sub_segment_labels(labels_img_np: np.ndarray,
+                       atlas_edge: np.ndarray) -> np.ndarray:
+    """Sub-segment labels along anatomical edge boundaries; sub-labels
+    are ``label * 100 + k`` (reference
+    ``segmenter.sub_segment_labels :755``)."""
+    return SubSegmenter(labels_img_np, atlas_edge).sub_segment()
