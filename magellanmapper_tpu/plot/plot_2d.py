@@ -173,3 +173,93 @@ def plot_swarm(
         plot_support.save_fig(fig, path)
     plt.close(fig)
     return fig
+
+
+def plot_image(img: np.ndarray, path: Optional[str] = None,
+               show: bool = False):
+    """Borderless single-image figure, optionally saved
+    (reference ``plot_2d.plot_image :1269``)."""
+    import matplotlib.pyplot as plt
+    from magellanmapper_tpu.plot import plot_support
+    fig, ax = plt.subplots()
+    ax.imshow(img, cmap="gray" if img.ndim == 2 else None)
+    plot_support.hide_axes(ax, True)
+    fig.subplots_adjust(left=0, right=1, top=1, bottom=0)
+    if path:
+        fig.savefig(path, bbox_inches="tight", pad_inches=0)
+    if not show:
+        plt.close(fig)
+    return fig
+
+
+def decorate_plot(ax, title=None, xlabel=None, ylabel=None,
+                  xunit=None, yunit=None, xlim=None, ylim=None,
+                  xscale=None, yscale=None, xticks=None, yticks=None,
+                  **kwargs):
+    """Apply labels/limits/scales to an axes
+    (reference ``plot_2d.decorate_plot :1299``)."""
+    if title:
+        ax.set_title(title)
+    if xlabel or xunit:
+        ax.set_xlabel(
+            f"{xlabel or ''}" + (f" ({xunit})" if xunit else ""))
+    if ylabel or yunit:
+        ax.set_ylabel(
+            f"{ylabel or ''}" + (f" ({yunit})" if yunit else ""))
+    if xlim is not None:
+        ax.set_xlim(xlim)
+    if ylim is not None:
+        ax.set_ylim(ylim)
+    if xscale:
+        ax.set_xscale(xscale)
+    if yscale:
+        ax.set_yscale(yscale)
+    if xticks is not None:
+        ax.set_xticks(xticks)
+    if yticks is not None:
+        ax.set_yticks(yticks)
+    return ax
+
+
+def setup_style(style: Optional[str] = None, rc_params=None) -> None:
+    """Apply a Matplotlib style plus RC overrides
+    (reference ``plot_2d.setup_style :1369``)."""
+    import matplotlib
+    import matplotlib.pyplot as plt
+    plt.style.use(style or "default")
+    for params in rc_params or ():
+        matplotlib.rcParams.update(
+            params.value if hasattr(params, "value") else params)
+
+
+def post_plot(ax, out_path: Optional[str] = None,
+              save_ext: Optional[str] = None, show: bool = False) -> None:
+    """Save and/or show after plotting
+    (reference ``plot_2d.post_plot :1436``)."""
+    import matplotlib.pyplot as plt
+    fig = ax.get_figure()
+    if out_path and save_ext:
+        fig.savefig(f"{out_path}.{save_ext}", bbox_inches="tight")
+    elif out_path:
+        fig.savefig(out_path, bbox_inches="tight")
+    if not show:
+        plt.close(fig)
+
+
+def plot_overlays(imgs, z: int, cmaps=None, title: Optional[str] = None,
+                  out_path: Optional[str] = None):
+    """Overlay multiple aligned volumes at one z-plane with increasing
+    transparency (reference ``plot_2d.plot_overlays``)."""
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots()
+    for i, img in enumerate(imgs):
+        plane = img[z] if img.ndim > 2 else img
+        cmap = None if cmaps is None else cmaps[i % len(cmaps)]
+        ax.imshow(plane, cmap=cmap or "gray",
+                  alpha=1.0 if i == 0 else 0.5)
+    if title:
+        ax.set_title(title)
+    if out_path:
+        fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)
+    return fig

@@ -122,3 +122,89 @@ def build_ground_truth(
                 + ((xx - b[2]) / max(r, 1e-3)) ** 2) <= 1
         out[mask] = 1
     return out
+
+
+def deconvolve(roi: np.ndarray, iterations: int = 30,
+               psf: Optional[np.ndarray] = None) -> np.ndarray:
+    """Richardson-Lucy deconvolution with a generic box PSF
+    (reference ``plot_3d.deconvolve :254``), as device FFT iterations."""
+    import jax.numpy as jnp
+    if psf is None:
+        psf = np.ones((5, 5, 5), np.float32) / 125.0
+    img = jnp.asarray(roi, jnp.float32)
+    img = jnp.maximum(img, 1e-12)
+    shape = img.shape
+    # pad PSF to image shape, centered at origin for FFT convolution
+    psf_pad = np.zeros(shape, np.float32)
+    sl = tuple(slice(0, s) for s in psf.shape)
+    psf_pad[sl] = psf
+    psf_pad = np.roll(
+        psf_pad, [-(s // 2) for s in psf.shape], axis=(0, 1, 2))
+    otf = jnp.fft.rfftn(jnp.asarray(psf_pad))
+    otf_conj = jnp.conj(otf)
+    est = img
+
+    def conv(x, k):
+        return jnp.maximum(jnp.fft.irfftn(
+            jnp.fft.rfftn(x) * k, shape), 1e-12)
+
+    import jax
+    def body(_, est):
+        ratio = img / conv(est, otf)
+        return est * conv(ratio, otf_conj)
+    est = jax.lax.fori_loop(0, iterations, body, est)
+    return np.asarray(est)
+
+
+def get_isotropic_vis(settings) -> np.ndarray:
+    """Isotropic rescale factor for visualization from a profile
+    (reference ``plot_3d.get_isotropic_vis :320``)."""
+    from magellanmapper_tpu.cv import detector as _det
+    isotropic = settings["isotropic_vis"]
+    if isotropic is None:
+        return np.ones(3)
+    return np.asarray(isotropic, float)
+
+
+def roi_center_to_offset(offset, shape, reverse: bool = False):
+    """Center <-> corner conversion of an ROI offset
+    (reference ``plot_3d.roi_center_to_offset :405``)."""
+    half = np.floor_divide(shape, 2)
+    out = np.add(offset, half) if reverse else np.subtract(offset, half)
+    return tuple(int(v) for v in out)
+
+
+def replace_vol(img: np.ndarray, vol: np.ndarray, center=None,
+                offset=None, vol_as_mask=None) -> np.ndarray:
+    """Place ``vol`` into ``img`` (in place), cropped at borders;
+    ``center`` takes precedence over ``offset``
+    (reference ``plot_3d.replace_vol :451``)."""
+    if center is not None:
+        offset = roi_center_to_offset(center, vol.shape[:img.ndim])
+    offset = np.asarray(offset, int)
+    lo_img = np.maximum(offset, 0)
+    hi_img = np.minimum(offset + vol.shape[:img.ndim], img.shape)
+    lo_vol = lo_img - offset
+    hi_vol = lo_vol + (hi_img - lo_img)
+    sl_img = tuple(slice(a, b) for a, b in zip(lo_img, hi_img))
+    sl_vol = tuple(slice(a, b) for a, b in zip(lo_vol, hi_vol))
+    if vol_as_mask is not None:
+        mask = vol_as_mask[sl_vol]
+        img[sl_img][mask] = vol[sl_vol][mask] if np.ndim(vol) else vol
+    else:
+        img[sl_img] = vol[sl_vol]
+    return img
+
+
+def pad_img(img: np.ndarray, offset, shape) -> np.ndarray:
+    """Zero-pad an image into a larger canvas at ``offset``
+    (reference ``plot_3d.pad_img :510``)."""
+    out_shape = list(img.shape)
+    for i, s in enumerate(shape or ()):
+        if s is not None:
+            out_shape[i] = int(s)
+    out = np.zeros(out_shape, img.dtype)
+    sl = tuple(slice(int(o), int(o) + s)
+               for o, s in zip(offset, img.shape))
+    out[sl] = img
+    return out

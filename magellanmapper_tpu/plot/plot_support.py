@@ -98,3 +98,141 @@ def save_fig(
     fig.savefig(path, dpi=dpi, bbox_inches="tight")
     _logger.info("saved figure to %s", path)
     return path
+
+
+def alpha_blend_intersection(
+        img1: np.ndarray, img2: np.ndarray, alpha: float = 0.5,
+        mask1: Optional[np.ndarray] = None,
+        mask2: Optional[np.ndarray] = None):
+    """Blend two images only where their foregrounds intersect, keeping
+    full opacity elsewhere (reference
+    ``plot_support.alpha_blend_intersection :849``). Returns per-image
+    alpha maps ``(alpha1, alpha2)``."""
+    if mask1 is None:
+        mask1 = img1 != 0
+    if mask2 is None:
+        mask2 = img2 != 0
+    inter = mask1 & mask2
+    a1 = np.where(inter, alpha, np.where(mask1, 1.0, 0.0))
+    a2 = np.where(inter, 1.0 - alpha, np.where(mask2, 1.0, 0.0))
+    return a1, a2
+
+
+def extract_planes(image5d: np.ndarray, plane_n, plane: str = "xy",
+                   max_intens_proj: bool = False):
+    """Extract 2D plane(s) along a planar orientation
+    (reference ``plot_support.extract_planes :888``). Returns
+    ``(img2d, aspect, origin)``."""
+    img3d = image5d[0] if image5d.ndim >= 4 else image5d
+    axis = {"xy": 0, "xz": 1, "yz": 2}.get(plane, 0)
+    moved = np.moveaxis(img3d, axis, 0) if axis else img3d
+    origin = None
+    aspect = 1.0
+    if plane == "xz":
+        origin = "lower"
+    img2d = moved[plane_n]
+    if max_intens_proj and img2d.ndim > 2:
+        img2d = np.max(img2d, axis=0)
+    return img2d, aspect, origin
+
+
+def max_plane(img3d: np.ndarray, plane: str = "xy") -> int:
+    """Number of planes along a planar orientation's axis
+    (reference ``plot_support.max_plane :958``)."""
+    return img3d.shape[{"xy": 0, "xz": 1, "yz": 2}.get(plane, 0)]
+
+
+def get_aspect_ratio(plane: str = "xy",
+                     resolutions=None) -> tuple:
+    """Aspect ratio and imshow origin for a planar orientation
+    (reference ``plot_support.get_aspect_ratio :1027``)."""
+    aspect = None
+    origin = None
+    if resolutions is not None:
+        res = np.asarray(resolutions, float)   # z,y,x
+        if plane == "xz":
+            origin = "lower"
+            aspect = res[0] / res[2]
+        elif plane == "yz":
+            origin = "lower"
+            aspect = res[0] / res[1]
+        else:
+            aspect = res[1] / res[2]
+    return aspect, origin
+
+
+def scroll_plane(event, z_overview: int, max_size: int, jump=None,
+                 max_scroll: Optional[int] = None) -> int:
+    """New plane index from a scroll/arrow-key event
+    (reference ``plot_support.scroll_plane :1065``)."""
+    step = 0
+    if hasattr(event, "step") and event.step:
+        step = int(event.step)
+        if max_scroll is not None:
+            step = int(np.clip(step, -max_scroll, max_scroll))
+    elif getattr(event, "key", None) in ("up", "right"):
+        step = 1
+    elif getattr(event, "key", None) in ("down", "left"):
+        step = -1
+    elif getattr(event, "key", None) == "j" and jump is not None:
+        target = jump(event)
+        if target is not None:
+            return int(np.clip(target, 0, max_size - 1))
+    return int(np.clip(z_overview + step, 0, max_size - 1))
+
+
+def hide_axes(ax, frame_off: bool = False) -> None:
+    """Hide axes ticks and optionally the frame
+    (reference ``plot_support.hide_axes :1118``)."""
+    ax.get_xaxis().set_visible(False)
+    ax.get_yaxis().set_visible(False)
+    if frame_off:
+        ax.set_frame_on(False)
+
+
+def scale_axes(ax, scale_x: Optional[str] = None,
+               scale_y: Optional[str] = None) -> None:
+    """Apply matplotlib axis scale modes
+    (reference ``plot_support.scale_axes :1132``)."""
+    if scale_x:
+        ax.set_xscale(scale_x)
+    if scale_y:
+        ax.set_yscale(scale_y)
+
+
+def fit_frame_to_image(fig, shape=None, aspect=None) -> None:
+    """Shrink a figure to its image content
+    (reference ``plot_support.fit_frame_to_image :1150``)."""
+    if shape is not None:
+        if aspect is None:
+            aspect = 1.0
+        fig.set_size_inches(
+            shape[1] / fig.dpi, shape[0] * aspect / fig.dpi)
+    fig.tight_layout(pad=0)
+
+
+def add_scale_bar(ax, downsample=None, plane: str = "xy",
+                  resolutions=None, color: str = "w") -> None:
+    """Draw a micron scale bar from the x-resolution
+    (reference ``plot_support.add_scale_bar :926``)."""
+    if resolutions is None:
+        return
+    res = np.asarray(resolutions, float)
+    res_x = {"xy": res[2], "xz": res[2], "yz": res[1]}.get(plane, res[2])
+    if downsample:
+        res_x *= downsample
+    xlim = ax.get_xlim()
+    width_px = abs(xlim[1] - xlim[0])
+    # pick a round micron length near 1/5 of the view
+    target_um = width_px * res_x / 5
+    mag = 10 ** np.floor(np.log10(max(target_um, 1e-12)))
+    bar_um = float(mag * min(
+        (1, 2, 5, 10), key=lambda m: abs(m * mag - target_um)))
+    bar_px = bar_um / res_x
+    y = ax.get_ylim()[0]
+    ax.plot([xlim[0] + width_px * 0.05,
+             xlim[0] + width_px * 0.05 + bar_px],
+            [y, y], color=color, linewidth=3)
+    ax.annotate(f"{bar_um:g} µm",
+                (xlim[0] + width_px * 0.05 + bar_px / 2, y),
+                color=color, ha="center", va="bottom")
