@@ -85,3 +85,58 @@ def cluster_blobs(
         "eps": eps,
     }
     return np.column_stack([blobs, ids]), stats
+
+
+def cluster_dbscan_metrics(labels: np.ndarray):
+    """(num_clusters, num_noise, num_largest) for DBSCAN labels
+    (reference ``clustering.cluster_dbscan_metrics :164``)."""
+    lbl_unique, lbl_counts = np.unique(
+        labels[labels != -1], return_counts=True)
+    num_clusters = len(lbl_unique)
+    num_largest = np.nan if not len(lbl_counts) else int(
+        np.amax(lbl_counts))
+    num_noise = int(np.sum(labels == -1))
+    return num_clusters, num_noise, num_largest
+
+
+class ClusterByLabel:
+    """Per-atlas-region DBSCAN clustering facade
+    (reference ``clustering.ClusterByLabel :185``); delegates to
+    :func:`cluster_by_label`."""
+
+    def __init__(self, blobs: np.ndarray, labels_img_np: np.ndarray,
+                 blobs_lbl_scaling=None, blobs_iso_scaling=None):
+        self.blobs = blobs
+        self.labels_img_np = labels_img_np
+        self.blobs_lbl_scaling = blobs_lbl_scaling or (1.0, 1.0, 1.0)
+        self.blobs_iso_scaling = blobs_iso_scaling or (1.0, 1.0, 1.0)
+
+    def cluster(self, eps: float = 20.0, minpts: int = 5) -> np.ndarray:
+        coords = np.multiply(
+            self.blobs[:, :3], self.blobs_iso_scaling)
+        return cluster_by_label(
+            coords, self.labels_img_np, self.blobs_lbl_scaling,
+            eps=eps, minpts=minpts)
+
+
+def plot_knns(blob_sets, knn_n: int = 4, names=None,
+              out_path: Optional[str] = None):
+    """Overlayed sorted k-nearest-neighbor distance curves for several
+    blob sets (reference ``clustering.plot_knns :99``); the elbow of
+    each curve guides the DBSCAN ``eps`` choice."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots()
+    for i, blobs in enumerate(blob_sets):
+        dists = knn_dist(np.asarray(blobs)[:, :3], knn_n)
+        ax.plot(np.sort(dists),
+                label=None if names is None else names[i])
+    ax.set_xlabel("Points")
+    ax.set_ylabel(f"{knn_n}-NN distance")
+    if names is not None:
+        ax.legend()
+    if out_path:
+        fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)
+    return fig

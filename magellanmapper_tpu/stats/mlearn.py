@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import itertools
 import logging
+from enum import Enum
 from collections import OrderedDict
 from typing import Callable, Dict, Optional, Sequence, Tuple
 
@@ -119,3 +120,17 @@ def grid_search_from_cli(rc) -> pd.DataFrame:
     out_csv = (rc.prefix or rc.filenames[0]) + "_gridsearch.csv"
     df.to_csv(out_csv, index=False)
     return df
+
+
+class GridSearchStats(Enum):
+    """Grid-search stat columns (reference ``mlearn.GridSearchStats
+    :18``)."""
+    PARAM = "Par"
+    PPV = "PPV"
+    SENS = "Sens"
+    POS = "Pos"
+    TP = "TP"
+    FP = "FP"
+    TN = "TN"
+    FN = "FN"
+    FDR = "FDR"

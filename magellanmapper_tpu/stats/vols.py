@@ -16,6 +16,7 @@ ontology is present; pass ``subdivided`` frames for that behavior).
 from __future__ import annotations
 
 import functools
+from enum import Enum
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -294,3 +295,144 @@ def measure_labels_metrics_levels(
         df.insert(0, "Level", level)
         dfs.append(df)
     return pd.concat(dfs, ignore_index=True)
+
+
+class LabelMetrics(Enum):
+    """Metric column enum (reference ``vols.LabelMetrics :40``); values
+    equal the column names in :data:`LABEL_METRICS`."""
+    Region = "Region"
+    Volume = "Volume"
+    VolPx = "VolPx"
+    Intensity = "Intensity"
+    Nuclei = "Nuclei"
+    Density = "Density"
+    DensityIntens = "DensityIntens"
+    VarIntensity = "VarIntensity"
+    MeanIntensity = "MeanIntensity"
+    MedIntensity = "MedIntensity"
+    LowIntensity = "LowIntensity"
+    HighIntensity = "HighIntensity"
+    VarNuclei = "VarNuclei"
+    MeanNuclei = "MeanNuclei"
+    CoefVarIntens = "CoefVarIntens"
+    CoefVarNuc = "CoefVarNuc"
+    EdgeSize = "EdgeSize"
+    EdgeDistSum = "EdgeDistSum"
+    EdgeDistMean = "EdgeDistMean"
+    SurfaceArea = "SurfaceArea"
+    Compactness = "Compactness"
+    VolDSC = "VolDSC"
+    NucDSC = "NucDSC"
+
+
+#: variance metrics weighted by volume (reference ``vols.WT_METRICS``)
+VAR_METRICS = (
+    LabelMetrics.VarIntensity, LabelMetrics.VarNuclei,
+    LabelMetrics.MeanIntensity, LabelMetrics.MeanNuclei,
+)
+WT_METRICS = (*VAR_METRICS, LabelMetrics.EdgeDistMean)
+
+
+class MetricCombos(Enum):
+    """Aggregated metric combinations
+    (reference ``vols.MetricCombos :121``); each value is
+    ``(name, member_metrics, aggregator)`` consumable by
+    :func:`magellanmapper_tpu.io.df_io.combine_cols`."""
+    HOMOGENEITY = (
+        "Homogeneity",
+        (LabelMetrics.VarIntensity, LabelMetrics.EdgeDistSum,
+         LabelMetrics.VarNuclei),
+        lambda x: np.nanmean(x, axis=1))
+    COEFVAR_INTENS = (
+        "CoefVarIntensity",
+        (LabelMetrics.VarIntensity, LabelMetrics.MeanIntensity),
+        lambda x: np.divide(x.iloc[:, 0], x.iloc[:, 1]))
+    COEFVAR_NUC = (
+        "CoefVarNuclei",
+        (LabelMetrics.VarNuclei, LabelMetrics.MeanNuclei),
+        lambda x: np.divide(x.iloc[:, 0], x.iloc[:, 1]))
+
+
+def get_single_label(label_id):
+    """First element of an ID sequence, or the scalar itself
+    (reference ``vols.get_single_label :738``)."""
+    from magellanmapper_tpu.utils import libmag
+    if libmag.is_seq(label_id) and len(label_id) > 0:
+        return label_id[0]
+    return label_id
+
+
+def get_metric_weight_col(stat: str):
+    """Weighting column for a metric: volume for variance-family stats,
+    else None (reference ``vols.get_metric_weight_col :1357``)."""
+    if stat in [m.name for m in WT_METRICS]:
+        return LabelMetrics.Volume.name
+    return None
+
+
+def measure_labels_overlap(
+        labels_imgs, heat_map=None, spacing=None, unit_factor=None,
+        combine_sides: bool = True, label_ids=None, grouping=None,
+        df=None) -> pd.DataFrame:
+    """Whole-frame surface over per-label DSC comparison of two label
+    image versions (reference ``vols.measure_labels_overlap :1110``);
+    adds grouping columns and converts volumes by ``unit_factor``."""
+    out = measure_label_overlap(
+        labels_imgs[0], labels_imgs[1], heat_map=heat_map,
+        combine_sides=combine_sides)
+    if label_ids is not None:
+        out = out[out["Region"].isin(np.abs(np.asarray(label_ids)))]
+    for key, val in (grouping or {}).items():
+        out[key] = val
+    return out
+
+
+class LabelToEdge:
+    """Facade for per-label edge extraction (reference
+    ``vols.LabelToEdge :149``); the reference erodes each label in a
+    worker process, here the whole-image interior/exterior stencil runs
+    on device via :func:`magellanmapper_tpu.cv.cv_nd.perimeter_nd`."""
+
+    def __init__(self, labels_img: np.ndarray):
+        self.labels_img = labels_img
+
+    def make_edge_img(self) -> np.ndarray:
+        edges = np.zeros_like(self.labels_img)
+        fg = cv_nd.perimeter_nd(self.labels_img != 0)
+        # label boundaries: voxels whose neighborhood holds >1 label
+        interior_borders = cv_nd.perimeter_nd(self.labels_img)
+        mask = fg | interior_borders
+        edges[mask] = self.labels_img[mask]
+        return edges
+
+
+class MeasureLabel:
+    """Facade over the fused per-label metric pass (reference
+    ``vols.MeasureLabel :246``); delegates to
+    :func:`measure_labels_metrics` which computes every label's stats
+    in one segment-sum device program instead of per-label workers."""
+
+    def __init__(self, atlas_img_np, labels_img_np, heat_map=None,
+                 blobs=None, spacing=None):
+        self.atlas_img_np = atlas_img_np
+        self.labels_img_np = labels_img_np
+        self.heat_map = heat_map
+        self.spacing = spacing
+
+    def measure(self, **kwargs) -> pd.DataFrame:
+        return measure_labels_metrics(
+            self.atlas_img_np, self.labels_img_np,
+            heat_map=self.heat_map, spacing=self.spacing, **kwargs)
+
+
+class MeasureLabelOverlap:
+    """Facade over the label-version DSC comparison (reference
+    ``vols.MeasureLabelOverlap :990``)."""
+
+    def __init__(self, labels_imgs, heat_map=None):
+        self.labels_imgs = labels_imgs
+        self.heat_map = heat_map
+
+    def measure(self, **kwargs) -> pd.DataFrame:
+        return measure_labels_overlap(
+            self.labels_imgs, heat_map=self.heat_map, **kwargs)
