@@ -83,3 +83,40 @@ class BrainGlobeMM:
             shutil.rmtree(atlas_dir)
             return True
         return False
+
+
+class BrainGlobeCtrl:
+    """Synchronous BrainGlobe controller (reference
+    ``brain_globe/bg_controller.BrainGlobeCtrl :121``). The reference
+    fetches listings/downloads on Qt threads; here the calls run inline
+    and report through the same callback surface."""
+
+    def __init__(self, fn_set_atlases_table=None, fn_feedback=None,
+                 fn_progress=None, fn_opened_atlas=None):
+        self.fn_set_atlases_table = fn_set_atlases_table
+        self.fn_feedback = fn_feedback or (lambda msg: None)
+        self.fn_progress = fn_progress
+        self.fn_opened_atlas = fn_opened_atlas
+        self.bg_mm = BrainGlobeMM()
+
+    def update_atlas_table(self) -> List[str]:
+        """Fetch the available-atlas listing and push it to the table
+        callback."""
+        atlases = self.bg_mm.get_avail_atlases()
+        if self.fn_set_atlases_table is not None:
+            self.fn_set_atlases_table(atlases)
+        return atlases
+
+    def open_atlas(self, name: str, download: bool = False):
+        """Open (optionally downloading) an atlas and notify."""
+        self.fn_feedback(f"opening atlas {name}")
+        atlas = self.bg_mm.get_atlas(name, download)
+        if atlas is not None and self.fn_opened_atlas is not None:
+            self.fn_opened_atlas(atlas)
+        return atlas
+
+    def remove_atlas(self, name: str) -> bool:
+        ok = self.bg_mm.remove_atlas(name)
+        self.fn_feedback(
+            f"removed atlas {name}" if ok else f"could not remove {name}")
+        return ok

@@ -94,3 +94,87 @@ def upload_s3(path: str, bucket: str, key: Optional[str] = None) -> str:
     s3.Bucket(bucket).upload_file(path, key)
     _logger.info("uploaded %s to s3://%s/%s", path, bucket, key)
     return key
+
+
+def split_s3_path(path: str):
+    """Split an ``s3://bucket/key`` path into (bucket, key)
+    (reference ``aws.split_s3_path :170``)."""
+    parts = path.split("/")
+    bucket, key = None, None
+    if len(parts) > 2:
+        offset = 2 if parts[0].lower() == "s3:" else 0
+        bucket = parts[offset]
+        key = "/".join(parts[offset + 1:])
+    return bucket, key
+
+
+def instance_info(instance_id: str, get_ip: bool = False):
+    """(instance_id, public_ip) for an EC2 instance
+    (reference ``aws.instance_info :27``)."""
+    boto3 = _boto3()
+    ec2 = boto3.session.Session().resource("ec2")
+    inst = ec2.Instance(instance_id)
+    ip = None
+    if get_ip:
+        inst.wait_until_running()
+        inst.load()
+        ip = inst.public_ip_address
+    return instance_id, ip
+
+
+def show_instances(state: str = "running") -> List[Dict]:
+    """Print and return instance summaries
+    (reference ``aws.show_instances``)."""
+    infos = list_instances(state)
+    for info in infos:
+        _logger.info("%s", info)
+    return infos
+
+
+def list_s3_bucket(bucket_name: str, keys: Optional[str] = None
+                   ) -> List[str]:
+    """Keys in a bucket with an optional prefix
+    (reference ``aws.list_s3_bucket``)."""
+    return list_s3(bucket_name, keys or "")
+
+
+def load_s3_file(bucket_name: str, key):
+    """Map keys to loaded S3 object handles
+    (reference ``aws.load_s3_file :306``)."""
+    boto3 = _boto3()
+    s3 = boto3.resource("s3")
+    out = {}
+    for k in ([key] if isinstance(key, str) else key):
+        obj = s3.Object(bucket_name, k)
+        try:
+            obj.load()
+            out[k] = obj
+        except Exception:
+            _logger.warning("could not load s3://%s/%s", bucket_name, k)
+    return out
+
+
+def download_s3_file(bucket_name: str, key: str,
+                     out_path: Optional[str] = None) -> str:
+    """Download one key (reference ``aws.download_s3_file :344``)."""
+    return download_s3(bucket_name, key, out_path)
+
+
+def upload_s3_file(path: str, bucket_name: str,
+                   key: Optional[str] = None) -> str:
+    """Upload one file (reference ``aws.upload_s3_file :383``)."""
+    return upload_s3(path, bucket_name, key)
+
+
+def delete_s3_file(bucket_name: str, key: str,
+                   hard: bool = False) -> bool:
+    """Delete a key (and permanently purge versions when ``hard``)
+    (reference ``aws.delete_s3_file``)."""
+    boto3 = _boto3()
+    s3 = boto3.resource("s3")
+    if hard:
+        bucket = s3.Bucket(bucket_name)
+        bucket.object_versions.filter(Prefix=key).delete()
+    else:
+        s3.Object(bucket_name, key).delete()
+    return True

@@ -27,3 +27,20 @@ def notify(
         _logger.warning("notification failed: %s", exc)
         return False
     return ok
+
+
+def post(url: str, msg: str, attachment: Optional[str] = None):
+    """POST a Slack-style JSON notification with an optional tail of an
+    attachment file (reference ``notify.post :16``)."""
+    import json
+    from urllib import request
+    from magellanmapper_tpu.utils import libmag
+    fields = {"text": msg}
+    if attachment:
+        lines = libmag.last_lines(attachment, 20)
+        if lines:
+            fields["attachments"] = [{"text": "\n".join(lines)}]
+    req = request.Request(
+        url, json.dumps(fields).encode("utf8"),
+        {"Content-type": "application/json"})
+    return request.urlopen(req)

@@ -133,3 +133,32 @@ def merge_blobs(blob_rois: np.ndarray) -> Optional[np.ndarray]:
     if not blobs_all:
         return None
     return np.vstack(blobs_all)
+
+
+def merge_split_stack(sub_rois: np.ndarray, max_pixels, overlap
+                      ) -> np.ndarray:
+    """Merge sub-ROIs without knowing the output size in advance — the
+    reference's original concatenation-based merge
+    (``chunking.merge_split_stack :259``; see :func:`merge_split_stack2`
+    for the preallocated version)."""
+    overlap = np.asarray(overlap, int)
+    merged = None
+    for z in range(sub_rois.shape[0]):
+        merged_y = None
+        for y in range(sub_rois.shape[1]):
+            merged_x = None
+            for x in range(sub_rois.shape[2]):
+                sub = sub_rois[z, y, x]
+                # trim trailing overlap except at the final block
+                for ax, idx in enumerate((z, y, x)):
+                    if idx < sub_rois.shape[ax] - 1 and overlap[ax]:
+                        sl = [slice(None)] * sub.ndim
+                        sl[ax] = slice(0, sub.shape[ax] - overlap[ax])
+                        sub = sub[tuple(sl)]
+                merged_x = sub if merged_x is None else np.concatenate(
+                    (merged_x, sub), axis=2)
+            merged_y = merged_x if merged_y is None else np.concatenate(
+                (merged_y, merged_x), axis=1)
+        merged = merged_y if merged is None else np.concatenate(
+            (merged, merged_y), axis=0)
+    return merged

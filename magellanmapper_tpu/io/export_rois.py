@@ -60,3 +60,34 @@ def export_rois(
         rows.append({"roi_id": roi_id, "offset": offset, "size": size,
                      "n_blobs": len(blobs)})
     return pd.DataFrame(rows)
+
+
+def make_roi_paths(path: str, roi_id, channel=0,
+                   make_dirs: bool = False):
+    """Per-ROI export paths: directory, image, blobs, annotations
+    (reference ``export_rois.make_roi_paths :30``)."""
+    path_base = "{}_roi{}".format(
+        path, str(roi_id).zfill(5) if roi_id != "*" else "*")
+    name_base = os.path.basename(path_base)
+    path_img = os.path.join(
+        path_base, f"{name_base}_ch{channel}.npy")
+    path_blobs = os.path.join(path_base, f"{name_base}_blobs.npy")
+    if make_dirs and not os.path.exists(path_base):
+        os.makedirs(path_base)
+    return path_base, path_img, path_blobs
+
+
+def load_roi_files(db, path: str):
+    """Load exported ROI images + blobs back
+    (reference ``export_rois.load_roi_files :252``)."""
+    import glob
+    path_base, path_img, path_blobs = make_roi_paths(path, "*")
+    img_paths = sorted(glob.glob(path_img))
+    blob_paths = sorted(glob.glob(path_blobs))
+    imgs, img_blobs = [], []
+    for img_p, blobs_p in zip(img_paths, blob_paths):
+        imgs.append(np.load(img_p))
+        blobs = np.load(blobs_p)
+        img_blobs.append(
+            np.insert(blobs, blobs.shape[1], -1, axis=1))
+    return path_base, imgs, img_blobs

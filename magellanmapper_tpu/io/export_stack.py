@@ -117,3 +117,101 @@ def stack_to_img(
         ax.imshow(plane, cmap=None if plane.ndim > 2 else "gray")
         ax.set_title(f"z={z}", fontsize=8)
     return plot_support.save_fig(fig, out_path)
+
+
+class StackPlaneIO:
+    """Plane-stack export state (reference ``export_stack.StackPlaneIO
+    :30``). The reference fans planes out to worker processes; here
+    plane processing is vectorized, so this class carries the images,
+    rescale factor, and colormaps, and builds the composite planes."""
+
+    def __init__(self, images=None, rescale: float = 1.0,
+                 cmaps_labels=None, origin=None, aspect=None):
+        self.images = images
+        self.rescale = rescale
+        self.cmaps_labels = cmaps_labels
+        self.origin = origin
+        self.aspect = aspect
+        self.fn_process = None
+
+    @classmethod
+    def set_data(cls, images, fn_process=None, rescale: float = 1.0):
+        """Reference-compatible constructor-style initializer."""
+        obj = cls(images, rescale)
+        obj.fn_process = fn_process
+        return obj
+
+    def build_stack(self, slice_vals=None):
+        """Composite plane list: intensity planes plus overlaid labels
+        planes, rescaled."""
+        if not self.images:
+            return None
+        from magellanmapper_tpu.cv import cv_nd
+        imgs = self.images
+        n = len(imgs[0])
+        idx = range(n) if slice_vals is None else range(*slice_vals)
+        out = []
+        for i in idx:
+            planes = []
+            for j, img in enumerate(imgs):
+                plane = np.asarray(img[i])
+                if self.rescale and self.rescale != 1:
+                    plane = cv_nd.rescale_resize(
+                        plane, self.rescale,
+                        order=1 if j == 0 else 0, preserve_range=True)
+                if self.fn_process is not None:
+                    _, plane = self.fn_process(i, plane)
+                planes.append(plane)
+            out.append(planes)
+        return out
+
+
+def setup_stack(image5d: Optional[np.ndarray] = None,
+                path: Optional[str] = None, offset=None, roi_size=None,
+                slice_vals=None, rescale: Optional[float] = None,
+                labels_imgs=None) -> StackPlaneIO:
+    """Prepare a plane stack from a volume (or directory of plane
+    files) with optional ROI cropping
+    (reference ``export_stack.setup_stack :362``)."""
+    if image5d is None and path:
+        from magellanmapper_tpu.io import np_io
+        image5d = np_io.read_file(path).img
+    vol = image5d[0] if image5d is not None and image5d.ndim >= 4 \
+        else image5d
+    if offset is not None and roi_size is not None:
+        off = np.asarray(offset, int)
+        size = np.asarray(roi_size, int)
+        vol = vol[off[0]:off[0] + size[0], off[1]:off[1] + size[1],
+                  off[2]:off[2] + size[2]]
+    images = [vol]
+    for labels_img in labels_imgs or ():
+        if labels_img is not None:
+            img = labels_img
+            if offset is not None and roi_size is not None:
+                img = img[off[0]:off[0] + size[0],
+                          off[1]:off[1] + size[1],
+                          off[2]:off[2] + size[2]]
+            images.append(img)
+    io = StackPlaneIO(images, rescale or 1.0)
+    io.slice_vals = slice_vals
+    return io
+
+
+def reg_planes_to_img(imgs, path: Optional[str] = None, ax=None):
+    """Overlay one plane from each registered image type (intensity,
+    labels, borders...) in a single frame
+    (reference ``export_stack.reg_planes_to_img :635``)."""
+    from magellanmapper_tpu.plot import colormaps, plot_support
+    if ax is None:
+        fig, ax = plt.subplots()
+    else:
+        fig = ax.get_figure()
+    ax.imshow(imgs[0], cmap="gray")
+    for overlay in imgs[1:]:
+        cmap = colormaps.get_labels_discrete_colormap(overlay, 0)
+        ax.imshow(cmap(overlay), alpha=0.5)
+    plot_support.hide_axes(ax, True)
+    if path:
+        fig.savefig(path, bbox_inches="tight", pad_inches=0)
+    plt.close(fig)
+    return fig

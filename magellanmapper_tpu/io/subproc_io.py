@@ -67,3 +67,29 @@ def decompress_file(path: str, out_dir: Optional[str] = None) -> str:
             shutil.copyfileobj(fin, fout)
         return out
     raise ValueError(f"unknown archive type: {path}")
+
+
+def test_compression(path: str) -> bool:
+    """Integrity-check a zstd-compressed file
+    (reference ``subproc_io.test_compression :58``)."""
+    for cmd in (["pzstd", "-t", path], ["zstd", "-t", path]):
+        if _has_cmd(cmd[0]):
+            try:
+                subprocess.check_call(
+                    cmd, stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL)
+                return True
+            except subprocess.CalledProcessError:
+                return False
+    # no zstd binary: fall back to tarfile/numpy readability checks
+    import tarfile
+    try:
+        if tarfile.is_tarfile(path):
+            with tarfile.open(path) as tf:
+                tf.getmembers()
+        else:
+            with open(path, "rb") as f:
+                f.read(1 << 16)
+        return True
+    except Exception:
+        return False

@@ -383,3 +383,95 @@ class Config:
 
 #: CLI-populated configuration instance.
 config = Config()
+
+
+class DocsURLs(Enum):
+    """Online documentation URLs (reference ``config.DocsURLs :65``)."""
+    DOCS_URL = "https://magellanmapper.readthedocs.io/en/latest"
+    DOCS_URL_VIEWER = "viewers.html"
+    DOCS_URL_SETTINGS = "settings.html"
+
+
+class LoadData(Enum):
+    """Data sources to (re)load (reference ``config.LoadData :175``)."""
+    BLOBS = auto()
+    BLOB_MATCHES = auto()
+
+
+class Cmaps(Enum):
+    """Custom colormap names (reference ``config.Cmaps :302``)."""
+    CMAP_GRBK_NAME = "Green_black"
+    CMAP_RDBK_NAME = "Red_black"
+    CMAP_BUBK_NAME = "Blue_black"
+    CMAP_CYBK_NAME = "Cyan_black"
+    CMAP_MGBK_NAME = "Magenta_black"
+    CMAP_YLBK_NAME = "Yellow_black"
+
+
+class PlotLabels(Enum):
+    """Plot label sub-argument keys (reference ``config.PlotLabels
+    :330``)."""
+    TITLE = auto()
+    X_LABEL = auto()
+    Y_LABEL = auto()
+    X_UNIT = auto()
+    Y_UNIT = auto()
+    X_LIM = auto()
+    Y_LIM = auto()
+    X_TICK_LABELS = auto()
+    Y_TICK_LABELS = auto()
+    X_SCALE = auto()
+    Y_SCALE = auto()
+    SIZE = auto()
+    LAYOUT = auto()
+    ALPHAS_CHL = auto()
+    VMAX = auto()
+    VMIN = auto()
+    SCALE_BAR = auto()
+    LEGEND_NAMES = auto()
+    PADDING = auto()
+    MARKER = auto()
+    CONDITION = auto()
+    DPI = auto()
+    NAN_COLOR = auto()
+    TEXT_POS = auto()
+
+
+class Themes(Enum):
+    """Matplotlib RC themes (reference ``config.Themes :440``)."""
+    DEFAULT = {
+        "font.family": "sans-serif",
+        "font.sans-serif": ["Arial", "Helvetica", "Tahoma"],
+        "axes.titlesize": 12,
+        "image.composite_image": False,
+    }
+    DARK = {
+        "text.color": "w",
+        "axes.facecolor": "#7a7a7a",
+        "axes.edgecolor": "#3b3b3b",
+        "axes.labelcolor": "w",
+        "xtick.color": "w",
+        "ytick.color": "w",
+        "grid.color": "w",
+        "figure.facecolor": "#3b3b3b",
+        "figure.edgecolor": "#3b3b3b",
+        "savefig.facecolor": "#3b3b3b",
+        "savefig.edgecolor": "#3b3b3b",
+    }
+
+
+class HemSides(Enum):
+    """Hemisphere sides (reference ``config.HemSides :813``)."""
+    RIGHT = "R"
+    LEFT = "L"
+    BOTH = "both"
+
+
+def format_import_err(distro: str, name: Optional[str] = None,
+                      task: Optional[str] = None) -> str:
+    """Message for a missing optional dependency
+    (reference ``config.format_import_err``)."""
+    name = name or distro
+    task = f" for {task}" if task else ""
+    return (f"{name} is required{task}, but it could not be imported; "
+            f"please install, e.g. with 'pip install {distro}'")

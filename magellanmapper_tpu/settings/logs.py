@@ -70,3 +70,14 @@ def redirect_std_streams(logger: logging.Logger):
     """Redirect stdout/stderr into the logger (reference ``cli.py:471``)."""
     sys.stdout = LogWriter(logger.info)
     sys.stderr = LogWriter(logger.error)
+
+
+def update_log_level(logger: logging.Logger, level) -> logging.Logger:
+    """Set the level on a logger and all its handlers
+    (reference ``logs.update_log_level :37``)."""
+    if isinstance(level, str):
+        level = getattr(logging, level.upper(), logging.INFO)
+    logger.setLevel(level)
+    for handler in logger.handlers:
+        handler.setLevel(level)
+    return logger

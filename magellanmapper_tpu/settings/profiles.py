@@ -174,3 +174,9 @@ class RegParamMap:
         for key, val in mods.items():
             setattr(self, key, val)
         return self
+
+
+#: reference alias: the reference names its profile base ``SettingsDict``
+#: (``profiles.SettingsDict :37``); :class:`Profile` provides the same
+#: dict-with-modifier-merging behavior.
+SettingsDict = Profile
