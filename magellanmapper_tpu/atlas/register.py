@@ -344,3 +344,77 @@ def make_label_ids_set(
     if combine_sides:
         ids = np.unique(np.abs(ids))
     return ids
+
+
+class RegImgs:
+    """Registered-image bundle (reference ``register.RegImgs :87``)."""
+
+    def __init__(self, exp_orig=None, exp=None, atlas=None, labels=None,
+                 labels_markers=None, borders=None, exp_mask=None,
+                 atlas_mask=None):
+        self.exp_orig = exp_orig
+        self.exp = exp
+        self.atlas = atlas
+        self.labels = labels
+        self.labels_markers = labels_markers
+        self.borders = borders
+        self.exp_mask = exp_mask
+        self.atlas_mask = atlas_mask
+
+
+def register_repeat(reg_result, img: np.ndarray,
+                    preserve_idents: bool = False) -> np.ndarray:
+    """Re-apply a completed registration's transform chain to another
+    image — the Transformix flow (reference ``register.register_repeat
+    :298``). ``preserve_idents`` uses nearest-neighbor so label IDs
+    survive."""
+    return reg_result.transform_img(
+        img, order=0 if preserve_idents else 1)
+
+
+def overlay_registered_imgs(
+        fixed_file: str, moving_file_dir: Optional[str] = None,
+        plane: Optional[str] = None, rotate=None,
+        name_prefix: Optional[str] = None,
+        out_plane: Optional[str] = None, out_path: Optional[str] = None):
+    """Overlay previously saved registered images and report DSC
+    (reference ``register.overlay_registered_imgs :1442``)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from magellanmapper_tpu.atlas import metrics as reg_metrics
+    from magellanmapper_tpu.io import np_io, sitk_io
+    prefix = name_prefix or fixed_file
+    fixed = np_io.read_file(fixed_file).img[0]
+    moved = sitk_io.load_registered_img(
+        prefix, RegNames.IMG_ATLAS.value)
+    dsc = reg_metrics.measure_overlap(
+        np.asarray(fixed, np.float32), np.asarray(moved, np.float32))
+    z = fixed.shape[0] // 2
+    fig, ax = plt.subplots()
+    ax.imshow(fixed[z], cmap="gray")
+    zm = min(z, moved.shape[0] - 1)
+    ax.imshow(moved[zm], cmap="viridis", alpha=0.5)
+    ax.set_title(f"DSC {dsc:.3f}")
+    if out_path:
+        fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)
+    return dsc
+
+
+def get_scaled_regionprops(img_region: np.ndarray, scaling):
+    """Region properties with bbox/centroid scaled back to experiment
+    space (reference ``register.get_scaled_regionprops :1494``)."""
+    from magellanmapper_tpu.cv import cv_nd
+    props = cv_nd.get_label_props(img_region.astype(np.int8), 1)
+    if not props:
+        return None, None, None
+    prop = props[0]
+    ndim = img_region.ndim
+    scaling = np.asarray(scaling, float)
+    lo = np.divide(prop.bbox[:ndim], scaling)
+    hi = np.divide(prop.bbox[ndim:], scaling)
+    bbox = tuple(int(round(v)) for v in np.concatenate([lo, hi]))
+    centroid = tuple(float(c) for c in
+                     np.divide(prop.centroid, scaling))
+    return props, bbox, centroid

@@ -573,3 +573,107 @@ def main(argv: Optional[Sequence[str]] = None):
 
 if __name__ == "__main__":
     main()
+
+
+def args_with_dict(args: Sequence[str]) -> list:
+    """Split a mixed argument list into positional values plus one dict
+    of ``key=value`` entries; comma-separated values become lists, ints
+    parse where possible (reference ``cli.args_with_dict :94``)."""
+    from magellanmapper_tpu.utils import libmag
+    parsed = []
+    args_dict: Dict[str, object] = {}
+    for arg in args:
+        parts = arg.split("=")
+        if len(parts) == 1:
+            parsed.append(libmag.get_int(arg))
+        else:
+            vals = parts[1].split(",")
+            vals = [libmag.get_int(v) for v in vals]
+            args_dict[parts[0]] = vals if len(vals) > 1 else vals[0]
+    parsed.append(args_dict)
+    return parsed
+
+
+def setup_image(rc: RunConfig):
+    """Load the main image per the run config
+    (reference ``cli.process_cli_args`` image setup flow); returns the
+    :class:`magellanmapper_tpu.io.np_io.Image5d`."""
+    return _load_image(rc)
+
+
+def setup_dbs(rc: RunConfig):
+    """Open the main (and truth) databases
+    (reference ``cli.setup_dbs``)."""
+    from magellanmapper_tpu.io import sqlite as sqlite_mod
+    db = sqlite_mod.load_db(getattr(rc, "db_path", None)
+                            or sqlite_mod.DB_NAME)
+    truth = None
+    if getattr(rc, "truth_db", None):
+        truth = sqlite_mod.load_truth_db(rc.truth_db)
+    return db, truth
+
+
+def setup_roi_profiles(names) -> list:
+    """Build per-channel ROI profiles from name strings
+    (reference ``cli.setup_roi_profiles``)."""
+    from magellanmapper_tpu.settings.roi_prof import ROIProfile
+    profs = []
+    for name in names or ("default",):
+        prof = ROIProfile()
+        if name and name != "default":
+            prof.add_profiles(name)
+        profs.append(prof)
+    return profs
+
+
+def setup_atlas_profiles(name: Optional[str] = None):
+    """Build the atlas profile from a modifier string
+    (reference ``cli.setup_atlas_profiles``)."""
+    from magellanmapper_tpu.settings.atlas_prof import AtlasProfile
+    prof = AtlasProfile()
+    if name and name != "default":
+        prof.add_profiles(name)
+    return prof
+
+
+def setup_grid_search_profiles(name: Optional[str] = None):
+    """Build the grid-search profile
+    (reference ``cli.setup_grid_search_profiles``)."""
+    from magellanmapper_tpu.settings.grid_search_prof import \
+        GridSearchProfile
+    prof = GridSearchProfile()
+    if name:
+        prof.add_profiles(name)
+    return prof
+
+
+def update_profiles(rc: RunConfig):
+    """Re-apply profile modifiers from the run config
+    (reference ``cli.update_profiles``)."""
+    rc.roi_profiles = setup_roi_profiles(
+        getattr(rc, "roi_profile_names", None))
+    rc.atlas_profile = setup_atlas_profiles(
+        getattr(rc, "atlas_profile_name", None))
+    return rc
+
+
+def setup_labels(labels_path: Optional[str], level=None):
+    """Load the labels reference lookup
+    (reference ``cli.setup_labels``)."""
+    from magellanmapper_tpu.atlas import ontology
+    if not labels_path:
+        return None
+    ref = ontology.LabelsRef(labels_path).load()
+    return ref
+
+
+def process_proc_tasks(rc: RunConfig):
+    """Run the ``--proc`` task chain (reference
+    ``cli.process_proc_tasks``); alias of :func:`process_tasks`."""
+    return process_tasks(rc)
+
+
+def shutdown() -> None:
+    """Flush logging and exit cleanly (reference ``cli.shutdown``)."""
+    import logging
+    logging.shutdown()

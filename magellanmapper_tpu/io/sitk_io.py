@@ -371,3 +371,120 @@ def match_world_info(
     target.spacing = source.spacing
     target.origin = source.origin
     return target
+
+
+def read_img(path: str) -> MedImage:
+    """Read a medical-format image (reference ``sitk_io.read_img``)."""
+    return read_med_img(path)
+
+
+def read_sitk(path: str) -> MedImage:
+    """Alias of :func:`read_med_img` (reference ``sitk_io.read_sitk``)."""
+    return read_med_img(find_sitk_file(path))
+
+
+def write_img(path: str, img, spacing=(1.0, 1.0, 1.0)) -> str:
+    """Write an array or MedImage (reference ``sitk_io.write_img``)."""
+    med = img if isinstance(img, MedImage) else MedImage(
+        np.asarray(img), tuple(spacing))
+    write_med_img(path, med)
+    return path
+
+
+def convert_img(img) -> np.ndarray:
+    """Image to a plain array view (reference ``sitk_io.convert_img``;
+    the reference pulls sitk images into numpy — here MedImage wraps
+    numpy already)."""
+    return np.asarray(img.img if isinstance(img, MedImage) else img)
+
+
+def replace_sitk_with_numpy(img, arr: np.ndarray) -> MedImage:
+    """New MedImage carrying ``arr`` with ``img``'s metadata
+    (reference ``sitk_io.replace_sitk_with_numpy``)."""
+    spacing = img.spacing if isinstance(img, MedImage) else (1.0,) * 3
+    origin = getattr(img, "origin", None)
+    med = MedImage(np.asarray(arr), spacing)
+    if origin is not None:
+        med.origin = origin
+    return med
+
+
+def load_numpy_to_sitk(path: str, rotate: bool = False) -> MedImage:
+    """Load a .npy volume as a MedImage
+    (reference ``sitk_io.load_numpy_to_sitk``)."""
+    arr = np.load(path, mmap_mode="r")
+    if arr.ndim >= 4:
+        arr = arr[0]
+    if rotate:
+        arr = np.rot90(arr, 2, (1, 2))
+    return MedImage(np.asarray(arr), (1.0, 1.0, 1.0))
+
+
+def load_registered_imgs(img_path: str, reg_names,
+                         **kwargs) -> Dict[str, np.ndarray]:
+    """Load several registered images keyed by suffix
+    (reference ``sitk_io.load_registered_imgs``)."""
+    out = {}
+    for name in reg_names:
+        key = name.value if hasattr(name, "value") else name
+        try:
+            out[key] = load_registered_img(img_path, key, **kwargs)
+        except (FileNotFoundError, ValueError):
+            continue
+    return out
+
+
+def write_registered_image(
+        arr: np.ndarray, img_path: str, reg_name: str,
+        spacing=(1.0, 1.0, 1.0), load_reg_names=None,
+        overwrite: bool = False) -> str:
+    """Write one registered image next to the main image
+    (reference ``sitk_io.write_registered_image``)."""
+    out_path = reg_out_path(img_path, reg_name)
+    if os.path.exists(out_path) and not overwrite:
+        raise FileExistsError(f"{out_path} exists; pass overwrite=True")
+    write_med_img(out_path, MedImage(np.asarray(arr), tuple(spacing)))
+    return out_path
+
+
+def find_atlas_labels(labels_ref_path: str, drawn_only: bool,
+                      labels_ref=None) -> list:
+    """IDs available in a labels reference, optionally only those drawn
+    at the lowest level (reference ``sitk_io.find_atlas_labels``)."""
+    from magellanmapper_tpu.atlas import ontology
+    ref = labels_ref
+    if ref is None:
+        ref = ontology.LabelsRef(labels_ref_path).load()
+    ids = list(ref.ref_lookup.keys())
+    if drawn_only:
+        df = ref.get_ref_lookup_as_df()
+        parents = {p[-1] for p in df["ParentIDs"] if p}
+        ids = [i for i in ids if i not in parents]
+    return ids
+
+
+def merge_images(img_paths, reg_name, prefix=None, suffix=None,
+                 fn_combine=np.sum) -> Optional[MedImage]:
+    """Combine registered images across samples voxel-wise
+    (reference ``sitk_io.merge_images``)."""
+    imgs = []
+    for path in img_paths:
+        try:
+            imgs.append(load_registered_img(path, reg_name))
+        except (FileNotFoundError, ValueError):
+            continue
+    if not imgs:
+        return None
+    stack = np.stack(imgs)
+    merged = fn_combine(stack, axis=0) if fn_combine is not None else stack
+    return MedImage(merged, (1.0, 1.0, 1.0))
+
+
+def write_pts(path: str, pts, fmt: str = "point") -> str:
+    """Write an Elastix-format points file
+    (reference ``sitk_io.write_pts``)."""
+    with open(path, "w") as f:
+        f.write(f"{fmt}\n{len(pts)}\n")
+        for pt in pts:
+            f.write(" ".join(str(float(v)) for v in pt) + "\n")
+    return path
