@@ -140,3 +140,30 @@ class PlotEditor:
     def erase(self, y: float, x: float) -> int:
         return self.editor.erase_label(
             self.axis, self.index, (y, x), self.brush_radius)
+
+
+class PlotAxImg:
+    """Displayed-image settings record (reference
+    ``plot_editor.PlotAxImg :29``): brightness/contrast/alpha applied on
+    top of the raw plane, with the adjusted image recomputed on demand."""
+
+    def __init__(self, ax_img=None, vmin=None, vmax=None, img=None):
+        self.ax_img = ax_img
+        self.vmin = vmin
+        self.vmax = vmax
+        self.img = img
+        self.brightness: float = 0.0
+        self.contrast: float = 1.0
+        self.alpha = None
+        self.alpha_blend = None
+
+    def adjusted(self) -> np.ndarray:
+        """Image with brightness/contrast applied."""
+        out = np.asarray(self.img, float) * self.contrast \
+            + self.brightness
+        if self.vmin is not None or self.vmax is not None:
+            out = np.clip(
+                out,
+                self.vmin if self.vmin is not None else out.min(),
+                self.vmax if self.vmax is not None else out.max())
+        return out

@@ -79,3 +79,30 @@ def plot_max_intensity_projections(
         plot_support.save_fig(fig, out_path)
     plt.close(fig)
     return fig
+
+
+class Vis3D:
+    """3D viewer state (reference ``gui/vis_3d.Vis3D :33``): holds the
+    scene volume/blobs and renders MIP panes or point clouds through the
+    module's headless renderers."""
+
+    def __init__(self, roi: Optional[np.ndarray] = None):
+        self.roi = roi
+        self.blobs: Optional[np.ndarray] = None
+        self.surfaces = []
+
+    def update_img_display(self, roi: np.ndarray) -> None:
+        self.roi = roi
+
+    def show_blobs(self, blobs: np.ndarray) -> None:
+        self.blobs = blobs
+
+    def clear_scene(self) -> None:
+        self.blobs = None
+        self.surfaces = []
+
+    def render(self, out_path: str):
+        """Render MIPs (plus blob scatter when set) to ``out_path``."""
+        if self.blobs is not None and len(self.blobs):
+            return plot_blobs_3d(self.roi, self.blobs, out_path)
+        return plot_max_intensity_projections(self.roi, out_path)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import logging
 import os
+from enum import Enum, auto
 from typing import Dict, Optional, Sequence
 
 import numpy as np
@@ -109,3 +110,101 @@ class Visualization:
 
     def save_prefs(self, path: Optional[str] = None) -> str:
         return self.prefs.save_prefs(path or "prefs.yaml")
+
+
+class ViewerTabs(Enum):
+    """Viewer tab enumerations (reference ``vis_handler.ViewerTabs
+    :197``)."""
+    ROI_ED = auto()
+    ATLAS_ED = auto()
+    MAYAVI = auto()
+
+
+class StaleFlags(Enum):
+    """Stale-state flags per viewer (reference ``vis_handler.StaleFlags
+    :204``)."""
+    IMAGE = auto()
+    ROI = auto()
+    ZOOM = auto()
+
+
+class Styles2D(Enum):
+    """2D viewer layout styles (reference ``visualizer.Styles2D``)."""
+    SQUARE = "Square layout"
+    SQUARE_3D = "Square with 3D"
+    SINGLE_ROW = "Single row"
+    WIDE = "Wide region"
+    ZOOM3 = "3 level zoom"
+    ZOOM4 = "4 level zoom"
+    THIN_ROWS = "Thin rows"
+
+
+class RegionOptions(Enum):
+    """Atlas region selection options (reference
+    ``visualizer.RegionOptions``)."""
+    BOTH_SIDES = "Both sides"
+    INCL_CHILDREN = "Include children"
+    APPEND = "Append"
+
+
+class AtlasEditorOptions(Enum):
+    """Atlas editor toggles (reference
+    ``visualizer.AtlasEditorOptions``)."""
+    SHOW_LABELS = "Labels"
+    SYNC_ROI = "Sync ROI"
+    CROSSHAIRS = "Crosshairs"
+    ZOOM_ROI = "Zoom ROI"
+
+class Vis3dOptions(Enum):
+    """3D viewer toggles (reference ``visualizer.Vis3dOptions``)."""
+    RAW = "Raw"
+    SURFACE = "Surface"
+    CLEAR = "Clear"
+    PANES = "Panes"
+    SHADOWS = "Shadows"
+
+
+class BlobsVisibilityOptions(Enum):
+    """Blob display toggles (reference
+    ``visualizer.BlobsVisibilityOptions``)."""
+    VISIBLE = "Visible"
+
+
+class ProfileCats(Enum):
+    """Profile categories in the profiles tab (reference
+    ``visualizer.ProfileCats``)."""
+    ROI = "ROI"
+    ATLAS = "Atlas"
+    GRID = "Grid Search"
+
+
+class ImportModes(Enum):
+    """Image import modes (reference ``visualizer.ImportModes``)."""
+    DIR = auto()
+    MULTIPAGE = auto()
+
+
+class VisHandler:
+    """Session event handler (reference ``vis_handler.VisHandler :19``):
+    tracks stale states per viewer tab and closing cleanup."""
+
+    def __init__(self, vis: "Visualization"):
+        self.vis = vis
+        self.stale: dict = {tab: set() for tab in ViewerTabs}
+
+    def mark_stale(self, flag: StaleFlags,
+                   tabs=None) -> None:
+        for tab in tabs or ViewerTabs:
+            self.stale[tab].add(flag)
+
+    def is_stale(self, tab: ViewerTabs, flag: StaleFlags) -> bool:
+        return flag in self.stale[tab]
+
+    def refresh(self, tab: ViewerTabs) -> None:
+        self.stale[tab].clear()
+
+    def closed(self, info=None, is_ok: bool = True) -> bool:
+        db = getattr(self.vis, "db", None)
+        if db is not None:
+            db.close()
+        return is_ok

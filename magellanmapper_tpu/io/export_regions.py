@@ -148,3 +148,24 @@ def export_common_labels(
     _logger.info("%d labels common across %d samples",
                  len(df), len(img_paths))
     return df
+
+
+def make_density_images_mp(
+        img_paths: Sequence[str], scale: Optional[float] = None,
+        shape: Optional[Sequence[int]] = None,
+        suffix: Optional[str] = None,
+        channel: Optional[Sequence[int]] = None) -> list:
+    """Density images for a batch of samples
+    (reference ``export_regions.make_density_images_mp :~390``). The
+    reference fans samples across processes; heat-map binning here is a
+    single vectorized pass per sample, so they just run in sequence.
+    """
+    out = []
+    for path in img_paths:
+        try:
+            out.append(make_density_image(
+                path, scale=scale, shape=shape, suffix=suffix,
+                channel=channel))
+        except (FileNotFoundError, ValueError) as exc:
+            _logger.warning("density image failed for %s: %s", path, exc)
+    return out
