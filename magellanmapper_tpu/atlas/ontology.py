@@ -379,3 +379,13 @@ def rel_to_abs_ages(rel_ages: Sequence[str],
             age += float(gestation)
         ages[val] = age
     return ages
+
+
+from enum import Enum
+
+
+class LabelColumns(Enum):
+    """Label translation frame columns
+    (reference ``ontology.LabelColumns :28``)."""
+    FROM_LABEL = "FromLabel"
+    TO_LABEL = "ToLabel"

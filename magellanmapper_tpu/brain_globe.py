@@ -120,3 +120,53 @@ class BrainGlobeCtrl:
         self.fn_feedback(
             f"removed atlas {name}" if ok else f"could not remove {name}")
         return ok
+
+
+class _InlineBGTask:
+    """Inline stand-in for the reference's Qt threads."""
+
+    def __init__(self, fn_success=None, fn_feedback=None):
+        self.fn_success = fn_success
+        self.fn_feedback = fn_feedback
+
+    def _feedback(self, msg):
+        if self.fn_feedback is not None:
+            self.fn_feedback(msg)
+
+    def start(self):
+        out = self.run()
+        if self.fn_success is not None:
+            self.fn_success(out)
+        return out
+
+
+class SetupAtlasesThread(_InlineBGTask):
+    """Fetch the atlas listing (reference
+    ``bg_controller.SetupAtlasesThread :~30``; Qt thread in the
+    reference, inline here)."""
+
+    def __init__(self, bg_mm: "BrainGlobeMM", fn_success=None,
+                 fn_feedback=None):
+        super().__init__(fn_success, fn_feedback)
+        self.bg_mm = bg_mm
+
+    def run(self):
+        self._feedback("fetching atlas listing")
+        return self.bg_mm.get_avail_atlases()
+
+
+class AccessAtlasThread(_InlineBGTask):
+    """Open/download one atlas (reference
+    ``bg_controller.AccessAtlasThread``)."""
+
+    def __init__(self, bg_mm: "BrainGlobeMM", name: str,
+                 download: bool = False, fn_success=None,
+                 fn_feedback=None):
+        super().__init__(fn_success, fn_feedback)
+        self.bg_mm = bg_mm
+        self.name = name
+        self.download = download
+
+    def run(self):
+        self._feedback(f"accessing atlas {self.name}")
+        return self.bg_mm.get_atlas(self.name, self.download)

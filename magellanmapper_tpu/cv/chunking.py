@@ -162,3 +162,79 @@ def merge_split_stack(sub_rois: np.ndarray, max_pixels, overlap
         merged = merged_y if merged is None else np.concatenate(
             (merged, merged_y), axis=0)
     return merged
+
+
+# -- multiprocessing plumbing (reference chunking.py shared-array API) -----
+#
+# The reference splits stacks across forked CPU workers sharing arrays
+# through these helpers. In this framework blocks run as batched device
+# programs, so the helpers survive for host-side pipelines (IO, plane
+# exports) that still benefit from process pools.
+
+import multiprocessing as _mp
+from collections import namedtuple as _namedtuple
+
+class SharedArr(_namedtuple("SharedArr", ["arr", "shape", "dtype"])):
+    """Shared raw array + metadata (reference ``chunking.SharedArr``)."""
+    __slots__ = ()
+
+
+def set_mp_start_method(val: str = "spawn") -> str:
+    """Set the multiprocessing start method, ignoring repeat calls
+    (reference ``chunking.set_mp_start_method``)."""
+    try:
+        _mp.set_start_method(val)
+    except RuntimeError:
+        pass
+    return _mp.get_start_method()
+
+
+def is_fork() -> bool:
+    """True if the start method is fork
+    (reference ``chunking.is_fork``)."""
+    return _mp.get_start_method(allow_none=True) == "fork"
+
+
+def get_mp_pool(processes: Optional[int] = None,
+                initializer=None, initargs=()) -> "_mp.pool.Pool":
+    """Process pool honoring the configured start method
+    (reference ``chunking.get_mp_pool``)."""
+    return _mp.get_context().Pool(
+        processes=processes, initializer=initializer, initargs=initargs)
+
+
+def init_shared_container(container) -> None:
+    """Pool initializer installing a shared-array container's state in
+    the worker (reference ``chunking.init_shared_container``)."""
+    global _SHARED_CONTAINER
+    _SHARED_CONTAINER = container
+
+
+class SharedArrsContainer:
+    """Carrier of arrays shared with forked workers
+    (reference ``chunking.SharedArrsContainer``). With fork, ndarrays
+    inherit by reference; ``to_shared``/``from_shared`` convert to raw
+    shared memory for spawn-based pools."""
+
+    shared_arrs: dict = {}
+
+    @classmethod
+    def set_data(cls, **arrays) -> None:
+        cls.shared_arrs = dict(arrays)
+
+    @classmethod
+    def to_shared(cls, key: str, arr: np.ndarray) -> SharedArr:
+        raw = _mp.RawArray("b", arr.nbytes)
+        view = np.frombuffer(raw, dtype=arr.dtype).reshape(arr.shape)
+        view[...] = arr
+        shared = SharedArr(raw, arr.shape, arr.dtype)
+        cls.shared_arrs[key] = shared
+        return shared
+
+    @classmethod
+    def from_shared(cls, key: str) -> np.ndarray:
+        shared = cls.shared_arrs[key]
+        if isinstance(shared, SharedArr):
+            return np.frombuffer(
+                shared.arr, dtype=shared.dtype).reshape(shared.shape)
+        return shared

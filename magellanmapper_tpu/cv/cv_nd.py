@@ -631,3 +631,25 @@ def rescale_resize(
     else:
         out = one(roi)
     return out.astype(dtype) if preserve_range else out
+
+
+def get_thresholded_regionprops(img_np: np.ndarray, threshold=10,
+                                sort_reverse: bool = False,
+                                min_size: int = 200) -> list:
+    """Connected-component properties of a thresholded image sorted by
+    area (reference ``cv_nd.get_thresholded_regionprops :704``)."""
+    from scipy import ndimage as scipy_ndi
+    thresholded = img_np
+    if threshold is not None:
+        thresholded = img_np > threshold
+        labeled, n = scipy_ndi.label(thresholded)
+        counts = np.bincount(labeled.ravel())
+        small = np.flatnonzero(counts < min_size)
+        thresholded = thresholded & ~np.isin(labeled, small)
+    labeled, n = scipy_ndi.label(thresholded)
+    props = []
+    for lid in range(1, n + 1):
+        mask = labeled == lid
+        prop = RegionProps(mask)
+        props.append((prop, prop.area))
+    return sorted(props, key=lambda p: p[1], reverse=sort_reverse)

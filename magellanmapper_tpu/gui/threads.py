@@ -81,7 +81,7 @@ class ImportThread(_InlineTask):
         if len(paths) == 1:
             out = importer.import_tiff(paths[0], self.prefix)
         else:
-            out = importer.import_planes(paths, self.prefix)
+            out = importer.import_planes_to_stack(paths, self.prefix)
         self._progress(100, "done")
         return out
 

@@ -208,3 +208,105 @@ class VisHandler:
         if db is not None:
             db.close()
         return is_ok
+
+
+class ColocalizeOptions(Enum):
+    """Co-localization modes (reference
+    ``visualizer.ColocalizeOptions``)."""
+    DEFAULT = ""
+    INTENSITY = "Intensity"
+    MATCHES = "Matches"
+
+
+class BlobColorStyles(Enum):
+    """Blob coloring schemes (reference
+    ``visualizer.BlobColorStyles``)."""
+    ATLAS_LABELS = "Atlas label colors"
+    UNIQUE = "Unique colors"
+    CHANNEL = "Channel colors"
+
+
+class ControlsTabs(Enum):
+    """Left-panel control tab order (reference
+    ``visualizer.ControlsTabs``)."""
+    ROI = auto()
+    DETECT = auto()
+    PROFILES = auto()
+    ADJUST = auto()
+    IMPORT = auto()
+
+
+class TraitsList:
+    """Mutable selection-list holder (reference
+    ``visualizer.TraitsList``): the Traits-observable list reduced to a
+    plain container with change callbacks."""
+
+    def __init__(self, selections=None, fn_changed=None):
+        self._selections = list(selections or [])
+        self.fn_changed = fn_changed
+
+    @property
+    def selections(self) -> list:
+        return self._selections
+
+    @selections.setter
+    def selections(self, vals) -> None:
+        self._selections = list(vals or [])
+        if self.fn_changed is not None:
+            self.fn_changed(self._selections)
+
+
+class _TableAdapter:
+    """Base table adapter: maps row objects to display columns
+    (stand-in for TraitsUI TabularAdapter)."""
+
+    columns: list = []
+
+    def row(self, obj) -> list:
+        return [getattr(obj, name, obj[i] if hasattr(obj, "__getitem__")
+                        else None)
+                for i, (label, name) in enumerate(self.columns)]
+
+    def table(self, objs) -> list:
+        return [self.row(o) for o in objs]
+
+
+class SegmentsArrayAdapter(_TableAdapter):
+    """Blob table columns (reference
+    ``visualizer.SegmentsArrayAdapter``)."""
+    columns = [("z", 0), ("y", 1), ("x", 2), ("radius", 3),
+               ("confirmed", 4), ("channel", 6), ("abs_z", 7),
+               ("abs_y", 8), ("abs_x", 9)]
+
+    def row(self, blob) -> list:
+        return [blob[i] for _, i in self.columns if i < len(blob)]
+
+
+class ProfilesArrayAdapter(_TableAdapter):
+    """Applied-profiles table (reference
+    ``visualizer.ProfilesArrayAdapter``)."""
+    columns = [("Category", 0), ("Profile", 1), ("Channel", 2)]
+
+
+class ImportFilesArrayAdapter(_TableAdapter):
+    """Import-file table (reference
+    ``visualizer.ImportFilesArrayAdapter``)."""
+    columns = [("File", 0), ("Channel", 1)]
+
+
+class BrainGlobeArrayAdapter(_TableAdapter):
+    """BrainGlobe atlas table (reference
+    ``visualizer.BrainGlobeArrayAdapter``)."""
+    columns = [("Atlas", 0), ("Ver", 1), ("Downloaded", 2)]
+
+
+class MPLFigureEditor:
+    """Placeholder editor binding a Matplotlib figure into a GUI layout
+    (reference ``visualizer.MPLFigureEditor``); headless builds hold the
+    figure directly."""
+
+    def __init__(self, figure=None):
+        self.figure = figure
+
+    def init(self, parent=None):
+        return self.figure

@@ -273,3 +273,56 @@ def exps_by_regions(path, filter_zeros: bool = True,
             piv = piv[(piv.fillna(0) != 0).any(axis=1)]
         out[meas] = piv
     return out
+
+
+def pivot_with_conditions(df: pd.DataFrame, index, columns, values,
+                          aggfunc="first"):
+    """Pivot to wide format with condition sub-columns; returns
+    ``(pivoted, column_names)``
+    (reference ``df_io.pivot_with_conditions :526``)."""
+    piv = df.pivot_table(
+        values=values, index=index, columns=columns, aggfunc=aggfunc)
+    return piv, piv.columns.tolist()
+
+
+def filter_dfs_on_vals(dfs, cols=None, row_matches=None):
+    """Filter each frame by a (col, val) criterion then concatenate
+    (reference ``df_io.filter_dfs_on_vals :713``)."""
+    filtered = []
+    for i, df in enumerate(dfs):
+        if row_matches is not None and row_matches[i] is not None:
+            col, val = row_matches[i]
+            df = df[df[col] == val]
+        if cols is not None:
+            df = df[list(cols)]
+        filtered.append(df)
+    return pd.concat(filtered, ignore_index=True), filtered
+
+
+def merge_excels(paths, out_path: str, names=None) -> str:
+    """Merge Excel files into sheets of one workbook
+    (reference ``df_io.merge_excels :746``)."""
+    from magellanmapper_tpu.utils import libmag
+    libmag.backup_file(out_path)
+    with pd.ExcelWriter(out_path) as writer:
+        if not names:
+            names = [libmag.get_filename_without_ext(p) for p in paths]
+        for path, name in zip(paths, names):
+            pd.read_excel(path, index_col=0).to_excel(
+                writer, sheet_name=name, index=False)
+    return out_path
+
+
+def replace_vals(df: pd.DataFrame, vals_from, vals_to,
+                 cols=None) -> pd.DataFrame:
+    """Replace values in selected columns
+    (reference ``df_io.replace_vals :766``)."""
+    from magellanmapper_tpu.utils import libmag
+    out = df.copy()
+    targets = list(cols) if libmag.is_seq(cols) else (
+        [cols] if cols is not None else list(out.columns))
+    sub = out[targets].replace(
+        list(np.atleast_1d(vals_from)),
+        list(np.atleast_1d(vals_to)))
+    out[targets] = sub
+    return out

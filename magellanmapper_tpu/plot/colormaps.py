@@ -238,3 +238,14 @@ def setup_colormaps(num_channels: int) -> list:
     """Per-channel colormaps (reference ``colormaps.setup_colormaps
     :555``)."""
     return [channel_colormap(c) for c in range(num_channels)]
+
+
+def setup_labels_cmap(labels_img: Optional[np.ndarray],
+                      background=(0, 0, 0, 0)) -> DiscreteColormap:
+    """Discrete colormap for a labels image with transparent background
+    (reference ``colormaps.setup_labels_cmap``)."""
+    cmap = get_labels_discrete_colormap(labels_img, 0)
+    cmap.colors[0] = tuple(
+        c / 255.0 if isinstance(c, (int, np.integer)) and c > 1 else c
+        for c in background)
+    return cmap

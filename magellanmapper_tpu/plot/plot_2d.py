@@ -263,3 +263,65 @@ def plot_overlays(imgs, z: int, cmaps=None, title: Optional[str] = None,
         fig.savefig(out_path, bbox_inches="tight")
     plt.close(fig)
     return fig
+
+
+def plot_overlays_reg(exp_path: str, atlas_path: str,
+                      z: Optional[int] = None,
+                      out_path: Optional[str] = None):
+    """Overlay an experiment plane with its registered atlas
+    (reference ``plot_2d.plot_overlays_reg``)."""
+    from magellanmapper_tpu.io import np_io, sitk_io
+    exp = np_io.read_file(exp_path).img[0]
+    atlas = sitk_io.read_med_img(sitk_io.find_sitk_file(atlas_path)).img
+    if z is None:
+        z = exp.shape[0] // 2
+    return plot_overlays(
+        [np.asarray(exp), np.asarray(atlas)], z, title="registered",
+        out_path=out_path)
+
+
+def plot_probability(df: pd.DataFrame, conds, metric_cols, col_size: str,
+                     **kwargs):
+    """Probability/fraction plot per condition
+    (reference ``plot_2d.plot_probability``)."""
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots()
+    for col in metric_cols:
+        for cond in conds:
+            sub = df[df["Condition"] == cond] if "Condition" in \
+                df.columns else df
+            frac = sub[col] / sub[col_size].replace(0, np.nan)
+            ax.plot(np.arange(len(frac)), frac, label=f"{col}:{cond}")
+    ax.set_ylabel("Probability")
+    ax.legend()
+    plt.close(fig)
+    return fig
+
+
+def plot_catplot(df: pd.DataFrame, x: str, y: str,
+                 hue: Optional[str] = None,
+                 kind: str = "strip", out_path: Optional[str] = None):
+    """Categorical plot via seaborn when available, Matplotlib strip
+    fallback otherwise (reference ``plot_2d.plot_catplot``)."""
+    try:
+        import seaborn as sns
+        g = sns.catplot(data=df, x=x, y=y, hue=hue, kind=kind)
+        if out_path:
+            g.savefig(out_path)
+        return g
+    except ImportError:
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots()
+        cats = list(df[x].unique())
+        rng = np.random.default_rng(0)
+        for i, cat in enumerate(cats):
+            vals = df.loc[df[x] == cat, y]
+            ax.scatter(i + rng.uniform(-0.15, 0.15, len(vals)), vals, s=10)
+        ax.set_xticks(range(len(cats)))
+        ax.set_xticklabels([str(c) for c in cats])
+        ax.set_xlabel(x)
+        ax.set_ylabel(y)
+        if out_path:
+            fig.savefig(out_path, bbox_inches="tight")
+        plt.close(fig)
+        return fig

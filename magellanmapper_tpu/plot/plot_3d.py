@@ -208,3 +208,58 @@ def pad_img(img: np.ndarray, offset, shape) -> np.ndarray:
                for o, s in zip(offset, img.shape))
     out[sl] = img
     return out
+
+
+def _voxel_surface_mesh(mask: np.ndarray):
+    """Triangulate the exposed faces of a voxel mask: each boundary face
+    becomes two triangles (the marching-cubes role in the reference's
+    surface view, without a C dependency)."""
+    verts = []
+    faces = []
+    vert_index = {}
+
+    def vid(p):
+        if p not in vert_index:
+            vert_index[p] = len(verts)
+            verts.append(p)
+        return vert_index[p]
+
+    padded = np.pad(mask, 1)
+    coords = np.argwhere(mask) + 1
+    # unit-face corner offsets per axis and direction
+    for z, y, x in coords:
+        for ax, d in ((0, -1), (0, 1), (1, -1), (1, 1), (2, -1), (2, 1)):
+            nb = [z, y, x]
+            nb[ax] += d
+            if padded[tuple(nb)]:
+                continue
+            base = np.array([z, y, x], float) - 1
+            face = base.copy()
+            if d > 0:
+                face[ax] += 1
+            others = [a for a in range(3) if a != ax]
+            c00 = face.copy()
+            c10 = face.copy(); c10[others[0]] += 1
+            c01 = face.copy(); c01[others[1]] += 1
+            c11 = face.copy(); c11[others[0]] += 1; c11[others[1]] += 1
+            i00, i10, i01, i11 = (vid(tuple(c)) for c in
+                                  (c00, c10, c01, c11))
+            faces.append((i00, i10, i11))
+            faces.append((i00, i11, i01))
+    return np.asarray(verts, float), np.asarray(faces, int)
+
+
+def show_surface_labels(segments: np.ndarray, vis=None) -> list:
+    """Triangulated surfaces for segmented labels
+    (reference ``plot_3d.show_surface_labels :428``); returns
+    ``(label_id, verts, faces)`` per label."""
+    meshes = []
+    for lid in np.unique(segments):
+        if lid <= 0:
+            continue
+        verts, faces = _voxel_surface_mesh(segments == lid)
+        if len(faces):
+            meshes.append((int(lid), verts, faces))
+    if vis is not None and hasattr(vis, "surfaces"):
+        vis.surfaces.extend(meshes)
+    return meshes

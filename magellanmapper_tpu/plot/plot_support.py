@@ -236,3 +236,157 @@ def add_scale_bar(ax, downsample=None, plane: str = "xy",
     ax.annotate(f"{bar_um:g} µm",
                 (xlim[0] + width_px * 0.05 + bar_px / 2, y),
                 color=color, ha="center", va="bottom")
+
+
+def get_plane_axis(plane: str, get_index: bool = False):
+    """Axis name (or z,y,x index) orthogonal to a plane
+    (reference ``plot_support.get_plane_axis :1422``)."""
+    mapping = {"xy": ("z", 0), "xz": ("y", 1), "yz": ("x", 2)}
+    name, idx = mapping.get(plane, ("z", 0))
+    return idx if get_index else name
+
+
+def set_overview_title(ax, plane: str, z_overview, zoom: str = "",
+                       level: int = 0,
+                       max_intens_proj: bool = False) -> None:
+    """Title an overview plot with plane position and zoom
+    (reference ``plot_support.set_overview_title :1194``)."""
+    plane_axis = get_plane_axis(plane)
+    if level == 0:
+        title = f"{plane_axis}={z_overview}"
+        if max_intens_proj:
+            title += " (MIP)"
+    else:
+        title = f"{zoom}x" if zoom else f"level {level}"
+    ax.set_title(title)
+
+
+def set_scinot(ax, lims=(-3, 4), lbls=None, units=None) -> None:
+    """Scientific-notation ticks with exponents folded into labels
+    (reference ``plot_support.set_scinot :1221``)."""
+    try:
+        ax.ticklabel_format(style="sci", scilimits=lims, useMathText=True)
+    except AttributeError:
+        pass
+    if lbls:
+        if len(lbls) > 0 and lbls[0]:
+            unit = f" ({units[0]})" if units and units[0] else ""
+            ax.set_ylabel(f"{lbls[0]}{unit}")
+        if len(lbls) > 1 and lbls[1]:
+            unit = f" ({units[1]})" if units and len(units) > 1 and \
+                units[1] else ""
+            ax.set_xlabel(f"{lbls[1]}{unit}")
+
+
+def scale_xticks(ax, rotation=80, x_labels=None) -> None:
+    """Rotate/replace x tick labels
+    (reference ``plot_support.scale_xticks``)."""
+    if x_labels is not None:
+        ax.set_xticks(range(len(x_labels)))
+        ax.set_xticklabels(x_labels)
+    for lbl in ax.get_xticklabels():
+        lbl.set_rotation(rotation)
+        lbl.set_horizontalalignment("right")
+
+
+def setup_vspans(df, col_vspan: str, vspan_fmt: str = "{}"):
+    """Vertical span start indices + labels from an ordered group column
+    (reference ``plot_support.setup_vspans :1337``)."""
+    vals = df[col_vspan].to_numpy()
+    changes = np.concatenate(
+        [[0], np.flatnonzero(vals[1:] != vals[:-1]) + 1])
+    labels = [vspan_fmt.format(vals[i]) for i in changes]
+    return changes, labels
+
+
+def add_vspans(ax, spans, labels=None, alt_color: str = "0.9",
+               n_rows: Optional[int] = None) -> None:
+    """Shade alternating vertical spans (reference
+    ``plot_support.add_vspans``)."""
+    n = n_rows if n_rows is not None else ax.get_xlim()[1]
+    bounds = list(spans) + [n]
+    for i in range(len(spans)):
+        if i % 2 == 1:
+            ax.axvspan(
+                bounds[i] - 0.5, bounds[i + 1] - 0.5, facecolor=alt_color,
+                alpha=0.4, zorder=0)
+        if labels is not None:
+            ax.annotate(
+                labels[i], ((bounds[i] + bounds[i + 1]) / 2 - 0.5,
+                            ax.get_ylim()[1]),
+                ha="center", va="top", annotation_clip=False)
+
+
+def setup_fig(nrows: int = 1, ncols: int = 1, size=None):
+    """Figure + GridSpec (reference ``plot_support.setup_fig :1558``)."""
+    import matplotlib.pyplot as plt
+    from matplotlib import gridspec
+    fig = plt.figure(figsize=size, constrained_layout=True)
+    gs = gridspec.GridSpec(nrows, ncols, figure=fig)
+    return fig, gs
+
+
+def show(block: bool = True) -> None:
+    """Show open figures (reference ``plot_support.show``)."""
+    import matplotlib.pyplot as plt
+    plt.show(block=block)
+
+
+def setup_images_for_plane(plane: str, imgs3d) -> list:
+    """Transpose each 3D image for viewing along a planar orientation
+    (reference ``plot_support.setup_images_for_plane``)."""
+    axis = get_plane_axis(plane, get_index=True)
+    out = []
+    for img in imgs3d:
+        if img is None:
+            out.append(None)
+        else:
+            out.append(np.moveaxis(img, axis, 0) if axis else img)
+    return out
+
+
+class ImageOverlayer:
+    """Overlay channel/label/border images on one axes
+    (reference ``plot_support.ImageOverlayer :~120``); wraps
+    :func:`overlay_images` with held display settings."""
+
+    def __init__(self, ax, aspect=None, origin=None,
+                 ignore_invis: bool = False, rgb: bool = False):
+        self.ax = ax
+        self.aspect = aspect
+        self.origin = origin
+        self.ignore_invis = ignore_invis
+        self.rgb = rgb
+
+    def overlay_images(self, imgs2d, channels=None, cmaps=None,
+                       alphas=None, vmins=None, vmaxs=None):
+        return overlay_images(
+            self.ax, self.aspect, self.origin, imgs2d, channels,
+            cmaps, alphas=alphas)
+
+
+class ImageSyncMixin:
+    """Shared plumbing for multi-view editors that keep plane/offset
+    state in sync (reference ``plot_support.ImageSyncMixin``)."""
+
+    def __init__(self, img5d=None):
+        self.img5d = img5d
+        self.plot_eds: dict = {}
+        #: callbacks fired when any view updates
+        self.fn_update_coords = None
+        self.fn_status_bar = None
+
+    def get_img_display_settings(self, imgi: int, **kwargs):
+        for ed in self.plot_eds.values():
+            if hasattr(ed, "get_displayed_img"):
+                return ed.get_displayed_img(imgi, **kwargs)
+        return None
+
+    def update_coords(self, coords) -> None:
+        """Propagate a crosshair move to all linked editors."""
+        for ed in self.plot_eds.values():
+            if hasattr(ed, "editor"):
+                for ax, c in enumerate(coords[:3]):
+                    ed.editor.set_position(ax, c)
+        if self.fn_update_coords is not None:
+            self.fn_update_coords(coords)

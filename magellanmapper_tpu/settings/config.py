@@ -475,3 +475,9 @@ def format_import_err(distro: str, name: Optional[str] = None,
     task = f" for {task}" if task else ""
     return (f"{name} is required{task}, but it could not be imported; "
             f"please install, e.g. with 'pip install {distro}'")
+
+
+class DataClassProtocol:
+    """Marker base for dataclass-style settings objects parsed by
+    ``args_to_dict`` (reference ``config.DataClassProtocol``)."""
+    __dataclass_fields__: dict = {}

@@ -176,7 +176,8 @@ class RegParamMap:
         return self
 
 
-#: reference alias: the reference names its profile base ``SettingsDict``
-#: (``profiles.SettingsDict :37``); :class:`Profile` provides the same
-#: dict-with-modifier-merging behavior.
-SettingsDict = Profile
+class SettingsDict(Profile):
+    """Reference name for the profile base class
+    (``profiles.SettingsDict :37``): a dict with named-modifier deep
+    merging, which :class:`Profile` implements."""
+

@@ -317,3 +317,293 @@ def is_number(val) -> bool:
         return True
     except (TypeError, ValueError):
         return False
+
+
+#: verbosity flag for :func:`printv` (reference ``config.verbose``)
+verbose = False
+_LOGGED_ONCE = set()
+
+
+def printv(*args, **kwargs) -> None:
+    """Print only in verbose mode (reference ``libmag.printv``)."""
+    if verbose:
+        print(*args, **kwargs)
+
+
+def printcb(msg, fn_callback=None) -> None:
+    """Print and also forward to a callback
+    (reference ``libmag.printcb``)."""
+    print(msg)
+    if fn_callback is not None:
+        fn_callback(msg)
+
+
+def warn(msg: str, category=UserWarning) -> None:
+    """Show a warning (reference ``libmag.warn``)."""
+    import warnings
+    warnings.warn(msg, category)
+
+
+def log_once(fn_log, msg: str) -> None:
+    """Log a message only the first time it appears
+    (reference ``libmag.log_once :525``)."""
+    if msg not in _LOGGED_ONCE:
+        _LOGGED_ONCE.add(msg)
+        fn_log(msg)
+
+
+def series_as_str(series) -> str:
+    """Series number zero-padded to 5 chars
+    (reference ``libmag.series_as_str :538``)."""
+    return str(series).zfill(5)
+
+
+def splice_before(base: str, search: str, splice: str,
+                  post_splice: str = "") -> str:
+    """Insert ``splice`` before ``search`` in ``base``; append if not
+    found (reference ``libmag.splice_before :551``)."""
+    i = base.find(search)
+    if i == -1:
+        return base + splice + post_splice
+    return base[:i] + splice + post_splice + base[i:]
+
+
+def str_to_disp(s: str) -> str:
+    """Underscores to spaces, trimmed (reference ``str_to_disp :573``)."""
+    return s.replace("_", " ").strip()
+
+
+def crop_mid_str(vals: Sequence[str], max_chars: int = 10,
+                 unique: bool = True) -> list:
+    """Replace string middles with ``...``, keeping outputs unique
+    (reference ``libmag.crop_mid_str :586``)."""
+    out = []
+    half = max_chars // 2
+    for val in vals:
+        if len(val) <= max_chars:
+            cropped = val
+        else:
+            cropped = val[:half] + "..." + val[len(val) - (
+                max_chars - half):]
+        while unique and cropped in out:
+            cropped = cropped.replace("...", "....", 1)
+        out.append(cropped)
+    return out
+
+
+def make_acronym(val: Optional[str], delim: str = " ",
+                 ignore: Optional[Sequence[str]] = None,
+                 caps: bool = False, num_single: int = 3) -> Optional[str]:
+    """First letters of words, skipping ``of``/``the``
+    (reference ``libmag.make_acronym :628``)."""
+    if not val:
+        return val
+    if ignore is None:
+        ignore = ("of", "the")
+    words = [w for w in val.split(delim)
+             if w.lower() not in [i.lower() for i in ignore]]
+    if len(words) <= 1:
+        out = val[:num_single]
+    else:
+        out = "".join(w[0] for w in words if w)
+    return out.upper() if caps else out
+
+
+def is_nan(val) -> Union[bool, np.ndarray]:
+    """NaN test that tolerates non-numeric types
+    (reference ``libmag.is_nan``)."""
+    try:
+        return np.isnan(val)
+    except TypeError:
+        return False
+
+
+def format_num(val, dec_digits: int = 1, allow_scinot: bool = True):
+    """Format numbers to limited decimals; pass through non-numbers
+    (reference ``libmag.format_num :751``)."""
+    if not is_number(val):
+        return val
+    num = float(val)
+    if float(num).is_integer():
+        return str(int(num))
+    fmt = "g" if allow_scinot else "f"
+    return f"{num:.{dec_digits}{fmt}}"
+
+
+def truncate_decimal_digit(val, repeats: int = 3,
+                           trim_near: bool = False):
+    """Trim float-representation artifacts like 3.0000000000000004
+    (reference ``libmag.truncate_decimal_digit :800``)."""
+    s = repr(float(val))
+    if "." not in s or "e" in s or "E" in s:
+        return float(val)
+    whole, frac = s.split(".")
+    run_char = None
+    run_len = 0
+    for i, ch in enumerate(frac):
+        if ch == run_char:
+            run_len += 1
+            if run_len >= repeats and not (
+                    run_char == "0" and abs(float(val)) < 1
+                    and frac[:i - run_len + 1].strip("0") == ""):
+                return float(whole + "." + frac[:i - run_len + 1])
+        else:
+            run_char = ch
+            run_len = 1
+    return float(val)
+
+
+def convert_bin_magnitude(val, orders: int):
+    """Shift by binary orders of magnitude (1024^orders)
+    (reference ``libmag.convert_bin_magnitude :850``)."""
+    return val / 1024 ** orders
+
+
+def convert_indices_to_int(dict_to_convert: dict) -> dict:
+    """Convert dict values to ints where possible
+    (reference ``libmag.convert_indices_to_int``)."""
+    return {k: ([int(i) for i in v] if isinstance(v, (list, tuple))
+                else int(v)) if v is not None else v
+            for k, v in dict_to_convert.items()}
+
+
+def show_full_arrays(on: bool = True) -> None:
+    """Toggle full numpy array printing
+    (reference ``libmag.show_full_arrays``)."""
+    if on:
+        np.set_printoptions(linewidth=500, threshold=10000000)
+    else:
+        np.set_printoptions()
+
+
+def print_compact(arr, label: Optional[str] = None,
+                  allow_scinot: bool = False) -> None:
+    """Print an array with compact float formatting
+    (reference ``libmag.print_compact``)."""
+    with np.printoptions(precision=3, suppress=not allow_scinot):
+        if label:
+            print(label)
+        print(arr)
+
+
+def compact_float(val, dec_digits: int = 1):
+    """Int if integral, else rounded float
+    (reference ``libmag.compact_float``)."""
+    if is_int(val):
+        return int(float(val))
+    if is_number(val):
+        return round(float(val), dec_digits)
+    return val
+
+
+def copy_backup(path: str, suffix: str = "bkup") -> Optional[str]:
+    """Copy a file alongside itself as a backup
+    (reference ``libmag.copy_backup``)."""
+    if not os.path.exists(path):
+        return None
+    out = insert_before_ext(path, suffix, "_")
+    shutil.copy2(path, out)
+    return out
+
+
+def create_symlink(src: str, dst: str) -> bool:
+    """Symlink with fallback to copy on platforms without link perms
+    (reference ``libmag.create_symlink``)."""
+    try:
+        os.symlink(src, dst)
+        return True
+    except (OSError, NotImplementedError):
+        shutil.copy2(src, dst)
+        return False
+
+
+def coords_for_indexing(coords: np.ndarray) -> np.ndarray:
+    """(n, m) coordinates to split axis arrays for fancy indexing
+    (reference ``libmag.coords_for_indexing :1098``)."""
+    coordsi = np.transpose(coords)
+    return np.split(coordsi, coordsi.shape[0])
+
+
+def get_dtype_info(arr_or_dtype):
+    """iinfo/finfo for an array or dtype
+    (reference ``libmag.get_dtype_info``)."""
+    dtype = getattr(arr_or_dtype, "dtype", arr_or_dtype)
+    dtype = np.dtype(dtype)
+    return np.iinfo(dtype) if np.issubdtype(dtype, np.integer) \
+        else np.finfo(dtype)
+
+
+def get_if_within(val, i: int, default=None):
+    """``val[i]`` when in range, scalar passthrough otherwise
+    (reference ``libmag.get_if_within``)."""
+    if not is_seq(val):
+        return val
+    return val[i] if i < len(val) else default
+
+
+def enum_names_aslist(enum_cls) -> list:
+    """Member names of an enum (reference ``enum_names_aslist``)."""
+    return [e.name for e in enum_cls]
+
+
+def enum_dict_aslist(enum_dict: dict) -> list:
+    """Enum-keyed dict as (name, value) tuples
+    (reference ``enum_dict_aslist``)."""
+    return [(k.name if hasattr(k, "name") else k, v)
+            for k, v in enum_dict.items()]
+
+
+def get_enum(val: str, enum_cls):
+    """Look up an enum by name, case-insensitive; None if absent
+    (reference ``libmag.get_enum``)."""
+    if isinstance(val, enum_cls):
+        return val
+    for member in enum_cls:
+        if member.name.lower() == str(val).lower():
+            return member
+    return None
+
+
+def get_dict_keys_from_val(d: dict, val) -> list:
+    """All keys mapping to a value (reference
+    ``get_dict_keys_from_val``)."""
+    return [k for k, v in d.items() if v == val]
+
+
+def add_missing_keys(src: dict, dest: dict) -> dict:
+    """Copy entries absent from ``dest`` (reference
+    ``libmag.add_missing_keys``)."""
+    for k, v in src.items():
+        dest.setdefault(k, v)
+    return dest
+
+
+def scale_slice(sl: slice, scale: float,
+                size: Optional[int] = None) -> slice:
+    """Scale a slice's bounds (reference ``libmag.scale_slice``)."""
+    start = None if sl.start is None else int(sl.start * scale)
+    stop = int(sl.stop * scale) if sl.stop is not None else (
+        int(size) if size is not None else None)
+    step = None if sl.step is None else max(int(sl.step * scale), 1)
+    return slice(start, stop, step)
+
+
+def get_git_commit(repo_dir: str = ".") -> Optional[str]:
+    """Current git commit hash, or None outside a repo
+    (reference ``libmag.get_git_commit``)."""
+    import subprocess
+    try:
+        return subprocess.check_output(
+            ["git", "rev-parse", "HEAD"], cwd=repo_dir,
+            stderr=subprocess.DEVNULL).decode().strip()
+    except (subprocess.CalledProcessError, OSError):
+        return None
+
+
+def get_version(packaged: bool = False) -> str:
+    """Framework version string (reference ``libmag.get_version``)."""
+    try:
+        import magellanmapper_tpu
+        return getattr(magellanmapper_tpu, "__version__", "0.1.0")
+    except ImportError:
+        return "0.1.0"

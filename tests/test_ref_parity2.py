@@ -213,7 +213,7 @@ class TestExportsAndSettings:
         assert lg.level == logging.DEBUG
         arr = gs.make_hyperparm_arr(0, 1, 3, 4, 2, base=5)
         assert arr.shape == (3, 4) and arr[1, 2] == 0.5
-        assert profiles.SettingsDict is profiles.Profile
+        assert issubclass(profiles.SettingsDict, profiles.Profile)
 
     def test_merge_split_stack_v1(self, rng):
         from magellanmapper_tpu.cv import chunking
