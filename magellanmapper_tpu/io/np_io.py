@@ -157,6 +157,10 @@ def read_file(
         # direct .npy path given
         path_img = filename
     meta, ver = load_metadata(path_meta)
+    if 0 <= ver < IMAGE5D_NP_VER:
+        # migrate archives written by older builds (reference
+        # importer._update_image5d_np_ver :525)
+        meta = update_image5d_np_ver(meta, ver)
 
     if offset is not None and size is not None:
         # prefer a previously saved sub-image archive
@@ -334,3 +338,30 @@ def write_tif(img: np.ndarray, path: str, **kwargs) -> str:
         (".tif", ".tiff")) else path
     tiff_mod.write_tiff(out, np.asarray(img))
     return out
+
+
+def update_image5d_np_ver(meta: Dict, ver: int,
+                          img: Optional[np.ndarray] = None) -> Dict:
+    """Migrate an older metadata archive to the current layout
+    (reference ``importer._update_image5d_np_ver :525``): fills keys
+    added in later versions so archives written by old builds keep
+    loading. Returns the upgraded dict with ``ver`` bumped."""
+    meta = dict(meta)
+    if ver >= IMAGE5D_NP_VER:
+        return meta
+    # <= v9: no separate zoom/magnification
+    meta.setdefault("magnification", 1.0)
+    meta.setdefault("zoom", 1.0)
+    # <= v11: no near-min/max intensity bounds
+    if meta.get("near_min") is None or meta.get("near_max") is None:
+        if img is not None:
+            near_min, near_max = calc_intensity_bounds(img)
+            meta["near_min"], meta["near_max"] = near_min, near_max
+        else:
+            meta.setdefault("near_min", None)
+            meta.setdefault("near_max", None)
+    # <= v13: no scaling/plane records
+    meta.setdefault("scaling", None)
+    meta.setdefault("plane", None)
+    meta["ver"] = IMAGE5D_NP_VER
+    return meta

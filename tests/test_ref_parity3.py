@@ -167,3 +167,33 @@ class TestChunkingMp:
         assert chunking.set_mp_start_method() in (
             "spawn", "fork", "forkserver")
         assert isinstance(chunking.is_fork(), bool)
+
+
+class TestAuxSubsystems:
+    def test_meta_version_migration(self, tmp_path, rng):
+        from magellanmapper_tpu.io import np_io, yaml_io
+        arr = rng.random((1, 4, 8, 8)).astype(np.float32)
+        base = str(tmp_path / "old")
+        np_io.write_npy(base, arr)
+        # rewrite the metadata as an old version missing newer keys
+        _, path_meta = np_io.make_filenames(base)
+        meta, ver = np_io.load_metadata(path_meta)
+        old = {"ver": 10, "names": meta.get("names"),
+               "sizes": meta.get("sizes"),
+               "resolutions": meta.get("resolutions")}
+        yaml_io.save_yaml(path_meta, old)
+        img5d = np_io.read_file(base)
+        assert img5d.meta["ver"] == np_io.IMAGE5D_NP_VER
+        assert "scaling" in img5d.meta and "plane" in img5d.meta
+
+    def test_profiler_throughput(self):
+        from magellanmapper_tpu.utils import profiler
+        t = profiler.Throughput()
+        t.start()
+        rate = t.stop(2_000_000)
+        assert rate > 0
+        s = t.summary()
+        assert s["blocks"] == 1 and s["voxels"] == 2_000_000
+        import jax.numpy as jnp
+        with profiler.annotate("unit"):
+            float(jnp.ones(8).sum())
