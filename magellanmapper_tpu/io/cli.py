@@ -61,6 +61,9 @@ class RunConfig:
     labels: Dict[str, object] = field(default_factory=dict)
     groups: Optional[List[str]] = None
     df_task: Optional[List[str]] = None
+    plot_2d_task_args: Optional[List[str]] = None
+    classifier: Optional[List[str]] = None
+    savefig: Optional[str] = None
     plot_2d_task: Optional[str] = None
 
     def get_roi_profile(self, channel: int) -> ROIProfile:
@@ -160,6 +163,8 @@ def process_cli_args(argv: Optional[Sequence[str]] = None) -> RunConfig:
     rc.suffix = args.suffix
     rc.db_path = args.db
     rc.plane = args.plane
+    rc.classifier = args.classifier
+    rc.savefig = args.savefig
     rc.save_subimg = args.save_subimg
     rc.verbose = args.verbose is not None
     if rc.verbose:
@@ -296,7 +301,103 @@ def process_file(rc: RunConfig):
     if proc is ProcessTypes.LOAD:
         return _load_image(rc)
 
+    if proc is ProcessTypes.CLASSIFY:
+        return _classify(rc)
+
+    if proc is ProcessTypes.EXTRACT:
+        return _extract_plane(rc)
+
+    if proc is ProcessTypes.EXPORT_ROIS:
+        return _export_rois(rc)
+
+    if proc is ProcessTypes.ANIMATED:
+        img5d = _load_image(rc)
+        from magellanmapper_tpu.io import export_stack
+        base = rc.prefix or rc.filenames[0]
+        out = export_stack.animate_imgs(
+            np.asarray(img5d.img), f"{os.path.splitext(base)[0]}.gif",
+            channel=rc.channel[0] if rc.channel else None)
+        _logger.info("wrote animation %s", out)
+        return out
+
+    if proc in (ProcessTypes.EXPORT_PLANES,
+                ProcessTypes.EXPORT_PLANES_CHANNELS):
+        img5d = _load_image(rc)
+        from magellanmapper_tpu.io import export_stack
+        base = rc.prefix or rc.filenames[0]
+        out_dir = f"{os.path.splitext(base)[0]}_planes"
+        paths = export_stack.export_planes(
+            np.asarray(img5d.img), out_dir,
+            ext=rc.savefig or "png",
+            channel=rc.channel[0] if rc.channel else None,
+            separate_channels=(
+                proc is ProcessTypes.EXPORT_PLANES_CHANNELS))
+        _logger.info("exported %d planes to %s", len(paths), out_dir)
+        return paths
+
     raise SystemExit(f"--proc {proc.name.lower()} is not supported yet")
+
+
+def _classify(rc: RunConfig):
+    """Classify saved blobs with the patch CNN and update their
+    confirmed flags (reference CLASSIFY branch ``cli.py:1287``)."""
+    from magellanmapper_tpu.cv import blobs as blobs_mod
+    from magellanmapper_tpu.cv import classifier as classifier_mod
+    from magellanmapper_tpu.utils import libmag
+
+    img5d = _load_image(rc)
+    base = rc.prefix or rc.filenames[0]
+    blobs_path = libmag.combine_paths(base, "blobs.npz")
+    blobs = blobs_mod.Blobs().load_blobs(blobs_path)
+    if blobs.blobs is None or not len(blobs.blobs):
+        _logger.warning("no blobs loaded to classify, skipping")
+        return None
+    model_path = (rc.classifier or [None])[0] if getattr(
+        rc, "classifier", None) else None
+    clf = (classifier_mod.BlobClassifier.load(model_path)
+           if model_path else classifier_mod.BlobClassifier(seed=0))
+    ci = classifier_mod.ClassifyImage(clf, np.asarray(img5d.img), blobs)
+    blobs.blobs = ci.classify_whole_image()
+    blobs.path = blobs_path
+    blobs.save_archive()
+    _logger.info(
+        "classified %d blobs (%d confirmed)", len(blobs.blobs),
+        int((blobs.blobs[:, 4] == 1).sum()))
+    return blobs
+
+
+def _extract_plane(rc: RunConfig):
+    """Extract and save the single plane at the --offset z value
+    (reference EXTRACT branch)."""
+    from magellanmapper_tpu.plot import plot_support
+
+    img5d = _load_image(rc)
+    z = rc.offset[2] if rc.offset else 0   # offset is x,y,z
+    plane, aspect, origin = plot_support.extract_planes(
+        np.asarray(img5d.img), z, rc.plane or "xy")
+    base = rc.prefix or rc.filenames[0]
+    out = f"{os.path.splitext(base)[0]}_plane{rc.plane or 'xy'}{z}.npy"
+    np.save(out, plane)
+    _logger.info("extracted plane -> %s %s", out, plane.shape)
+    return plane
+
+
+def _export_rois(rc: RunConfig):
+    """Export database truth ROIs as image + blob CSV pairs
+    (reference EXPORT_ROIS branch)."""
+    from magellanmapper_tpu.io import export_rois as export_rois_mod
+    from magellanmapper_tpu.io import sqlite as sqlite_mod
+
+    img5d = _load_image(rc)
+    db = sqlite_mod.load_db(rc.truth_db or sqlite_mod.DB_NAME)
+    base = rc.prefix or rc.filenames[0]
+    out_dir = f"{os.path.splitext(base)[0]}_rois"
+    vol = img5d.img[0] if img5d.img.ndim >= 4 else img5d.img
+    df = export_rois_mod.export_rois(
+        np.asarray(vol), db, rc.channel or [0], out_dir)
+    db.close()
+    _logger.info("exported %d ROIs to %s", len(df), out_dir)
+    return df
 
 
 def _detect(rc: RunConfig, coloc: bool = False):

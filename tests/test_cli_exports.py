@@ -363,3 +363,64 @@ class TestCLIFullWorkflow:
         matches = cli.main([
             "--img", base, "--proc", "coloc_match"])
         assert (0, 1) in matches
+
+
+class TestNewProcDispatches:
+    @pytest.fixture
+    def img_base(self, tmp_path, rng):
+        from magellanmapper_tpu.io import np_io
+        vol = np.zeros((10, 24, 24), np.float32)
+        zz, yy, xx = np.indices(vol.shape).astype(np.float32)
+        for c in ((4, 8, 8), (6, 16, 16)):
+            vol += np.exp(-((zz-c[0])**2 + (yy-c[1])**2 + (xx-c[2])**2)
+                          / 6.0)
+        vol += rng.normal(scale=0.01, size=vol.shape).astype(np.float32)
+        vol = np.clip(vol, 0, None) / vol.max()
+        base = str(tmp_path / "vol")
+        np_io.write_npy(base, vol[None])
+        return base
+
+    def _run(self, *argv):
+        from magellanmapper_tpu.io import cli
+        return cli.main(list(argv))
+
+    def test_extract_plane(self, img_base, tmp_path):
+        self._run("--img", img_base, "--proc", "extract",
+                  "--offset", "0,0,5")
+        outs = list(tmp_path.glob("*planexy5.npy"))
+        assert len(outs) == 1
+        assert np.load(outs[0]).shape == (24, 24)
+
+    def test_export_planes(self, img_base, tmp_path):
+        self._run("--img", img_base, "--proc", "export_planes")
+        out_dir = tmp_path / "vol_planes"
+        assert out_dir.is_dir()
+        assert len(list(out_dir.glob("*.png"))) == 10
+
+    def test_animated(self, img_base, tmp_path):
+        self._run("--img", img_base, "--proc", "animated")
+        assert (tmp_path / "vol.gif").exists()
+
+    def test_classify_updates_blobs(self, img_base, tmp_path):
+        from magellanmapper_tpu.cv import blobs as bm
+        # detect first to produce the blobs archive
+        self._run("--img", img_base, "--proc", "detect")
+        blobs_path = str(tmp_path / "vol_blobs.npz")
+        before = bm.Blobs().load_blobs(blobs_path)
+        assert before.blobs is not None and len(before.blobs)
+        self._run("--img", img_base, "--proc", "classify")
+        after = bm.Blobs().load_blobs(blobs_path)
+        assert set(np.unique(after.blobs[:, 4])) <= {0.0, 1.0}
+
+    def test_export_rois(self, img_base, tmp_path):
+        from magellanmapper_tpu.io import sqlite as sq
+        db_path = str(tmp_path / "truth.db")
+        db = sq.load_db(db_path)
+        exp = db.select_or_insert_experiment("e")
+        rid, _ = db.select_or_insert_roi(exp, 0, (2, 2, 2), (12, 12, 6))
+        db.insert_blobs(rid, np.array([[3.0, 6, 6, 2, 1, 1, 0]]))
+        db.close()
+        self._run("--img", img_base, "--proc", "export_rois",
+                  "--truth_db", db_path)
+        out_dir = tmp_path / "vol_rois"
+        assert out_dir.is_dir() and len(list(out_dir.iterdir())) > 0
