@@ -585,7 +585,212 @@ def _process_register(rc: RunConfig):
             ref, out, int(level) if level else None)
     if task is RegisterTypes.MAKE_DENSITY_IMAGES:
         from magellanmapper_tpu.io import export_regions
+        if len(rc.filenames) > 1:
+            return export_regions.make_density_images_mp(rc.filenames)
         return export_regions.make_density_image(rc.filenames[0])
+    if task is RegisterTypes.OVERLAYS:
+        return register_mod.overlay_registered_imgs(
+            rc.filenames[0],
+            rc.filenames[1] if len(rc.filenames) > 1 else None,
+            plane=rc.plane, name_prefix=rc.prefix,
+            out_path=(rc.prefix or rc.filenames[0]) + "_overlay.png")
+    if task is RegisterTypes.VOL_COMPARE:
+        return register_mod.volumes_by_id_compare(
+            rc.filenames, rc.labels.get("path_ref"))
+    if task is RegisterTypes.NEW_ATLAS:
+        # curate an imported atlas into a new atlas directory without
+        # registration (reference new_atlas flow: import + truncate/
+        # mirror per profile, then save under the prefix)
+        from magellanmapper_tpu.atlas import atlas_refiner
+        return atlas_refiner.import_atlas(
+            rc.filenames[0], rc.atlas_profile,
+            prefix=rc.prefix or (rc.filenames[0] + "_new"))
+    if task in (RegisterTypes.MAKE_EDGE_IMAGES_EXP,
+                RegisterTypes.MERGE_ATLAS_SEGS_EXP):
+        # experiment-image flavors use the exp intensity image instead
+        # of the atlas (reference suffix-EXP tasks)
+        rc.reg_suffixes = dict(rc.reg_suffixes or {})
+        rc.reg_suffixes.setdefault("atlas", "exp.mhd")
+        rc.register_type = (
+            RegisterTypes.MAKE_EDGE_IMAGES
+            if task is RegisterTypes.MAKE_EDGE_IMAGES_EXP
+            else RegisterTypes.MERGE_ATLAS_SEGS)
+        return _process_register(rc)
+    if task in (RegisterTypes.MERGE_IMAGES,
+                RegisterTypes.MERGE_IMAGES_CHANNELS):
+        from magellanmapper_tpu.io import sitk_io
+        suffix = (rc.reg_suffixes or {}).get("atlas", "atlasVolume.mhd")
+        fn = np.sum if task is RegisterTypes.MERGE_IMAGES else None
+        med = sitk_io.merge_images(rc.filenames, suffix, fn_combine=fn)
+        if med is not None:
+            out = sitk_io.reg_out_path(
+                rc.prefix or rc.filenames[0], "combined.mhd")
+            img = med.img
+            if img.ndim > 3:
+                # channels flavor stacks samples along a channel axis;
+                # write each as its own volume
+                img = np.moveaxis(img, 0, -1)
+            sitk_io.write_med_img(out, sitk_io.MedImage(
+                np.asarray(img, np.float32)))
+        return med
+    if task in (RegisterTypes.LABELS_DIFF,
+                RegisterTypes.LABELS_DIFF_STATS):
+        from magellanmapper_tpu.io import sitk_io
+        from magellanmapper_tpu.stats import vols
+        labels_imgs = [
+            sitk_io.load_registered_img(p, "annotation.mhd")
+            for p in rc.filenames[:2]]
+        df = vols.measure_labels_overlap(labels_imgs)
+        if task is RegisterTypes.LABELS_DIFF:
+            diff = (labels_imgs[0] != labels_imgs[1]).astype(np.int32)
+            sitk_io.write_med_img(
+                sitk_io.reg_out_path(
+                    rc.prefix or rc.filenames[0], "annotationDiff.mhd"),
+                sitk_io.MedImage(diff))
+        out = os.path.splitext(rc.prefix or rc.filenames[0])[0] \
+            + "_labels_diff.csv"
+        df.to_csv(out, index=False)
+        return df
+    if task is RegisterTypes.MAKE_LABELS_LEVEL:
+        from magellanmapper_tpu.atlas import ontology
+        from magellanmapper_tpu.io import export_regions, sitk_io
+        path = rc.filenames[0]
+        labels = sitk_io.load_registered_img(path, "annotation.mhd")
+        ref = ontology.LabelsRef(str(rc.labels.get("path_ref"))).load()
+        level = int(rc.labels.get("level") or 0)
+        out = sitk_io.reg_out_path(
+            rc.prefix or path, f"annotationLevel{level}.mhd")
+        return export_regions.make_labels_level_img(
+            labels, ref, level, out)
+    if task is RegisterTypes.LABELS_DIST:
+        from magellanmapper_tpu.io import sitk_io
+        from magellanmapper_tpu.stats import vols
+        paths = rc.filenames[:2] if len(rc.filenames) > 1 else \
+            [rc.filenames[0], rc.filenames[0]]
+        suffixes = ("annotation.mhd",
+                    "annotation.mhd" if len(rc.filenames) > 1
+                    else "annotationEdit.mhd")
+        labels_imgs = [sitk_io.load_registered_img(p, s)
+                       for p, s in zip(paths, suffixes)]
+        df = vols.labels_distance(labels_imgs[0], labels_imgs[1])
+        out = (rc.prefix or rc.filenames[0]) + "_labels_dist.csv"
+        df.to_csv(out, index=False)
+        return df
+    if task is RegisterTypes.SMOOTHING_METRICS_AGGR:
+        from magellanmapper_tpu.atlas import atlas_refiner
+        import pandas as pd
+        df = pd.read_csv(rc.filenames[0])
+        out = atlas_refiner.aggr_smoothing_metrics(df)
+        out.to_csv((rc.prefix or rc.filenames[0]) + "_aggr.csv",
+                   index=False)
+        return out
+    if task is RegisterTypes.SMOOTHING_PEAKS:
+        from magellanmapper_tpu.stats import atlas_stats
+        import pandas as pd
+        df = pd.read_csv(rc.filenames[0])
+        qcol = "SmoothingQuality" if "SmoothingQuality" in df.columns \
+            else "Smoothing_quality"
+        fcol = "Filter" if "Filter" in df.columns else "Filter_size"
+        return atlas_stats.smoothing_peak(df, qcol, fcol)
+    if task in (RegisterTypes.PLOT_SMOOTHING_METRICS,
+                RegisterTypes.EXPORT_METRICS_COMPACTNESS):
+        import pandas as pd
+        from magellanmapper_tpu.plot import plot_2d
+        df = pd.read_csv(rc.filenames[0])
+        xcol = "Filter_size" if "Filter_size" in df.columns else \
+            df.columns[0]
+        ycol = "Compactness" if "Compactness" in df.columns else \
+            df.columns[-1]
+        out = (rc.prefix or rc.filenames[0]) + "_metrics.png"
+        plot_2d.plot_lines(df, xcol, [ycol], path=out)
+        return df
+    if task is RegisterTypes.COMBINE_COLS:
+        import pandas as pd
+        from magellanmapper_tpu.io import df_io
+        from magellanmapper_tpu.stats import vols
+        df = pd.read_csv(rc.filenames[0])
+        out = df_io.combine_cols(df, list(vols.MetricCombos))
+        out.to_csv((rc.prefix or rc.filenames[0]) + "_combined.csv",
+                   index=False)
+        return out
+    if task is RegisterTypes.ZSCORES:
+        from magellanmapper_tpu.stats import atlas_stats, vols
+        metric_cols = [m.name for m in vols.VAR_METRICS]
+        return atlas_stats.meas_plot_zscores(
+            rc.filenames[0], metric_cols, ["Region"],
+            [vols.MetricCombos.HOMOGENEITY])
+    if task is RegisterTypes.COEFVAR:
+        from magellanmapper_tpu.stats import atlas_stats
+        return atlas_stats.meas_plot_coefvar(
+            rc.filenames[0], ["Region"], "Condition", None, ["Volume"])
+    if task is RegisterTypes.MELT_COLS:
+        import pandas as pd
+        from magellanmapper_tpu.io import df_io
+        df = pd.read_csv(rc.filenames[0])
+        id_cols = [c for c in ("Sample", "Region") if c in df.columns]
+        melt_cols_ = [c for c in df.columns if c not in id_cols]
+        out = df_io.melt_cols(df, id_cols, melt_cols_)
+        out.to_csv((rc.prefix or rc.filenames[0]) + "_melted.csv",
+                   index=False)
+        return out
+    if task is RegisterTypes.PIVOT_CONDS:
+        import pandas as pd
+        from magellanmapper_tpu.io import df_io
+        df = pd.read_csv(rc.filenames[0])
+        piv, _ = df_io.pivot_with_conditions(
+            df, "Sample", "Condition",
+            "Volume" if "Volume" in df.columns else df.columns[-1])
+        piv.to_csv((rc.prefix or rc.filenames[0]) + "_pivoted.csv")
+        return piv
+    if task is RegisterTypes.MEAS_IMPROVEMENT:
+        from magellanmapper_tpu.stats import atlas_stats
+        cols = rc.proc_args or {}
+        return atlas_stats.meas_improvement(
+            rc.filenames[0], cols.get("col_effect", "Effect"),
+            cols.get("col_p", "P"), col_wt=cols.get("col_wt"))
+    if task is RegisterTypes.PLOT_REGION_DEV:
+        import pandas as pd
+        from magellanmapper_tpu.stats import atlas_stats
+        return atlas_stats.plot_region_development(
+            "Volume", pd.read_csv(rc.filenames[0]))
+    if task is RegisterTypes.PLOT_LATERAL_UNLABELED:
+        from magellanmapper_tpu.stats import atlas_stats
+        return atlas_stats.plot_unlabeled_hemisphere(
+            rc.filenames[0], ["Unlabeled"])
+    if task is RegisterTypes.PLOT_INTENS_NUC:
+        import pandas as pd
+        from magellanmapper_tpu.stats import atlas_stats
+        return atlas_stats.plot_intensity_nuclei(
+            rc.filenames, ["DensityIntens", "Density"])
+    if task is RegisterTypes.CLUSTER_BLOBS:
+        from magellanmapper_tpu.cv import blobs as blobs_mod
+        from magellanmapper_tpu.stats import clustering
+        from magellanmapper_tpu.utils import libmag
+        b = blobs_mod.Blobs().load_blobs(
+            libmag.combine_paths(rc.filenames[0], "blobs.npz"))
+        clustered, stats = clustering.cluster_blobs(b.blobs)
+        _logger.info("clustering stats: %s", stats)
+        np.save((rc.prefix or rc.filenames[0]) + "_clusters.npy",
+                clustered)
+        return clustered
+    if task is RegisterTypes.PLOT_KNNS:
+        from magellanmapper_tpu.cv import blobs as blobs_mod
+        from magellanmapper_tpu.stats import clustering
+        from magellanmapper_tpu.utils import libmag
+        blob_sets = []
+        for path in rc.filenames:
+            b = blobs_mod.Blobs().load_blobs(
+                libmag.combine_paths(path, "blobs.npz"))
+            if b.blobs is not None:
+                blob_sets.append(b.blobs)
+        out = (rc.prefix or rc.filenames[0]) + "_knn.png"
+        return clustering.plot_knns(blob_sets, out_path=out)
+    if task is RegisterTypes.PLOT_CLUSTER_BLOBS:
+        from magellanmapper_tpu.stats import atlas_stats
+        from magellanmapper_tpu.utils import libmag
+        path = libmag.combine_paths(rc.filenames[0], "blobs.npz")
+        z = rc.offset[2] if rc.offset else 0
+        return atlas_stats.plot_clusters_by_label(path, z)
     raise SystemExit(
         f"--register {task.name.lower()} is not supported yet")
 

@@ -424,3 +424,100 @@ class TestNewProcDispatches:
                   "--truth_db", db_path)
         out_dir = tmp_path / "vol_rois"
         assert out_dir.is_dir() and len(list(out_dir.iterdir())) > 0
+
+
+class TestRegisterTaskDispatches:
+    """The long tail of --register tasks dispatches to real
+    implementations (reference register.main task vocabulary)."""
+
+    def _run(self, *argv):
+        from magellanmapper_tpu.io import cli
+        return cli.main(list(argv))
+
+    @pytest.fixture
+    def reg_sample(self, tmp_path, rng):
+        """A sample with registered atlas+annotation images on disk."""
+        from magellanmapper_tpu.io import sitk_io
+        base = str(tmp_path / "samp.npy")
+        atlas = rng.random((8, 12, 12)).astype(np.float32)
+        labels = np.zeros((8, 12, 12), np.int32)
+        labels[2:6, 3:9, 3:9] = 4
+        sitk_io.write_reg_images({
+            "atlasVolume.mhd": sitk_io.MedImage(atlas),
+            "annotation.mhd": sitk_io.MedImage(labels),
+        }, base)
+        return base, atlas, labels
+
+    def test_labels_diff(self, reg_sample, tmp_path, rng):
+        from magellanmapper_tpu.io import sitk_io
+        base, atlas, labels = reg_sample
+        base2 = str(tmp_path / "samp2.npy")
+        labels2 = np.array(labels)
+        labels2[2:6, 3:7, 3:7] = 4
+        labels2[2:6, 7:9, 7:9] = 0
+        sitk_io.write_reg_images({
+            "atlasVolume.mhd": sitk_io.MedImage(atlas),
+            "annotation.mhd": sitk_io.MedImage(labels2),
+        }, base2)
+        df = self._run("--img", base, base2, "--register", "labels_diff")
+        assert "VolDSC" in df.columns
+        assert (tmp_path / "samp_labels_diff.csv").exists()
+        diff = sitk_io.load_registered_img(base, "annotationDiff.mhd")
+        assert diff.sum() > 0
+
+    def test_merge_images(self, reg_sample, tmp_path):
+        from magellanmapper_tpu.io import sitk_io
+        base, atlas, labels = reg_sample
+        med = self._run("--img", base, base, "--register", "merge_images")
+        np.testing.assert_allclose(med.img, atlas * 2, rtol=1e-5)
+        merged = sitk_io.load_registered_img(base, "combined.mhd")
+        assert merged.shape == atlas.shape
+
+    def test_smoothing_metrics_aggr_and_peaks(self, tmp_path):
+        df = pd.DataFrame({
+            "Filter_size": [1, 2], "Compaction": [0.1, 0.3],
+            "Displacement": [0.05, 0.1],
+            "Smoothing_quality": [0.05, 0.2], "Vol_orig": [10.0, 10.0]})
+        p = str(tmp_path / "sm.csv")
+        df.to_csv(p, index=False)
+        out = self._run("--img", p, "--register",
+                        "smoothing_metrics_aggr")
+        assert out["Compaction"][0] == pytest.approx(0.2)
+        peak = self._run("--img", p, "--register", "smoothing_peaks")
+        assert peak["Filter_size"] == 2
+
+    def test_df_flavored_tasks(self, tmp_path):
+        df = pd.DataFrame({
+            "Sample": ["s1", "s1", "s2", "s2"],
+            "Region": [1, 2, 1, 2],
+            "Condition": ["ctl", "ctl", "exp", "exp"],
+            "Volume": [10.0, 20, 12, 18],
+            "VarIntensity": [0.1, 0.2, 0.15, 0.25],
+            "MeanIntensity": [1.0, 2, 1.5, 2.5],
+            "VarNuclei": [0.1, 0.1, 0.1, 0.1],
+            "MeanNuclei": [1.0, 1, 1, 1],
+            "EdgeDistSum": [0.2, 0.3, 0.2, 0.3]})
+        p = str(tmp_path / "vols.csv")
+        df.to_csv(p, index=False)
+        piv = self._run("--img", p, "--register", "pivot_conds")
+        assert (tmp_path / "vols.csv_pivoted.csv").exists()
+        melted = self._run("--img", p, "--register", "melt_cols")
+        assert "Group" in melted.columns
+        combined = self._run("--img", p, "--register", "combine_cols")
+        assert "CoefVarIntensity" in combined.columns
+        z = self._run("--img", p, "--register", "zscores")
+        assert "Homogeneity" in z.columns
+
+    def test_cluster_and_knn_plots(self, tmp_path, rng):
+        from magellanmapper_tpu.cv import blobs as bm
+        base = str(tmp_path / "c.npy")
+        blobs = np.zeros((60, 10))
+        blobs[:, :3] = rng.random((60, 3)) * 40
+        b = bm.Blobs(blobs)
+        b.path = str(tmp_path / "c_blobs.npz")
+        b.save_archive()
+        clustered = self._run("--img", base, "--register",
+                              "cluster_blobs")
+        assert clustered is not None
+        self._run("--img", base, "--register", "plot_knns")
+        assert (tmp_path / "c.npy_knn.png").exists()
