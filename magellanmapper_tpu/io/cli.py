@@ -842,6 +842,63 @@ def _df_task(rc: RunConfig):
         if rc.prefix:
             df_io.data_frames_to_csv(out, rc.prefix)
         return out
+    if task is df_io.DFTasks.APPEND_CSVS_COLS:
+        dfs = [pd.read_csv(p_) for p_ in paths]
+        labels = rc.groups or [str(i) for i in range(len(dfs))]
+        out = df_io.append_cols(dfs, labels)
+        if rc.prefix:
+            df_io.data_frames_to_csv(out, rc.prefix)
+        return out
+    if task is df_io.DFTasks.MERGE_CSVS_COLS:
+        dfs = [pd.read_csv(p_) for p_ in paths]
+        on = str(rc.labels.get("id_col", "Sample"))
+        out = df_io.join_dfs(dfs, on)
+        if rc.prefix:
+            df_io.data_frames_to_csv(out, rc.prefix)
+        return out
+    if task is df_io.DFTasks.EXPS_BY_REGION:
+        return df_io.exps_by_regions(paths[0])
+    if task is df_io.DFTasks.PIVOT_TABLE:
+        df = pd.read_csv(paths[0])
+        out = df_io.pivot_table(
+            df, str(rc.labels.get("index", df.columns[0])),
+            str(rc.labels.get("columns", df.columns[1])),
+            str(rc.labels.get("values", df.columns[-1])))
+        if rc.prefix:
+            df_io.data_frames_to_csv(out, rc.prefix)
+        return out
+    if task in (df_io.DFTasks.SUM_COLS, df_io.DFTasks.SUBTRACT_COLS,
+                df_io.DFTasks.MULTIPLY_COLS, df_io.DFTasks.DIVIDE_COLS):
+        df = pd.read_csv(paths[0])
+        col1 = str(rc.labels.get("col1", df.columns[-2]))
+        col2 = str(rc.labels.get("col2", df.columns[-1]))
+        fn = {df_io.DFTasks.SUM_COLS: np.add,
+              df_io.DFTasks.SUBTRACT_COLS: np.subtract,
+              df_io.DFTasks.MULTIPLY_COLS: np.multiply,
+              df_io.DFTasks.DIVIDE_COLS: np.divide}[task]
+        name = rc.labels.get("name") or f"{col1}_{task.name.lower()}"
+        df_io.func_to_paired_cols(df, col1, col2, fn, str(name))
+        if rc.prefix:
+            df_io.data_frames_to_csv(df, rc.prefix)
+        return df
+    if task is df_io.DFTasks.NORMALIZE:
+        df = pd.read_csv(paths[0])
+        out = df_io.normalize_df(
+            df, str(rc.labels.get("id_cols", "Region")).split(","),
+            str(rc.labels.get("cond_col", "Condition")),
+            str(rc.labels.get("cond_base", "ctl")),
+            str(rc.labels.get("metric_cols", "Volume")).split(","))
+        if rc.prefix:
+            df_io.data_frames_to_csv(out, rc.prefix)
+        return out
+    if task is df_io.DFTasks.REPLACE_VALS:
+        df = pd.read_csv(paths[0])
+        out = df_io.replace_vals(
+            df, rc.labels.get("vals_from"), rc.labels.get("vals_to"),
+            rc.labels.get("cols"))
+        if rc.prefix:
+            df_io.data_frames_to_csv(out, rc.prefix)
+        return out
     raise SystemExit(f"--df {task.name.lower()} is not supported yet")
 
 
@@ -860,6 +917,18 @@ def _plot_2d(rc: RunConfig):
         return plot_2d.plot_bars(df, x_col, y_col, out_path)
     if task is plot_2d.Plot2DTypes.LINE_PLOT:
         return plot_2d.plot_lines(df, x_col, [y_col], out_path)
+    if task is plot_2d.Plot2DTypes.SWARM_PLOT:
+        return plot_2d.plot_swarm(df, x_col, y_col, out_path)
+    if task is plot_2d.Plot2DTypes.CAT_PLOT:
+        return plot_2d.plot_catplot(df, x_col, y_col, out_path=out_path)
+    if task in (plot_2d.Plot2DTypes.BAR_PLOT_VOLS_STATS,
+                plot_2d.Plot2DTypes.BAR_PLOT_VOLS_STATS_EFFECTS):
+        ycol = "Volume" if "Volume" in df.columns else y_col
+        return plot_2d.plot_bars(
+            df, x_col if x_col in df.columns else "Region", ycol,
+            out_path)
+    if task is plot_2d.Plot2DTypes.HISTOGRAM:
+        return plot_2d.plot_histogram(df, y_col, path=out_path)
     return plot_2d.plot_scatter(df, x_col, y_col, path=out_path)
 
 

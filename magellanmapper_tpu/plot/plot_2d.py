@@ -33,6 +33,10 @@ class Plot2DTypes(Enum):
     ROC_CURVE = auto()
     SWARM_PLOT = auto()
     HISTOGRAM = auto()
+    CAT_PLOT = auto()
+    BAR_PLOT_VOLS_STATS = auto()
+    BAR_PLOT_VOLS_STATS_EFFECTS = auto()
+    DECORATE_PLOT = auto()
 
 
 def plot_bars(

@@ -521,3 +521,58 @@ class TestRegisterTaskDispatches:
         assert clustered is not None
         self._run("--img", base, "--register", "plot_knns")
         assert (tmp_path / "c.npy_knn.png").exists()
+
+
+class TestDfPlotTaskDispatches:
+    """--df and --plot_2d task vocabularies (reference df_io.main /
+    plot_2d.main dispatch)."""
+
+    def _run(self, *argv):
+        from magellanmapper_tpu.io import cli
+        return cli.main(list(argv))
+
+    @pytest.fixture
+    def vols_csv(self, tmp_path):
+        df = pd.DataFrame({
+            "Sample": ["s1", "s1", "s2", "s2"],
+            "Region": [1, 2, 1, 2],
+            "Condition": ["ctl", "ctl", "exp", "exp"],
+            "Volume": [10.0, 20, 12, 18],
+            "Nuclei": [100, 200, 130, 210]})
+        p = str(tmp_path / "v.csv")
+        df.to_csv(p, index=False)
+        return p
+
+    def test_df_tasks(self, vols_csv, tmp_path):
+        out = self._run("--df", "exps_by_region", vols_csv)
+        assert "Volume" in out
+        out = self._run("--df", "divide_cols", vols_csv, "--labels",
+                        "col1=Nuclei", "col2=Volume", "name=Density")
+        assert out["Density"][0] == 10.0
+        piv = self._run("--df", "pivot_table", vols_csv, "--labels",
+                        "index=Region", "columns=Condition",
+                        "values=Volume")
+        assert "ctl" in piv.columns
+        norm = self._run(
+            "--df", "normalize", vols_csv, "--labels", "id_cols=Region",
+            "cond_col=Condition", "cond_base=ctl", "metric_cols=Volume")
+        val = norm.loc[(norm.Region == 1) & (norm.Condition == "exp"),
+                       "Volume"].iloc[0]
+        assert val == pytest.approx(1.2)
+        rep = self._run("--df", "replace_vals", vols_csv, "--labels",
+                        "vals_from=ctl", "vals_to=control",
+                        "cols=Condition")
+        assert "control" in set(rep["Condition"])
+        merged = self._run("--df", "append_csvs_cols", vols_csv,
+                           vols_csv, "--groups", "A", "B")
+        assert any(c.startswith("A.") for c in merged.columns)
+
+    def test_plot_2d_tasks(self, vols_csv, tmp_path):
+        for task, labels in (
+                ("cat_plot", ["x_col=Condition", "y_col=Volume"]),
+                ("histogram", ["y_col=Volume"]),
+                ("swarm_plot", ["x_col=Condition", "y_col=Volume"])):
+            out = str(tmp_path / f"{task}.png")
+            self._run("--img", vols_csv, "--plot_2d", task,
+                      "--labels", *labels, "--prefix", out)
+            assert os.path.exists(out), task
