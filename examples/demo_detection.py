@@ -7,6 +7,14 @@ Run: python examples/demo_detection.py [out_dir]
 import os
 import sys
 
+# allow running directly: repo root on sys.path without
+# clobbering PYTHONPATH (the axon site dir must stay on it)
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import os
+import sys
+
 import numpy as np
 
 

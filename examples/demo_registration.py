@@ -8,6 +8,14 @@ the reference's ``--register single`` flow.
 Usage: PYTHONPATH=. python examples/demo_registration.py [--small]
 """
 
+import os
+import sys
+
+# allow running directly: repo root on sys.path without
+# clobbering PYTHONPATH (the axon site dir must stay on it)
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import sys
 import time
 
