@@ -184,3 +184,23 @@ class TestVisualizationController:
         vis.show_3d(str(tmp_path / "b3d.png"))
         assert _os.path.exists(str(tmp_path / "roi.png"))
         vis.db.close()
+
+
+def test_all_modules_import():
+    """Every Python module in the package imports cleanly (the compiled
+    ctypes library is loaded via ctypes, not as an extension module)."""
+    import importlib
+    import pkgutil
+
+    import magellanmapper_tpu
+
+    failures = []
+    for mod in pkgutil.walk_packages(
+            magellanmapper_tpu.__path__, "magellanmapper_tpu."):
+        if mod.name.endswith("libblockio"):
+            continue
+        try:
+            importlib.import_module(mod.name)
+        except Exception as exc:   # pragma: no cover - report below
+            failures.append((mod.name, repr(exc)))
+    assert not failures, failures
