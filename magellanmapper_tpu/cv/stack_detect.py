@@ -146,7 +146,10 @@ def _blob_log_impl(
         -filters.gaussian_laplace(roi, s, precision=prec)
         * jnp.float32(s * s)
         for s in sigmas])
-    coords4, values, count = peaks.find_peaks(cube, threshold, capacity)
+    # vmapped per-block path: Pallas manual-DMA kernels have no
+    # batching rule, so force the XLA formulation
+    coords4, values, count = peaks.find_peaks(
+        cube, threshold, capacity, fused=False)
     valid = jnp.arange(capacity) < count
     sig = jnp.asarray(sigmas, jnp.float32)[coords4[:, 0]]
     coords = coords4[:, 1:].astype(jnp.float32)

@@ -238,29 +238,39 @@ def _peak_harvest_kernel(
     z = pl.program_id(0)
     nz = pl.num_programs(0)
 
-    def dma_cube(dst, src_z, slot):
-        cp = pltpu.make_async_copy(
+    def cube_copy(dst, src_z, slot):
+        return pltpu.make_async_copy(
             cube_ref.at[:, pl.ds(src_z, 1)], dst.at[:], dma_sems.at[slot])
-        cp.start()
-        cp.wait()
 
-    def dma_m(dst, src_z, slot):
-        cp = pltpu.make_async_copy(
+    def m_copy(dst, src_z, slot):
+        return pltpu.make_async_copy(
             m_ref.at[:, pl.ds(src_z, 1)], dst.at[:], dma_sems.at[slot])
-        cp.start()
-        cp.wait()
 
-    dma_cube(r_buf, z, 0)
-    dma_m(m_acc, z, 1)                    # M(z)
+    # issue every plane fetch up front so the copies overlap in the DMA
+    # engines; the M(z-1)/M(z+1) planes share m_buf, so the max fold
+    # happens between their waits
+    cp_cube = cube_copy(r_buf, z, 0)
+    cp_cube.start()
+    cp_mz = m_copy(m_acc, z, 1)
+    cp_mz.start()
 
     @pl.when(z > 0)
     def _():
-        dma_m(m_buf, z - 1, 2)            # M(z-1)
+        m_copy(m_buf, z - 1, 2).start()   # M(z-1)
+
+    cp_cube.wait()
+    cp_mz.wait()
+
+    @pl.when(z > 0)
+    def _():
+        m_copy(m_buf, z - 1, 2).wait()
         m_acc[:] = jnp.maximum(m_acc[:], m_buf[:])
 
     @pl.when(z < nz - 1)
     def _():
-        dma_m(m_buf, z + 1, 3)            # M(z+1)
+        cp = m_copy(m_buf, z + 1, 3)      # M(z+1)
+        cp.start()
+        cp.wait()
         m_acc[:] = jnp.maximum(m_acc[:], m_buf[:])
 
     # harvest in row chunks to bound stack temporaries

@@ -14,7 +14,7 @@ kernel (``magmap/cv/detector.py:931``).
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,9 +40,19 @@ def max_filter_full(cube: jax.Array) -> jax.Array:
 
 
 def find_peaks(
-        cube: jax.Array, threshold: float, capacity: int
+        cube: jax.Array, threshold: float, capacity: int,
+        fused: Optional[bool] = None
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Local maxima of ``cube`` above ``threshold``, capped at ``capacity``.
+
+    Args:
+        fused: use the fused Pallas path (per-plane max + streaming
+            harvest with parallel DMA starts; exact match, measured
+            20.9 -> 16.6 ms on the (8,128,256,256) detection cube on
+            v5e). Defaults to True for 4D cubes on TPU. Callers inside
+            ``vmap`` must pass False — the Pallas manual-DMA kernel has
+            no batching rule (the batched blocks there are small enough
+            that the XLA formulation wins anyway).
 
     Returns:
         ``coords``: ``(capacity, cube.ndim)`` int32 indices, sorted by peak
@@ -51,11 +61,14 @@ def find_peaks(
         ``values``: ``(capacity,)`` peak values (-inf past the count).
         ``count``: scalar int32 number of valid peaks (clipped to capacity).
     """
-    # NOTE: ops.pallas_kernels.find_peaks_fused implements this whole
-    # function as two Pallas kernels (per-plane max + streaming harvest);
-    # it compiles and matches exactly on-chip but the sequential
-    # per-plane DMA chain doesn't pipeline yet and loses to this XLA
-    # formulation, so it stays experimental.
+    if fused is None:
+        # Mosaic slices VMEM along the lane axis, so the fused kernel
+        # needs a 128-aligned x extent
+        fused = (cube.ndim == 4 and cube.shape[-1] % 128 == 0
+                 and jax.default_backend() not in ("cpu",))
+    if fused:
+        from magellanmapper_tpu.ops import pallas_kernels
+        return pallas_kernels.find_peaks_fused(cube, threshold, capacity)
     is_peak = (cube == max_filter_full(cube)) & (cube > threshold)
     count = jnp.minimum(jnp.sum(is_peak), capacity).astype(jnp.int32)
     flat_vals = jnp.where(is_peak, cube, -jnp.inf).reshape(-1)
