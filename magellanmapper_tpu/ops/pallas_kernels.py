@@ -14,6 +14,7 @@ used in CPU tests).
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -205,35 +206,38 @@ def _slab_max3(slab):
     return out
 
 
-def _plane_max_kernel(cur_ref, out_ref):
-    out_ref[:, 0] = _slab_max3(cur_ref[:, 0])
+#: VMEM stack budget per striped tile (bytes); keeps Mosaic's scoped
+#: allocation well under the 16 MB limit even with several live temps
+_STRIPE_BYTES = 1 << 20
 
 
 def _plane_max(cube: jax.Array, interpret: bool = False) -> jax.Array:
-    """Per-plane (S, Y, X) neighborhood max for every z (K1)."""
-    s, z, y, x = cube.shape
-    return pl.pallas_call(
-        _plane_max_kernel,
-        grid=(z,),
-        in_specs=[pl.BlockSpec(
-            (s, 1, y, x), lambda i: (0, i, 0, 0),
-            memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(
-            (s, 1, y, x), lambda i: (0, i, 0, 0),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((s, z, y, x), jnp.float32),
-        interpret=interpret,
-    )(cube.astype(jnp.float32))
+    """Per-plane (S, Y, X) neighborhood max for every z (K1).
+
+    One XLA ``reduce_window`` with a (3, 1, 3, 3) window — TPU's windowed
+    reduce lowers to a fused streaming pass with no VMEM lane constraints
+    (a whole-slab Pallas formulation stacked several (S, Y, X)
+    temporaries and blew the 16 MB scoped-VMEM limit at 10 sigmas).
+    The 0 init value clamps outputs to >= 0, indistinguishable where it
+    matters: K2's peak test only compares above a positive threshold.
+    """
+    del interpret
+    cube = cube.astype(jnp.float32)
+    return jax.lax.reduce_window(
+        cube, jnp.float32(0.0), jax.lax.max,
+        (3, 1, 3, 3), (1, 1, 1, 1),
+        [(1, 1), (0, 0), (1, 1), (1, 1)])
 
 
 def _peak_harvest_kernel(
         cube_ref, m_ref, thresh_ref, vals_ref, lanes_ref,
         r_buf, m_buf, m_acc, dma_sems, rounds: int, pad_x: int,
-        n_chunks: int):
+        y_chunk: int):
     """K2 step z: peak test for plane z via DMA'd M planes + harvest.
 
     M(z-1), M(z), M(z+1) stream through one ping-pong buffer into a
-    running max; the harvest runs in row chunks to bound VMEM stack.
+    running max; the harvest runs per (scale, y-stripe) tile to bound
+    VMEM stack temporaries at production slab sizes.
     """
     z = pl.program_id(0)
     nz = pl.num_programs(0)
@@ -273,33 +277,51 @@ def _peak_harvest_kernel(
         cp.wait()
         m_acc[:] = jnp.maximum(m_acc[:], m_buf[:])
 
-    # harvest in row chunks to bound stack temporaries
+    # harvest per (scale, y-stripe) tile inside a fori_loop — Mosaic's
+    # stack allocator reserves each unrolled iteration's temporaries
+    # separately, so a Python tile loop multiplies VMEM stack usage with
+    # the tile count; a fori body is allocated once. Tiles address the
+    # output's leading (unrestricted-dynamic) dim; the lane dim is the
+    # wide rows_per_tile axis, so nothing pads 8 -> 128 lanes.
     s_dim, _, y_dim, x_dim = r_buf.shape
     xp = x_dim + pad_x
-    total_rows = s_dim * y_dim * xp // 128
-    chunk_rows = total_rows // n_chunks
-    rows_per_s = y_dim * xp // 128
+    n_tiles_y = y_dim // y_chunk
 
-    for ci in range(n_chunks):
-        s0 = ci * (s_dim // n_chunks)
-        s1 = (ci + 1) * (s_dim // n_chunks)
-        cur = r_buf[s0:s1, 0]
-        m = m_acc[s0:s1, 0]
+    # pre-fill the step's outputs so peak-free tiles can skip harvesting
+    vals_ref[...] = jnp.full(vals_ref.shape, -jnp.inf, jnp.float32)
+    lanes_ref[...] = jnp.zeros(lanes_ref.shape, jnp.int32)
+
+    def tile_body(t, carry):
+        si = t // n_tiles_y
+        y0 = (t % n_tiles_y) * y_chunk
+        cur = r_buf[pl.ds(si, 1), 0, pl.ds(y0, y_chunk), :][0]
+        m = m_acc[pl.ds(si, 1), 0, pl.ds(y0, y_chunk), :][0]
         is_peak = (cur == m) & (cur > thresh_ref[0, 0])
-        work = jnp.where(is_peak, cur, -jnp.inf)
-        if pad_x:
-            work = jnp.pad(
-                work, ((0, 0), (0, 0), (0, pad_x)),
-                constant_values=-jnp.inf)
-        work = work.reshape(-1, 128)
-        lane = jax.lax.broadcasted_iota(jnp.int32, work.shape, 1)
-        row0 = s0 * rows_per_s
-        for r in range(rounds):
-            mx = jnp.max(work, axis=1)
-            a = jnp.argmax(work, axis=1).astype(jnp.int32)
-            vals_ref[0, pl.ds(row0, chunk_rows), r] = mx
-            lanes_ref[0, pl.ds(row0, chunk_rows), r] = a
-            work = jnp.where(lane == a[:, None], -jnp.inf, work)
+
+        # peaks are sparse (hundreds over millions of voxels): only tiles
+        # that contain one pay for the iterated-extraction rounds
+        @pl.when(jnp.any(is_peak))
+        def _():
+            work = jnp.where(is_peak, cur, -jnp.inf)
+            if pad_x:
+                work = jnp.pad(
+                    work, ((0, 0), (0, pad_x)), constant_values=-jnp.inf)
+            work = work.reshape(-1, 128)
+            lane = jax.lax.broadcasted_iota(jnp.int32, work.shape, 1)
+            for r in range(rounds):
+                mx = jnp.max(work, axis=1)
+                # first-max lane as min-lane-of-maxima (argmax semantics;
+                # Mosaic cannot legalize vector argmax inside a fori body)
+                a = jnp.min(
+                    jnp.where(work == mx[:, None], lane,
+                              jnp.int32(1 << 30)),
+                    axis=1)
+                vals_ref[0, pl.ds(t, 1), r, :] = mx[None]
+                lanes_ref[0, pl.ds(t, 1), r, :] = a[None]
+                work = jnp.where(lane == a[:, None], -jnp.inf, work)
+        return carry
+
+    jax.lax.fori_loop(0, s_dim * n_tiles_y, tile_body, 0)
 
 
 def peak_candidates_pallas(
@@ -312,42 +334,48 @@ def peak_candidates_pallas(
     planes into single-buffered VMEM, and harvests up to ``rounds``
     peak candidates per 128-lane group entirely on-chip.
 
-    Returns ``(vals, lanes)``: per-z candidate values ``(Z, R, rounds)``
-    (R = padded slab rows) and their lane offsets. Every peak appears
+    Returns ``(vals, lanes)``: per-z candidate values
+    ``(Z, n_tiles, rounds, rows_per_tile)`` and their lane offsets, where
+    tile ``t`` covers flattened slab rows
+    ``[t * rows_per_tile, (t+1) * rows_per_tile)``. Every peak appears
     exactly once among the candidates (up to ``rounds`` per lane group),
     so the peak count equals the number of finite candidate values.
     """
     s, z, y, x = cube.shape
     pad_x = (-x) % 128
-    r_rows = s * y * (x + pad_x) // 128
+    xp = x + pad_x
     thresh = jnp.full((1, 1), threshold, jnp.float32)
     cube = cube.astype(jnp.float32)
     m_cube = _plane_max(cube, interpret=interpret)
 
-    n_chunks = s if s % 2 == 0 or s == 1 else 1
-    n_chunks = min(4, n_chunks) if n_chunks > 1 else 1
-    while s % n_chunks:
-        n_chunks -= 1
-    import functools as _ft
+    # largest divisor of y whose (y_chunk, xp) fp32 tile fits the stripe
+    # budget (the fori harvest needs uniform tiles)
+    budget = max(1, _STRIPE_BYTES // max(1, xp * 4))
+    y_chunk = max(d for d in range(1, y + 1)
+                  if y % d == 0 and d <= budget)
+    n_tiles = s * (y // y_chunk)
+    rows_per_tile = y_chunk * xp // 128
     vals, lanes = pl.pallas_call(
-        _ft.partial(_peak_harvest_kernel, rounds=rounds, pad_x=pad_x,
-                    n_chunks=n_chunks),
+        functools.partial(_peak_harvest_kernel, rounds=rounds, pad_x=pad_x,
+                          y_chunk=y_chunk),
         grid=(z,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # cube in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),   # M cube in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # cube in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # M cube in HBM
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, r_rows, rounds), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r_rows, rounds), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_tiles, rounds, rows_per_tile),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_tiles, rounds, rows_per_tile),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((z, r_rows, rounds), jnp.float32),
-            jax.ShapeDtypeStruct((z, r_rows, rounds), jnp.int32),
+            jax.ShapeDtypeStruct(
+                (z, n_tiles, rounds, rows_per_tile), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (z, n_tiles, rounds, rows_per_tile), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((s, 1, y, x), jnp.float32),  # response plane
@@ -373,11 +401,13 @@ def find_peaks_fused(
         jnp.sum(jnp.isfinite(vals)), capacity).astype(jnp.int32)
     flat_vals = vals.reshape(-1)
     top_vals, pos = jax.lax.top_k(flat_vals, capacity)
-    # decode (z, row, round) -> (s, z, y, x)
-    rounds = vals.shape[2]
-    r_rows = vals.shape[1]
-    zz = (pos // (r_rows * rounds)).astype(jnp.int32)
-    row = ((pos // rounds) % r_rows).astype(jnp.int32)
+    # decode (z, tile, round, tile-row) -> (s, z, y, x)
+    _, n_tiles, rounds, rpt = vals.shape
+    per_z = n_tiles * rounds * rpt
+    zz = (pos // per_z).astype(jnp.int32)
+    rem_z = pos % per_z
+    tile = rem_z // (rounds * rpt)
+    row = (tile * rpt + rem_z % rpt).astype(jnp.int32)
     lane = lanes.reshape(-1)[pos]
     per_s = y * (xp // 128)
     ss = row // per_s

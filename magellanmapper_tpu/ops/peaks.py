@@ -39,6 +39,17 @@ def max_filter_full(cube: jax.Array) -> jax.Array:
         (3,) * ndim, (1,) * ndim, [(1, 1)] * ndim)
 
 
+def fused_peaks_fit(shape: Tuple[int, ...]) -> bool:
+    """Whether the fused Pallas peak finder fits a ``(S, Z, Y, X)`` cube.
+
+    Mosaic slices VMEM along the 128-lane axis (x must be aligned), and
+    the harvest kernel holds three ``(S, Y, X)`` fp32 plane buffers in
+    VMEM scratch — cap their total well under the 16 MB scoped limit.
+    """
+    s, _, y, x = shape
+    return x % 128 == 0 and 3 * s * y * x * 4 <= (12 << 20)
+
+
 def find_peaks(
         cube: jax.Array, threshold: float, capacity: int,
         fused: Optional[bool] = None
@@ -62,9 +73,7 @@ def find_peaks(
         ``count``: scalar int32 number of valid peaks (clipped to capacity).
     """
     if fused is None:
-        # Mosaic slices VMEM along the lane axis, so the fused kernel
-        # needs a 128-aligned x extent
-        fused = (cube.ndim == 4 and cube.shape[-1] % 128 == 0
+        fused = (cube.ndim == 4 and fused_peaks_fit(cube.shape)
                  and jax.default_backend() not in ("cpu",))
     if fused:
         from magellanmapper_tpu.ops import pallas_kernels

@@ -29,6 +29,10 @@ class TestMesh:
         m = mesh_mod.make_mesh(8, dp=2)
         assert m.shape["dp"] == 2 and m.shape["sp"] == 4
 
+    def test_make_mesh_spy(self):
+        m = mesh_mod.make_mesh(8, dp=2, spy=2)
+        assert (m.shape["dp"], m.shape["sp"], m.shape["spy"]) == (2, 2, 2)
+
     def test_bad_factorization(self):
         with pytest.raises(ValueError):
             mesh_mod.make_mesh(8, dp=3, sp=3)
@@ -51,9 +55,78 @@ class TestShardedDetection:
             vol, prof, (1.0, 1.0, 1.0), mesh=m)
         single = detector.detect_blobs(vol, prof, (1.0, 1.0, 1.0))
         assert sharded is not None and single is not None
+        # the halo is sized from the max LoG support, so interior
+        # detections match single-shot exactly (BASELINE.md north star)
         n_match = ref_detect.match_blob_sets(
             sharded[:, :3], single[:, :3], (3, 3, 3))
-        assert n_match >= 0.95 * max(len(sharded), len(single))
+        assert n_match >= 0.99 * max(len(sharded), len(single))
+
+    def test_matches_single_device_spy(self):
+        """(sp, spy) = (2, 2) z+y sharding must also match single-shot."""
+        vol, centers = _nuclei(7, (40, 44, 44), 25)
+        prof = ROIProfile()
+        prof["min_sigma_factor"] = 1.5
+        prof["max_sigma_factor"] = 3.0
+        prof["num_sigma"] = 4
+        prof["max_blobs_per_block"] = 512
+
+        m = mesh_mod.make_mesh(4, dp=1, sp=2, spy=2)
+        sharded = halo.detect_blobs_sharded(
+            vol, prof, (1.0, 1.0, 1.0), mesh=m)
+        single = detector.detect_blobs(vol, prof, (1.0, 1.0, 1.0))
+        assert sharded is not None and single is not None
+        n_match = ref_detect.match_blob_sets(
+            sharded[:, :3], single[:, :3], (3, 3, 3))
+        assert n_match >= 0.99 * max(len(sharded), len(single))
+
+    def test_preproc_parity(self):
+        """Sharded in-step saturate/denoise (per denoise tile) must equal
+        host-side preprocessing of the same padded volume."""
+        import jax.numpy as jnp
+        from magellanmapper_tpu.cv import blobs as blobs_mod
+        from magellanmapper_tpu.cv.stack_detect import _preproc_one
+
+        vol, centers = _nuclei(11, (48, 32, 32), 20)
+        prof = ROIProfile()
+        prof["min_sigma_factor"] = 1.5
+        prof["max_sigma_factor"] = 3.0
+        prof["num_sigma"] = 4
+        prof["denoise_size"] = 16
+        prof["max_blobs_per_block"] = 512
+
+        m = mesh_mod.make_mesh(4, dp=1)
+        sharded = halo.detect_blobs_sharded(
+            vol, prof, (1.0, 1.0, 1.0), mesh=m, preprocess=True,
+            near_max=float(np.percentile(vol[::3], 99.5)))
+        assert sharded is not None
+
+        # host comparator: same tiled preproc + one-shot detection on the
+        # unpadded volume (sharded must match exactly — reflect halos,
+        # pad-zone peak masking)
+        near_max = float(np.percentile(vol[::3], 99.5))
+        prep = (
+            ("clip_vmin", float(prof["clip_vmin"])),
+            ("clip_vmax", float(prof["clip_vmax"])),
+            ("max_thresh", near_max * prof["max_thresh_factor"]),
+            ("clip_min", float(prof["clip_min"])),
+            ("clip_max", float(prof["clip_max"])),
+            ("tot_var_denoise", float(prof["tot_var_denoise"] or 0.0)),
+            ("unsharp_strength", float(prof["unsharp_strength"] or 0.0)),
+            ("erosion_threshold", float(prof["erosion_threshold"] or 0.0)),
+        )
+        pre = np.asarray(_preproc_one(
+            jnp.asarray(vol.astype(np.float32)), (16, 16, 16), prep))
+        sigmas = tuple(detector.sigma_list(1.5, 3.0, 4))
+        raw, valid = detector.blob_log(
+            jnp.asarray(pre), sigmas, prof["detection_threshold"],
+            prof["overlap"], 512)
+        raw = np.asarray(raw)[np.asarray(valid)]
+        raw = raw[raw[:, 0] < vol.shape[0]]
+        raw[:, 3] *= np.sqrt(3)
+        single = blobs_mod.Blobs(raw).format_blobs(0)
+        n_match = ref_detect.match_blob_sets(
+            sharded[:, :3], single[:, :3], (2, 2, 2))
+        assert n_match >= 0.99 * max(len(sharded), len(single))
 
     def test_halo_exchange_planes(self):
         """Halo planes must carry true neighbor content over ICI."""
@@ -76,8 +149,9 @@ class TestShardedDetection:
         # shard 1's prepended halo = shard 0's last 2 planes
         np.testing.assert_array_equal(
             out[1, :2], vol[shard_z - 2:shard_z])
-        # shard 0's prepended halo is zero (global boundary)
-        assert np.all(out[0, :2] == 0)
+        # shard 0's prepended halo reflects its own first planes
+        # (scipy 'reflect' boundary: d c b a | a b c d)
+        np.testing.assert_array_equal(out[0, :2], vol[1::-1])
         # shard 2's appended halo = shard 3's first 2 planes
         np.testing.assert_array_equal(
             out[2, -2:], vol[3 * shard_z:3 * shard_z + 2])
