@@ -87,6 +87,108 @@ def bench_cpu_baseline(vol, sigmas, threshold, overlap, repeats=2):
     return sub.size / best / 1e6
 
 
+def bench_block_path(shape=(192, 768, 768), n_blobs=3000, seed=1):
+    """Production block-path throughput: ``detect_blobs_blocks`` on a
+    memmapped uint16 volume, end-to-end (gather + H2D + detect + prune).
+
+    Returns ``(e2e_mvox_s, device_mvox_s, n_blobs)``. Over the dev
+    tunnel the end-to-end figure is H2D-bound (~50-100 MB/s link); the
+    device figure times the same batched detection program on pre-staged
+    device data — the compute rate a local PCIe host would see.
+    """
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    from magellanmapper_tpu.cv import stack_detect
+    from magellanmapper_tpu.settings.roi_prof import ROIProfile
+
+    rng = np.random.default_rng(seed)
+    path = os.path.join(tempfile.gettempdir(), "bench_block_vol.npy")
+    vol = np.lib.format.open_memmap(
+        path, mode="w+", dtype=np.uint16, shape=shape)
+    for z0 in range(0, shape[0], 64):
+        z1 = min(shape[0], z0 + 64)
+        vol[z0:z1] = (rng.random((z1 - z0,) + shape[1:]) * 800).astype(
+            np.uint16)
+    coords = np.column_stack(
+        [rng.integers(7, s - 7, n_blobs) for s in shape])
+    zz, yy, xx = np.indices((13, 13, 13)).astype(np.float32) - 6
+    for (cz, cy, cx), r in zip(coords, rng.uniform(3, 5.5, n_blobs)):
+        sig = r / np.sqrt(3)
+        stamp = np.exp(-(zz**2 + yy**2 + xx**2) / (2 * sig**2))
+        vol[cz-6:cz+7, cy-6:cy+7, cx-6:cx+7] += (
+            stamp * 40000).astype(np.uint16)
+    vol.flush()
+
+    prof = ROIProfile()
+    res = (1.0, 1.0, 1.0)
+    # warm the compile cache, then time end-to-end
+    stack_detect.detect_blobs_blocks(
+        vol[:64, :512, :512], prof, res, preprocess=True)
+    t0 = time.perf_counter()
+    blobs, _ = stack_detect.detect_blobs_blocks(
+        vol, prof, res, preprocess=True)
+    e2e = vol.size / (time.perf_counter() - t0) / 1e6
+
+    # device-only rate on one pre-staged batch of production blocks
+    blocks = stack_detect.setup_blocks(prof, shape, res)
+    bshape = np.minimum(blocks.max_pixels + blocks.overlap, shape)
+    batch = jnp.asarray(
+        np.stack([np.asarray(
+            vol[:bshape[0], :bshape[1], :bshape[2]], np.float32)] * 4))
+    batch.block_until_ready()
+    from magellanmapper_tpu.cv import detector
+    sf = detector.calc_scaling_factor(res)[2]
+    sigmas = tuple(detector.sigma_list(
+        prof["min_sigma_factor"] * sf, prof["max_sigma_factor"] * sf,
+        prof["num_sigma"]))
+    args = (sigmas, float(prof["detection_threshold"]),
+            float(prof["overlap"]), 8192,
+            tuple(int(v) for v in blocks.denoise_max_shape), None)
+    raw, valid = stack_detect._detect_batch_fused(batch, *args)
+    np.asarray(valid)
+    t0 = time.perf_counter()
+    raw, valid = stack_detect._detect_batch_fused(batch, *args)
+    np.asarray(valid)
+    dev = batch.size / (time.perf_counter() - t0) / 1e6
+    n = 0 if blobs is None else len(blobs)
+    os.unlink(path)
+    return e2e, dev, n
+
+
+def bench_registration_dsc(shape=(64, 96, 96)):
+    """Full 3-stage schedule (translation/affine/bspline, Mattes-MI) on a
+    synthetic affine-warped pair; returns ``(wall_s, dsc)`` — the DSC gate
+    the reference computes per run (``register.py:1001-1016``)."""
+    import jax.numpy as jnp
+    from magellanmapper_tpu.atlas import reg_engine, transform
+    from magellanmapper_tpu.settings.atlas_prof import (
+        AtlasProfile, make_reg_param_map)
+
+    rng = np.random.default_rng(3)
+    zz, yy, xx = np.indices(shape).astype(np.float32)
+    fixed = np.zeros(shape, np.float32)
+    for cz, cy, cx in np.column_stack(
+            [rng.uniform(10, s - 10, 40) for s in shape]):
+        fixed += np.exp(-((zz-cz)**2 + (yy-cy)**2 + (xx-cx)**2) / 24.0)
+    fixed /= fixed.max()
+    true_aff = {"W": jnp.asarray(np.diag([0.08, -0.05, 0.06])),
+                "t": jnp.asarray([3.0, -2.0, 2.0])}
+    moving = np.asarray(transform.resample(
+        jnp.asarray(fixed), true_aff, "affine", shape))
+
+    prof = AtlasProfile()
+    prof["reg_translation"] = make_reg_param_map("translation", 256)
+    prof["reg_affine"] = make_reg_param_map("affine", 256)
+    prof["reg_bspline"] = make_reg_param_map(
+        "bspline", 128, grid_space_voxels=24)
+    t0 = time.perf_counter()
+    moved, result = reg_engine.register_duo(fixed, moving, prof)
+    wall = time.perf_counter() - t0
+    return wall, float(result.metrics["dsc_fixed_moved"])
+
+
 def bench_registration(shape=(64, 96, 96), iters=192):
     """Registration optimizer steps/sec (BASELINE.json second metric):
     affine stage with the Mattes-MI metric, single level, steady state."""
@@ -134,6 +236,16 @@ def main():
         reg_ips = round(bench_registration(), 1)
     except Exception:
         reg_ips = None
+    try:
+        blk_e2e, blk_dev, blk_blobs = bench_block_path()
+        blk_e2e, blk_dev = round(blk_e2e, 2), round(blk_dev, 2)
+    except Exception:
+        blk_e2e = blk_dev = blk_blobs = None
+    try:
+        reg_wall, reg_dsc = bench_registration_dsc()
+        reg_wall, reg_dsc = round(reg_wall, 2), round(reg_dsc, 4)
+    except Exception:
+        reg_wall = reg_dsc = None
 
     print(json.dumps({
         "metric": "blob_detection_throughput",
@@ -143,8 +255,17 @@ def main():
         "extra": {
             "volume": list(shape), "num_sigma": len(sigmas),
             "blobs": n_blobs, "cpu_baseline_mvox_s": round(cpu_mvox, 3),
+            "block_path_e2e_mvox_s": blk_e2e,
+            "block_path_device_mvox_s": blk_dev,
+            "block_path_note": (
+                "e2e on (192,768,768) uint16 memmap incl. gather+H2D over "
+                "the dev tunnel (~50-100 MB/s link, H2D-bound here); "
+                "device rate = same batched program on pre-staged blocks"),
+            "block_path_blobs": blk_blobs,
             "registration_iters_per_s": reg_ips,
-            "registration_bench": "affine stage, Mattes-MI, (64,96,96)"},
+            "registration_bench": "affine stage, Mattes-MI, (64,96,96)",
+            "registration_full_schedule_s": reg_wall,
+            "registration_full_schedule_dsc": reg_dsc},
     }))
 
 

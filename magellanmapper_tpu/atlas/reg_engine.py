@@ -74,36 +74,125 @@ def _metric_stride(
 
 @functools.partial(
     jax.jit, static_argnames=("kind", "metric", "iters", "spacing", "lrs",
-                              "stride"))
+                              "stride", "jitter", "pt_weight"))
 def _optimize_level(
         fixed: jnp.ndarray, moving: jnp.ndarray, params: Dict,
         pre_affine: Optional[Dict], kind: str, metric: str, iters: int,
         spacing: Optional[Tuple[float, ...]], lrs: Tuple[Tuple[str, float],
                                                          ...],
-        stride: Tuple[int, int, int] = (1, 1, 1)):
-    """Run ``iters`` Adam steps at one pyramid level (single XLA program)."""
+        stride: Tuple[int, int, int] = (1, 1, 1),
+        fixed_mask: Optional[jnp.ndarray] = None,
+        fix_pts: Optional[jnp.ndarray] = None,
+        mov_pts: Optional[jnp.ndarray] = None,
+        pt_weight: float = 0.0,
+        jitter: bool = True,
+        moving_mask: Optional[jnp.ndarray] = None):
+    """Run ``iters`` Adam steps at one pyramid level (single XLA program).
+
+    ``fixed_mask`` restricts the metric to mask samples (Elastix fixed
+    mask); ``fix_pts``/``mov_pts`` add the corresponding-points Euclidean
+    distance term (``CorrespondingPointsEuclideanDistanceMetric``,
+    reference ``register.py:583-602``); ``jitter`` re-draws a random
+    offset into the strided sample grid every iteration (Elastix redraws
+    ``NumberOfSpatialSamples`` random samples per iteration — a static
+    grid can alias with the B-spline lattice and bias MI).
+    """
     lr_map = dict(lrs)
     opt = optax.adam(1.0)
-    fixed_s = fixed[::stride[0], ::stride[1], ::stride[2]]
+    use_jitter = jitter and any(s > 1 for s in stride)
 
-    def loss_fn(p):
+    def loss_fn(p, offset):
         moved = transform.resample(
             moving, p, kind, fixed.shape, spacing, pre_affine, order=1,
-            stride=stride)
-        return metrics.metric_loss(metric, fixed_s, moved)
+            stride=stride, offset=offset)
+        fixed_s = transform.strided_sample(fixed, stride, offset)
+        mask_s = None
+        if fixed_mask is not None:
+            mask_s = transform.strided_sample(fixed_mask, stride, offset)
+        if moving_mask is not None:
+            # exclude samples that map outside the moving mask (Elastix
+            # sample rejection — not differentiated through)
+            mm = jax.lax.stop_gradient(transform.resample(
+                moving_mask, p, kind, fixed.shape, spacing, pre_affine,
+                order=1, stride=stride, offset=offset))
+            mm = (mm > 0.5).astype(jnp.float32)
+            mask_s = mm if mask_s is None else mask_s * mm
+        loss = metrics.metric_loss(metric, fixed_s, moved, mask=mask_s)
+        if fix_pts is not None and mov_pts is not None:
+            mapped = transform.transform_points(
+                fix_pts, p, kind, fixed.shape, spacing, pre_affine)
+            dist = jnp.sqrt(jnp.sum((mapped - mov_pts) ** 2, axis=1) + 1e-12)
+            loss = loss + jnp.float32(pt_weight) * jnp.mean(dist)
+        return loss
 
-    def step(_, state):
-        p, opt_state = state
-        loss, grads = jax.value_and_grad(loss_fn)(p)
+    def step(i, state):
+        p, opt_state, key = state
+        if use_jitter:
+            key, sub = jax.random.split(key)
+            offset = jax.random.randint(
+                sub, (3,), 0, jnp.asarray(stride))
+        else:
+            offset = None
+        loss, grads = jax.value_and_grad(loss_fn)(p, offset)
         updates, opt_state = opt.update(grads, opt_state, p)
         # per-leaf learning rates (Elastix scales parameter groups too)
         updates = {k: v * lr_map.get(k, 1.0) for k, v in updates.items()}
         p = optax.apply_updates(p, updates)
-        return p, opt_state
+        return p, opt_state, key
 
-    state = (params, opt.init(params))
-    params, _ = jax.lax.fori_loop(0, iters, step, state)
-    return params, loss_fn(params)
+    state = (params, opt.init(params), jax.random.PRNGKey(0))
+    params, _, _ = jax.lax.fori_loop(0, iters, step, state)
+    return params, loss_fn(params, None)
+
+
+def _parse_grid_schedule(sched, levels_cap: int):
+    """Parse an Elastix ``GridSpacingSchedule`` into per-level per-axis
+    multipliers of the final grid spacing, coarsest level first.
+
+    Repeated values within the first ``ndim`` entries mean the schedule is
+    per-dimension ``(z0, y0, x0, z1, ...)`` (reference
+    ``register._config_reg_resolutions`` ``register.py:408``); otherwise
+    one value per resolution applies to all axes.
+    """
+    vals = [float(v) for v in sched]
+    ndim = 3
+    if (len(vals) % ndim == 0
+            and len(set(vals[:ndim])) != ndim and len(vals) > ndim):
+        per_level = [tuple(vals[i:i + ndim])
+                     for i in range(0, len(vals), ndim)]
+    else:
+        per_level = [(v,) * ndim for v in vals]
+    # cap to what the volume supports by dropping the coarsest entries
+    return per_level[-levels_cap:] if len(per_level) > levels_cap \
+        else per_level
+
+
+def _mask_pyramid(mask, levels: int, erode: bool):
+    """Mask pyramid matching :func:`_pyramid` geometry, coarsest first.
+
+    With ``erode`` (Elastix ``ErodeMask``), smoothed (non-finest) levels
+    erode by the Gaussian pyramid kernel support so samples whose kernel
+    footprint leaks past the mask border are excluded (Elastix manual
+    section 5.4 — the reference sets this via ``erode_mask``,
+    ``atlas_prof.py:29``).
+    """
+    m = jnp.asarray(mask) > 0
+    out = [m]
+    for _ in range(levels - 1):
+        coarse = out[0][::2, ::2, ::2]
+        out.insert(0, coarse)
+    if erode:
+        eroded = []
+        for lvl, m_l in enumerate(out):
+            if lvl == levels - 1:   # finest level is unsmoothed
+                eroded.append(m_l)
+                continue
+            inv = jax.lax.reduce_window(
+                (~m_l).astype(jnp.float32), jnp.float32(0.0), jax.lax.max,
+                (9, 9, 9), (1, 1, 1), [(4, 4)] * 3)
+            eroded.append(inv < 0.5)
+        out = eroded
+    return out
 
 
 def register_stage(
@@ -111,7 +200,10 @@ def register_stage(
         init_params: Optional[Dict] = None,
         pre_affine: Optional[Dict] = None,
         iters_scale: float = 1.0,
-        kind: Optional[str] = None) -> Tuple[Dict, float]:
+        kind: Optional[str] = None,
+        fixed_mask=None, moving_mask=None,
+        fix_pts=None, mov_pts=None,
+        pt_weight: float = 1.0) -> Tuple[Dict, float]:
     """Run one registration stage (translation / affine / bspline).
 
     Args:
@@ -119,11 +211,18 @@ def register_stage(
             space; shapes may differ).
         stage: ``RegParamMap``-style dict (``map_name``, ``max_iter``,
             ``metric_similarity``, ``num_resolutions``,
-            ``grid_space_voxels``).
+            ``grid_space_voxels``, ``grid_spacing_schedule``,
+            ``erode_mask``, ``point_based``).
         init_params: warm-start parameters (e.g. affine init from the
             translation stage).
         pre_affine: affine composed after a bspline warp.
         iters_scale: global multiplier on iteration counts.
+        fixed_mask: restrict metric samples to this fixed-space mask;
+            eroded per level when the stage sets ``erode_mask``.
+        fix_pts/mov_pts: ``(N, 3)`` corresponding landmarks (fixed-space
+            points must map onto moving-space points) — the
+            CorrespondingPointsEuclideanDistanceMetric term, weighted by
+            ``pt_weight`` and active when the stage sets ``point_based``.
 
     Returns:
         ``(params, final_loss)``.
@@ -140,15 +239,48 @@ def register_stage(
     # limit pyramid so the coarsest level keeps >= 8 voxels per axis
     max_levels = int(np.floor(np.log2(max(min(fixed.shape) / 8, 1)))) + 1
     levels = max(1, min(levels, max_levels))
+
+    sched_levels = None
+    gsv = None
+    if kind == "bspline":
+        gsv = float(stage.get("grid_space_voxels") or 50)
+        sched = stage.get("grid_spacing_schedule")
+        if sched:
+            sched_levels = _parse_grid_schedule(sched, max_levels)
+            levels = max(1, min(len(sched_levels), max_levels))
+            sched_levels = sched_levels[-levels:]
+        else:
+            sched_levels = [(1.0, 1.0, 1.0)] * levels
+
     pyr_f = _pyramid(fixed, levels)
     pyr_m = _pyramid(moving, levels)
+    mask_pyr = None
+    if fixed_mask is not None:
+        mask_pyr = _mask_pyramid(
+            fixed_mask, levels, bool(stage.get("erode_mask")))
+    mov_mask_pyr = None
+    if moving_mask is not None:
+        mov_mask_pyr = _mask_pyramid(
+            moving_mask, levels, bool(stage.get("erode_mask")))
 
-    spacing = None
+    # reference gates the point metric on the stage's point_based key
+    # (register.py:583); explicit pts passed by an API caller default on
+    use_pts = (fix_pts is not None and mov_pts is not None
+               and bool(stage.get("point_based", True)))
+    if use_pts:
+        fix_pts = jnp.asarray(fix_pts, jnp.float32)
+        mov_pts = jnp.asarray(mov_pts, jnp.float32)
+
+    def level_spacing(lvl: int):
+        """B-spline control spacing at level ``lvl``, in level voxels."""
+        level_factor = 2.0 ** (levels - 1 - lvl)
+        return tuple(
+            gsv * sched_levels[lvl][ax] / level_factor for ax in range(3))
+
     grid_shape = None
     if kind == "bspline":
-        gsv = stage.get("grid_space_voxels") or 50
-        spacing_full = (float(gsv),) * 3
-        grid_shape = transform.bspline_grid_shape(fixed.shape, spacing_full)
+        grid_shape = transform.bspline_grid_shape(
+            pyr_f[0].shape, level_spacing(0))
 
     params = init_params
     if params is None:
@@ -166,10 +298,21 @@ def register_stage(
         pre = {k: jnp.asarray(v) for k, v in pre.items()}
 
     loss = np.inf
+    prev_sp = level_spacing(0) if kind == "bspline" else None
     for lvl, (f_l, m_l) in enumerate(zip(pyr_f, pyr_m)):
         level_factor = 2.0 ** (levels - 1 - lvl)
-        sp = (tuple(s / level_factor for s in spacing_full)
-              if kind == "bspline" else None)
+        sp = None
+        if kind == "bspline":
+            sp = level_spacing(lvl)
+            gshape = transform.bspline_grid_shape(f_l.shape, sp)
+            if tuple(params["grid"].shape[1:]) != gshape:
+                # grid_spacing_schedule: re-lattice control points
+                # (prev spacing in THIS level's voxels is 2x its own)
+                old_sp = tuple(2.0 * s for s in prev_sp) \
+                    if lvl > 0 else prev_sp
+                params = {"grid": transform.resample_grid(
+                    params["grid"], old_sp, gshape, sp)}
+            prev_sp = sp
         pre_l = (_scale_params(pre, 1.0 / level_factor, "affine")
                  if pre is not None else None)
         lrs = tuple(sorted(
@@ -178,9 +321,19 @@ def register_stage(
         max_samples = int(
             stage.get("num_spatial_samples") or _MAX_METRIC_SAMPLES)
         stride = _metric_stride(f_l.shape, max_samples)
+        mask_l = mask_pyr[lvl].astype(jnp.float32) \
+            if mask_pyr is not None else None
+        mov_mask_l = mov_mask_pyr[lvl].astype(jnp.float32) \
+            if mov_mask_pyr is not None else None
+        pts_args = {}
+        if use_pts:
+            pts_args = dict(
+                fix_pts=fix_pts / level_factor,
+                mov_pts=mov_pts / level_factor,
+                pt_weight=float(pt_weight))
         params, loss = _optimize_level(
             f_l, m_l, params, pre_l, kind, metric, iters, sp, lrs,
-            stride)
+            stride, fixed_mask=mask_l, moving_mask=mov_mask_l, **pts_args)
         if lvl < levels - 1:
             params = _scale_params(params, 2.0, kind)
     return params, float(loss)
@@ -222,13 +375,23 @@ class RegResult:
 
 def register_duo(
         fixed: np.ndarray, moving: np.ndarray, profile,
-        iters_scale: float = 1.0) -> Tuple[np.ndarray, RegResult]:
+        iters_scale: float = 1.0,
+        fixed_mask: Optional[np.ndarray] = None,
+        moving_mask: Optional[np.ndarray] = None,
+        fix_pts: Optional[np.ndarray] = None,
+        mov_pts: Optional[np.ndarray] = None) -> Tuple[np.ndarray,
+                                                       RegResult]:
     """Register ``moving`` onto ``fixed`` through the profile's stages.
 
     Reference surface ``register.register_duo`` (``register.py:423``):
     translation -> affine -> bspline, metric and iteration schedule from
     the atlas profile; returns the moved image and the transform for label
-    transfer.
+    transfer. ``fixed_mask``/``moving_mask`` restrict metric sampling
+    (reference ``SetFixedMask``, ``register.py:515``; eroded per level
+    when a stage sets ``erode_mask``). ``fix_pts``/``mov_pts`` feed the
+    corresponding-points metric on stages with ``point_based`` set
+    (reference reads ``fix_pts.txt``/``mov_pts.txt``,
+    ``register.py:583-602``).
     """
     stages_cfg = [
         ("translation", profile["reg_translation"]),
@@ -242,23 +405,32 @@ def register_duo(
     pre_affine = None
     bspline_spacing = None
     for kind, stage in stages_cfg:
+        masks = dict(fixed_mask=fixed_mask, moving_mask=moving_mask)
+        pts = {}
+        if stage.get("point_based") and fix_pts is not None \
+                and mov_pts is not None:
+            pts = dict(fix_pts=fix_pts, mov_pts=mov_pts)
         if kind == "translation":
             params, loss = register_stage(
-                fixed, moving, stage, iters_scale=iters_scale, kind=kind)
+                fixed, moving, stage, iters_scale=iters_scale, kind=kind,
+                **masks, **pts)
             init_affine = {"W": jnp.zeros((3, 3)), "t": params["t"]}
         elif kind == "affine":
             params, loss = register_stage(
                 fixed, moving, stage, init_params=init_affine,
-                iters_scale=iters_scale, kind=kind)
+                iters_scale=iters_scale, kind=kind, **masks, **pts)
             pre_affine = params
         else:
             if pre_affine is None and init_affine is not None:
                 pre_affine = init_affine
             params, loss = register_stage(
                 fixed, moving, stage, pre_affine=pre_affine,
-                iters_scale=iters_scale, kind=kind)
-            gsv = stage.get("grid_space_voxels") or 50
-            bspline_spacing = (float(gsv),) * 3
+                iters_scale=iters_scale, kind=kind, **masks, **pts)
+            gsv = float(stage.get("grid_space_voxels") or 50)
+            sched = stage.get("grid_spacing_schedule")
+            mult = _parse_grid_schedule(sched, 99)[-1] if sched \
+                else (1.0, 1.0, 1.0)
+            bspline_spacing = tuple(gsv * m for m in mult)
         _logger.info("stage %s done, loss %.5f", kind, loss)
         done.append((kind, {k: np.asarray(v) for k, v in params.items()}))
 

@@ -85,6 +85,27 @@ def curate_img(
     return result if imgs is not None else result[0]
 
 
+def load_elastix_points(path: str) -> np.ndarray:
+    """Load an Elastix point-set file into an ``(N, 3)`` z,y,x array.
+
+    Format (reference ``fix_pts.txt``/``mov_pts.txt``, consumed by
+    Elastix via ``SetFixedPointSetFileName``, ``register.py:583-602``):
+    first line ``point`` or ``index``, second line the point count, then
+    one ``x y z`` coordinate triple per line (converted here to z,y,x
+    voxel order).
+    """
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    # skip the "point"/"index" header and the count line when present
+    start = 0
+    if lines and lines[0].lower() in ("point", "index"):
+        start = 2 if len(lines) > 1 and lines[1].isdigit() else 1
+    pts = np.asarray(
+        [[float(v) for v in ln.split()] for ln in lines[start:]],
+        np.float32)
+    return pts[:, ::-1]  # x,y,z -> z,y,x
+
+
 def register(
         fixed_path_or_img, moving_dir_or_imgs,
         profile,
@@ -93,7 +114,9 @@ def register(
         prefix: Optional[str] = None,
         iters_scale: float = 1.0,
         channel: int = 0,
-        reg_suffixes: Optional[Dict[str, str]] = None) -> Dict:
+        reg_suffixes: Optional[Dict[str, str]] = None,
+        fixed_mask: Optional[np.ndarray] = None,
+        moving_mask: Optional[np.ndarray] = None) -> Dict:
     """Register a moving atlas onto a fixed sample image
     (reference ``register.register :647``).
 
@@ -150,9 +173,39 @@ def register(
         moving_labels = sitk_io.read_med_img(sitk_io.find_sitk_file(
             os.path.join(moving_dir_or_imgs, labels_name))).img
 
+    # image masks via reg_suffixes relative to the fixed path (reference
+    # register.py:768-780 fixed_mask/moving_mask suffixes)
+    if isinstance(fixed_path_or_img, str):
+        sfx = reg_suffixes or {}
+        if fixed_mask is None and sfx.get("fixed_mask"):
+            fixed_mask = sitk_io.load_registered_img(
+                prefix or fixed_path, sfx["fixed_mask"])
+        if moving_mask is None and sfx.get("moving_mask"):
+            moving_mask = sitk_io.load_registered_img(
+                prefix or fixed_path, sfx["moving_mask"])
+
+    # corresponding landmarks next to the fixed image when any stage is
+    # point-based (reference fix_pts.txt/mov_pts.txt, register.py:583-602)
+    fix_pts = mov_pts = None
+    point_based = any(
+        (profile[k] or {}).get("point_based")
+        for k in ("reg_translation", "reg_affine", "reg_bspline"))
+    if point_based and isinstance(fixed_path_or_img, str):
+        pts_dir = os.path.dirname(os.path.abspath(fixed_path))
+        fp = os.path.join(pts_dir, "fix_pts.txt")
+        mp = os.path.join(pts_dir, "mov_pts.txt")
+        if os.path.isfile(fp) and os.path.isfile(mp):
+            fix_pts = load_elastix_points(fp)
+            mov_pts = load_elastix_points(mp)
+            _logger.info(
+                "loaded %d corresponding points from %s / %s",
+                len(fix_pts), fp, mp)
+
     # register: translation -> affine -> bspline per profile
     moved, result = reg_engine.register_duo(
-        fixed, moving_atlas, profile, iters_scale=iters_scale)
+        fixed, moving_atlas, profile, iters_scale=iters_scale,
+        fixed_mask=fixed_mask, moving_mask=moving_mask,
+        fix_pts=fix_pts, mov_pts=mov_pts)
     dsc = reg_metrics.measure_overlap(fixed, moved)
 
     fallback = profile["metric_sim_fallback"]
@@ -169,7 +222,9 @@ def register(
                 prof2[stage_key] = dict(prof2[stage_key])
                 prof2[stage_key]["metric_similarity"] = fallback[1]
         moved2, result2 = reg_engine.register_duo(
-            fixed, moving_atlas, prof2, iters_scale=iters_scale)
+            fixed, moving_atlas, prof2, iters_scale=iters_scale,
+            fixed_mask=fixed_mask, moving_mask=moving_mask,
+            fix_pts=fix_pts, mov_pts=mov_pts)
         dsc2 = reg_metrics.measure_overlap(fixed, moved2)
         if dsc2 > dsc:
             moved, result, dsc = moved2, result2, dsc2

@@ -35,12 +35,37 @@ def identity_params(kind: str, grid_shape=None) -> Dict[str, jnp.ndarray]:
 
 
 def _coords(shape: Sequence[int],
-            stride: Sequence[int] = (1, 1, 1)) -> jnp.ndarray:
-    """Voxel-center coordinate grid, shape ``(3, Z, Y, X)``."""
+            stride: Sequence[int] = (1, 1, 1),
+            offset: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Voxel-center coordinate grid, shape ``(3, Z, Y, X)``.
+
+    ``offset`` (3 traced scalars in ``[0, stride)``) jitters the strided
+    sample grid — Elastix redraws random spatial samples each iteration
+    (``NumberOfSpatialSamples``); a fixed strided grid can alias with the
+    B-spline grid and bias MI. Coordinates clamp to the volume.
+    """
     ranges = [jnp.arange(0, s, st, dtype=jnp.float32)
               for s, st in zip(shape, stride)]
+    if offset is not None:
+        ranges = [jnp.minimum(r + offset[ax].astype(jnp.float32),
+                              jnp.float32(shape[ax] - 1))
+                  for ax, r in enumerate(ranges)]
     zz, yy, xx = jnp.meshgrid(*ranges, indexing="ij")
     return jnp.stack([zz, yy, xx])
+
+
+def strided_sample(
+        vol: jnp.ndarray, stride: Sequence[int] = (1, 1, 1),
+        offset: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Gather ``vol`` on the (optionally jittered) strided sample grid —
+    the fixed-image counterpart of ``resample(..., stride, offset)``."""
+    if offset is None:
+        return vol[::stride[0], ::stride[1], ::stride[2]]
+    idx = [jnp.minimum(
+        jnp.arange(0, s, st) + offset[ax], s - 1)
+        for ax, (s, st) in enumerate(zip(vol.shape, stride))]
+    return vol[idx[0][:, None, None], idx[1][None, :, None],
+               idx[2][None, None, :]]
 
 
 def cubic_bspline(u: np.ndarray) -> np.ndarray:
@@ -101,25 +126,113 @@ def transform_coords(
         shape: Sequence[int],
         spacing: Optional[Sequence[float]] = None,
         pre_affine: Optional[Dict[str, jnp.ndarray]] = None,
-        stride: Sequence[int] = (1, 1, 1)) -> jnp.ndarray:
+        stride: Sequence[int] = (1, 1, 1),
+        offset: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Map fixed voxel coords to moving voxel coords, ``(3, Z, Y, X)``.
 
     ``bspline`` composes with ``pre_affine`` (affine applied after the
     FFD warp of fixed-space coordinates, the ANTs-style composition).
-    ``stride`` maps only every stride-th fixed voxel (metric sampling).
+    ``stride`` maps only every stride-th fixed voxel (metric sampling);
+    ``offset`` jitters the strided grid per iteration.
     """
-    coords = _coords(shape, stride)
+    coords = _coords(shape, stride, offset)
     if kind == "translation":
         return coords + params["t"][:, None, None, None]
     if kind == "affine":
         return _apply_affine(params, coords, shape)
     if kind == "bspline":
-        disp = bspline_displacement(params["grid"], shape, spacing, stride)
+        if offset is None:
+            disp = bspline_displacement(
+                params["grid"], shape, spacing, stride)
+        else:
+            # jittered grid: evaluate the FFD at the exact jittered coords
+            pts = coords.reshape(3, -1).T
+            disp = bspline_displacement_at(
+                params["grid"], pts, spacing).T.reshape(coords.shape)
         warped = coords + disp
         if pre_affine is not None:
             return _apply_affine(pre_affine, warped, shape)
         return warped
     raise ValueError(kind)
+
+
+def _cubic_bspline_jnp(u: jnp.ndarray) -> jnp.ndarray:
+    """Cubic B-spline basis beta^3(u) (traced-input version)."""
+    au = jnp.abs(u)
+    return jnp.where(
+        au < 1.0, (4 - 6 * au ** 2 + 3 * au ** 3) / 6,
+        jnp.where(au < 2.0, (2 - au) ** 3 / 6, 0.0))
+
+
+def bspline_displacement_at(
+        grid: jnp.ndarray, pts: jnp.ndarray,
+        spacing: Sequence[float]) -> jnp.ndarray:
+    """FFD displacement at arbitrary points ``pts (N, 3)`` -> ``(N, 3)``.
+
+    Separable per-point basis (``N x g_ax`` weight matrices) contracted
+    against the control grid — used by the point-based metric and the
+    jittered metric sampling grid.
+    """
+    ws = []
+    for ax in range(3):
+        j = jnp.arange(grid.shape[ax + 1], dtype=jnp.float32)
+        u = pts[:, ax:ax + 1] / jnp.float32(spacing[ax]) - (j[None, :] - 1.0)
+        ws.append(_cubic_bspline_jnp(u))
+    return jnp.einsum(
+        "ni,nj,nk,cijk->nc", ws[0], ws[1], ws[2], grid,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def transform_points(
+        pts: jnp.ndarray, params: Dict[str, jnp.ndarray], kind: str,
+        shape: Sequence[int],
+        spacing: Optional[Sequence[float]] = None,
+        pre_affine: Optional[Dict[str, jnp.ndarray]] = None) -> jnp.ndarray:
+    """Map fixed-space points ``(N, 3)`` to moving-space points.
+
+    The point analog of :func:`transform_coords`, used by the
+    CorrespondingPointsEuclideanDistanceMetric replacement (fixed
+    landmarks mapped through the transform should land on the moving
+    landmarks; reference ``register.py:583-602``).
+    """
+    pts = jnp.asarray(pts, jnp.float32)
+
+    def apply_affine_pts(p, x):
+        center = (jnp.asarray(shape, jnp.float32) - 1) / 2
+        a = jnp.eye(3) + p["W"]
+        return (x - center) @ a.T + center + p["t"]
+
+    if kind == "translation":
+        return pts + params["t"]
+    if kind == "affine":
+        return apply_affine_pts(params, pts)
+    if kind == "bspline":
+        warped = pts + bspline_displacement_at(params["grid"], pts, spacing)
+        if pre_affine is not None:
+            return apply_affine_pts(pre_affine, warped)
+        return warped
+    raise ValueError(kind)
+
+
+def resample_grid(
+        grid: jnp.ndarray, old_spacing: Sequence[float],
+        new_grid_shape: Sequence[int],
+        new_spacing: Sequence[float]) -> jnp.ndarray:
+    """Re-parameterize an FFD control grid onto a new lattice.
+
+    Evaluates the old grid's displacement field at the new control-point
+    locations ``(j - 1) * new_spacing`` — the standard upsampling
+    approximation for Elastix's ``GridSpacingSchedule`` level changes
+    (the optimizer refines any interpolation residue at the new level).
+    """
+    axes = [jnp.arange(n, dtype=jnp.float32) - 1.0 for n in new_grid_shape]
+    zz, yy, xx = jnp.meshgrid(
+        axes[0] * jnp.float32(new_spacing[0]),
+        axes[1] * jnp.float32(new_spacing[1]),
+        axes[2] * jnp.float32(new_spacing[2]), indexing="ij")
+    pts = jnp.stack([zz, yy, xx], axis=-1).reshape(-1, 3)
+    disp = bspline_displacement_at(grid, pts, old_spacing)
+    return disp.T.reshape((3,) + tuple(new_grid_shape))
 
 
 def _apply_affine(params, coords: jnp.ndarray, shape) -> jnp.ndarray:
@@ -148,8 +261,9 @@ def resample(
         spacing: Optional[Sequence[float]] = None,
         pre_affine: Optional[Dict[str, jnp.ndarray]] = None,
         order: int = 1,
-        stride: Sequence[int] = (1, 1, 1)) -> jnp.ndarray:
+        stride: Sequence[int] = (1, 1, 1),
+        offset: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Resample the moving image into fixed space under the transform."""
     coords = transform_coords(
-        params, kind, out_shape, spacing, pre_affine, stride)
+        params, kind, out_shape, spacing, pre_affine, stride, offset)
     return sample_volume(moving, coords, order=order)

@@ -3,13 +3,16 @@
 The environment has no ``tifffile``; the reference uses it for lazy TIF
 loading (``magmap/io/np_io.py:646`` ``read_tif``). This module covers the
 microscopy-relevant subset: grayscale multi-page stacks, 8/16/32-bit
-integer and float32 sample formats, uncompressed, strip- or tile-less
-organization, little/big endian, plus ImageJ-style multi-page writing.
+integer and float32 sample formats, uncompressed or deflate/LZW/PackBits
+compressed strips (with the horizontal-differencing predictor), strip
+organization, little/big endian, plus ImageJ-style multi-page writing
+with optional compression.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -23,7 +26,176 @@ _TAG_STRIP_OFFSETS = 273
 _TAG_SPP = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
+_TAG_PREDICTOR = 317
 _TAG_SAMPLE_FORMAT = 339
+
+#: TIFF compression ids
+COMP_NONE = 1
+COMP_LZW = 5
+COMP_DEFLATE_ADOBE = 8
+COMP_PACKBITS = 32773
+COMP_DEFLATE = 32946
+
+
+# ---------------------------------------------------------------------------
+# strip codecs (TIFF 6.0 section 7/9 + Adobe deflate note)
+
+
+def packbits_decode(data: bytes) -> bytes:
+    """Apple PackBits RLE decode (TIFF 6.0 section 9)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        ctl = data[i]
+        i += 1
+        if ctl < 128:          # literal run of ctl+1 bytes
+            out += data[i:i + ctl + 1]
+            i += ctl + 1
+        elif ctl > 128:        # repeat next byte 257-ctl times
+            out += data[i:i + 1] * (257 - ctl)
+            i += 1
+        # ctl == 128: no-op
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """PackBits RLE encode (runs >= 3 become repeats)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        # literal: scan until a >=3 repeat starts (or 128 cap)
+        j = i + 1
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW decode: MSB-first bit packing, ClearCode 256,
+    EOI 257, code width grows at table sizes 511/1023/2047 ("early
+    change", TIFF 6.0 section 13)."""
+    out = bytearray()
+    table: List[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    buf = 0
+    nbits = 0
+    prev: Optional[bytes] = None
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (buf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:      # clear
+                reset()
+                prev = None
+                continue
+            if code == 257:      # end of information
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZW stream")
+            out += entry
+            prev = entry
+            if len(table) in (511, 1023, 2047):
+                width += 1
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encode (matches :func:`lzw_decode`)."""
+    out = bytearray()
+    buf = 0
+    nbits = 0
+    width = 9
+
+    def emit(code):
+        nonlocal buf, nbits
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256)  # initial clear
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        # the encoder's table runs one entry ahead of the decoder's (the
+        # decoder adds each entry one code later), so widening here at
+        # 512/1024/2048 lands exactly on the decoder's "early change" at
+        # table sizes 511/1023/2047
+        if next_code in (512, 1024, 2048):
+            width += 1
+        elif next_code == 4094:
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        emit(table[w])
+    emit(257)  # EOI
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _decode_strip(raw: bytes, comp: int, path: str) -> bytes:
+    if comp == COMP_NONE:
+        return raw
+    if comp in (COMP_DEFLATE_ADOBE, COMP_DEFLATE):
+        return zlib.decompress(raw)
+    if comp == COMP_LZW:
+        return lzw_decode(raw)
+    if comp == COMP_PACKBITS:
+        return packbits_decode(raw)
+    raise ValueError(f"unsupported TIFF compression {comp} in {path}")
+
+
+def _unpredict(page: np.ndarray, predictor: int) -> np.ndarray:
+    """Undo the horizontal-differencing predictor (tag 317 value 2)."""
+    if predictor == 2:
+        return np.cumsum(page, axis=-1, dtype=page.dtype)
+    return page
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
                10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
@@ -95,9 +267,7 @@ def read_tiff(path: str) -> np.ndarray:
             comp = tags.get(_TAG_COMPRESSION, [1])[0]
             spp = tags.get(_TAG_SPP, [1])[0]
             sfmt = tags.get(_TAG_SAMPLE_FORMAT, [1])[0]
-            if comp != 1:
-                raise ValueError(
-                    f"unsupported TIFF compression {comp} in {path}")
+            predictor = tags.get(_TAG_PREDICTOR, [1])[0]
             dtype = {
                 (1, 8): np.uint8, (1, 16): np.uint16, (1, 32): np.uint32,
                 (2, 8): np.int8, (2, 16): np.int16, (2, 32): np.int32,
@@ -110,12 +280,14 @@ def read_tiff(path: str) -> np.ndarray:
             raw = b""
             for off, cnt in zip(offsets, counts):
                 f.seek(off)
-                raw += f.read(cnt)
+                raw += _decode_strip(f.read(cnt), comp, path)
             arr = np.frombuffer(raw, dtype=dtype, count=h * w * spp)
             if spp > 1:
                 arr = arr.reshape(h, w, spp)
             else:
                 arr = arr.reshape(h, w)
+            if predictor == 2:
+                arr = _unpredict(arr, predictor)
             pages.append(arr)
     if not pages:
         raise ValueError(f"no image pages in {path}")
@@ -123,8 +295,19 @@ def read_tiff(path: str) -> np.ndarray:
     return out
 
 
-def write_tiff(path: str, arr: np.ndarray) -> None:
-    """Write a grayscale 2D/3D array as an uncompressed multi-page TIFF."""
+#: writer name -> TIFF compression id
+_WRITE_COMP = {None: COMP_NONE, "none": COMP_NONE, "deflate": COMP_DEFLATE_ADOBE,
+               "zlib": COMP_DEFLATE_ADOBE, "lzw": COMP_LZW,
+               "packbits": COMP_PACKBITS}
+
+
+def write_tiff(path: str, arr: np.ndarray,
+               compression: Optional[str] = None) -> None:
+    """Write a grayscale 2D/3D array as a multi-page TIFF.
+
+    ``compression``: None/"none", "deflate"/"zlib", "lzw", "packbits"
+    (one strip per page).
+    """
     arr = np.asarray(arr)
     if arr.ndim == 2:
         arr = arr[None]
@@ -132,6 +315,7 @@ def write_tiff(path: str, arr: np.ndarray) -> None:
         arr = arr.astype(np.float32)
     sfmt = {"u": 1, "i": 2, "f": 3}[arr.dtype.kind]
     bits = arr.dtype.itemsize * 8
+    comp = _WRITE_COMP[compression]
     n_pages, h, w = arr.shape[:3]
     with open(path, "wb") as f:
         f.write(b"II*\x00")
@@ -140,6 +324,12 @@ def write_tiff(path: str, arr: np.ndarray) -> None:
         prev_ifd_link = ifd_pos_holder
         for p in range(n_pages):
             data = np.ascontiguousarray(arr[p]).tobytes()
+            if comp in (COMP_DEFLATE_ADOBE, COMP_DEFLATE):
+                data = zlib.compress(data)
+            elif comp == COMP_LZW:
+                data = lzw_encode(data)
+            elif comp == COMP_PACKBITS:
+                data = packbits_encode(data)
             data_off = f.tell()
             f.write(data)
             ifd_off = f.tell()
@@ -148,7 +338,7 @@ def write_tiff(path: str, arr: np.ndarray) -> None:
                 (_TAG_WIDTH, 4, 1, w),
                 (_TAG_HEIGHT, 4, 1, h),
                 (_TAG_BITS, 3, 1, bits),
-                (_TAG_COMPRESSION, 3, 1, 1),
+                (_TAG_COMPRESSION, 3, 1, comp),
                 (_TAG_PHOTOMETRIC, 3, 1, 1),
                 (_TAG_STRIP_OFFSETS, 4, 1, data_off),
                 (_TAG_SPP, 3, 1, 1),
@@ -170,16 +360,19 @@ def write_tiff(path: str, arr: np.ndarray) -> None:
 
 
 class LazyTiffStack:
-    """Lazy multi-page TIFF: pages map on demand via ``np.memmap``.
+    """Lazy multi-page TIFF: pages load on demand.
 
     Covers the reference's lazy TIF loading (``magmap/io/np_io.py:646``
-    ``read_tif`` memmap/zarr path) for uncompressed stacks: no pixel
-    data is read until a page is indexed.
+    ``read_tif`` memmap/zarr path): no pixel data is read until a page is
+    indexed. Uncompressed single-strip pages memory-map with no copy;
+    deflate/LZW/PackBits pages decode per access.
     """
 
     def __init__(self, path: str):
         self.path = path
-        self._offsets: List[int] = []
+        #: per page: (strip offsets, strip byte counts, compression,
+        #: predictor)
+        self._pages: List[Tuple[List[int], List[int], int, int]] = []
         self._shape_page: Optional[Tuple[int, int]] = None
         self.dtype: Optional[np.dtype] = None
         self._scan()
@@ -202,15 +395,14 @@ class LazyTiffStack:
                 if _TAG_WIDTH not in tags:
                     continue
                 comp = tags.get(_TAG_COMPRESSION, [1])[0]
+                predictor = tags.get(_TAG_PREDICTOR, [1])[0]
                 offsets = tags[_TAG_STRIP_OFFSETS]
-                if comp != 1 or len(offsets) != 1:
-                    raise ValueError(
-                        "LazyTiffStack requires uncompressed single-strip "
-                        f"pages: {self.path}")
                 w = tags[_TAG_WIDTH][0]
                 h = tags[_TAG_HEIGHT][0]
                 bits = tags.get(_TAG_BITS, [8])[0]
                 sfmt = tags.get(_TAG_SAMPLE_FORMAT, [1])[0]
+                counts = tags.get(
+                    _TAG_STRIP_COUNTS, [h * w * bits // 8])
                 dtype = np.dtype({
                     (1, 8): np.uint8, (1, 16): np.uint16,
                     (1, 32): np.uint32, (2, 8): np.int8,
@@ -222,21 +414,32 @@ class LazyTiffStack:
                     self.dtype = dtype
                 elif self._shape_page != (h, w) or self.dtype != dtype:
                     raise ValueError("inconsistent TIFF pages")
-                self._offsets.append(offsets[0])
+                self._pages.append(
+                    (list(offsets), list(counts), comp, predictor))
 
     @property
     def shape(self) -> Tuple[int, int, int]:
-        return (len(self._offsets),) + self._shape_page
+        return (len(self._pages),) + self._shape_page
 
     def __len__(self):
-        return len(self._offsets)
+        return len(self._pages)
 
     def page(self, i: int) -> np.ndarray:
-        """Memory-map one page (no copy)."""
+        """Load one page: zero-copy memmap when uncompressed
+        single-strip, per-access strip decode otherwise."""
         h, w = self._shape_page
-        return np.memmap(
-            self.path, dtype=self.dtype, mode="r",
-            offset=self._offsets[i], shape=(h, w))
+        offsets, counts, comp, predictor = self._pages[i]
+        if comp == COMP_NONE and len(offsets) == 1:
+            return np.memmap(
+                self.path, dtype=self.dtype, mode="r",
+                offset=offsets[0], shape=(h, w))
+        raw = b""
+        with open(self.path, "rb") as f:
+            for off, cnt in zip(offsets, counts):
+                f.seek(off)
+                raw += _decode_strip(f.read(cnt), comp, self.path)
+        arr = np.frombuffer(raw, dtype=self.dtype, count=h * w)
+        return _unpredict(arr.reshape(h, w), predictor)
 
     def __getitem__(self, key):
         if isinstance(key, int):

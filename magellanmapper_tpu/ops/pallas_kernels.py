@@ -31,47 +31,54 @@ def _prune_kernel(coords_i_ref, r_i_ref, valid_i_ref,
                   idx_i_ref, idx_j_ref,
                   thresh_ref, removed_ref):
     """One (TI, TJ) tile: does row blob i lose to any column blob j?"""
-    ci = coords_i_ref[:]                    # (TI, 3)
-    cj = coords_j_ref[:]                    # (TJ, 3)
-    ri = r_i_ref[:]                         # (TI, 1)
-    rj = r_j_ref[:]                         # (TJ, 1)
-    # squared distances via MXU: |a|^2 + |b|^2 - 2 a.b
-    d2 = (jnp.sum(ci * ci, axis=1, keepdims=True)
-          + jnp.sum(cj * cj, axis=1, keepdims=True).T
-          - 2.0 * jax.lax.dot_general(
-              ci, cj.T, (((1,), (0,)), ((), ())),
-              preferred_element_type=jnp.float32,
-              precision=jax.lax.Precision.HIGHEST))
-    d = jnp.sqrt(jnp.maximum(d2, 0.0))
-
-    r1 = ri                                  # (TI, 1) broadcast rows
-    r2 = rj.T                                # (1, TJ) broadcast cols
-    d_safe = jnp.maximum(d, 1e-12)
-    lens = (math.pi * (r1 + r2 - d_safe) ** 2
-            * (d_safe * d_safe + 2.0 * d_safe * (r1 + r2)
-               - 3.0 * (r1 - r2) ** 2) / (12.0 * d_safe))
-    rmin = jnp.minimum(r1 + 0.0 * r2, r2 + 0.0 * r1)
-    vol_min = (4.0 / 3.0 * math.pi) * rmin * rmin * rmin
-    frac = lens / jnp.maximum(vol_min, 1e-12)
-    frac = jnp.where(d <= jnp.abs(r1 - r2), 1.0, frac)
-    frac = jnp.where(d >= r1 + r2, 0.0, frac)
-
-    ii = idx_i_ref[:]                        # (TI, 1) global row ids
-    jj = idx_j_ref[:]                        # (TJ, 1)
-    pair_ok = ((valid_i_ref[:] > 0) & (valid_j_ref[:].T > 0)
-               & (ii != jj.T))
-    overlapping = pair_ok & (frac > thresh_ref[0, 0])
-    loses = overlapping & ((r2 > r1) | ((r2 == r1) & (ii < jj.T)))
-    tile_removed = jnp.any(loses, axis=1, keepdims=True)
-
     j_tile = pl.program_id(1)
 
     @pl.when(j_tile == 0)
     def _():
         removed_ref[:] = jnp.zeros_like(removed_ref)
 
-    removed_ref[:] = jnp.maximum(
-        removed_ref[:], tile_removed.astype(jnp.float32))
+    # buffers are top_k-padded: most tiles beyond the valid count are
+    # all-invalid — skip their MXU/VPU work entirely
+    has_pairs = (jnp.max(valid_i_ref[:]) > 0.0) & (
+        jnp.max(valid_j_ref[:]) > 0.0)
+
+    @pl.when(has_pairs)
+    def _():
+        ci = coords_i_ref[:]                    # (TI, 3)
+        cj = coords_j_ref[:]                    # (TJ, 3)
+        ri = r_i_ref[:]                         # (TI, 1)
+        rj = r_j_ref[:]                         # (TJ, 1)
+        # squared distances via MXU: |a|^2 + |b|^2 - 2 a.b
+        d2 = (jnp.sum(ci * ci, axis=1, keepdims=True)
+              + jnp.sum(cj * cj, axis=1, keepdims=True).T
+              - 2.0 * jax.lax.dot_general(
+                  ci, cj.T, (((1,), (0,)), ((), ())),
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST))
+        d = jnp.sqrt(jnp.maximum(d2, 0.0))
+
+        r1 = ri                                  # (TI, 1) broadcast rows
+        r2 = rj.T                                # (1, TJ) broadcast cols
+        d_safe = jnp.maximum(d, 1e-12)
+        lens = (math.pi * (r1 + r2 - d_safe) ** 2
+                * (d_safe * d_safe + 2.0 * d_safe * (r1 + r2)
+                   - 3.0 * (r1 - r2) ** 2) / (12.0 * d_safe))
+        rmin = jnp.minimum(r1 + 0.0 * r2, r2 + 0.0 * r1)
+        vol_min = (4.0 / 3.0 * math.pi) * rmin * rmin * rmin
+        frac = lens / jnp.maximum(vol_min, 1e-12)
+        frac = jnp.where(d <= jnp.abs(r1 - r2), 1.0, frac)
+        frac = jnp.where(d >= r1 + r2, 0.0, frac)
+
+        ii = idx_i_ref[:]                        # (TI, 1) global row ids
+        jj = idx_j_ref[:]                        # (TJ, 1)
+        pair_ok = ((valid_i_ref[:] > 0) & (valid_j_ref[:].T > 0)
+                   & (ii != jj.T))
+        overlapping = pair_ok & (frac > thresh_ref[0, 0])
+        loses = overlapping & ((r2 > r1) | ((r2 == r1) & (ii < jj.T)))
+        tile_removed = jnp.any(loses, axis=1, keepdims=True)
+
+        removed_ref[:] = jnp.maximum(
+            removed_ref[:], tile_removed.astype(jnp.float32))
 
 
 def prune_overlap_pallas(
@@ -400,7 +407,8 @@ def find_peaks_fused(
     count = jnp.minimum(
         jnp.sum(jnp.isfinite(vals)), capacity).astype(jnp.int32)
     flat_vals = vals.reshape(-1)
-    top_vals, pos = jax.lax.top_k(flat_vals, capacity)
+    from magellanmapper_tpu.ops import peaks as _peaks
+    top_vals, pos = _peaks.select_top_sparse(flat_vals, capacity)
     # decode (z, tile, round, tile-row) -> (s, z, y, x)
     _, n_tiles, rounds, rpt = vals.shape
     per_z = n_tiles * rounds * rpt

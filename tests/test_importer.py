@@ -84,3 +84,64 @@ class TestLazyTiff:
         np.testing.assert_array_equal(
             stack[2:5, 5:10, 0:7], arr[2:5, 5:10, 0:7])
         assert isinstance(stack.page(0), np.memmap)
+
+
+class TestCompressedTiff:
+    """Round-2: deflate/LZW/PackBits strips + predictor (ref np_io.py:646
+    reads compressed stacks via tifffile)."""
+
+    @staticmethod
+    def _vol(rng, dtype):
+        arr = (rng.random((4, 24, 36)) * 500).astype(dtype)
+        arr[:, 5:10, 5:20] = 7  # long runs for RLE paths
+        return arr
+
+    def test_roundtrip_codecs(self, tmp_path, rng):
+        for codec in ("deflate", "lzw", "packbits"):
+            for dtype in (np.uint8, np.uint16, np.float32):
+                arr = self._vol(rng, dtype)
+                path = str(tmp_path / f"c_{codec}_{np.dtype(dtype)}.tif")
+                tiff.write_tiff(path, arr, compression=codec)
+                np.testing.assert_array_equal(tiff.read_tiff(path), arr)
+
+    def test_compressed_smaller_on_runs(self, tmp_path):
+        arr = np.zeros((2, 64, 64), np.uint16)
+        arr[:, :8] = 3
+        raw = str(tmp_path / "raw.tif")
+        comp = str(tmp_path / "z.tif")
+        tiff.write_tiff(raw, arr)
+        tiff.write_tiff(comp, arr, compression="deflate")
+        import os
+        assert os.path.getsize(comp) < os.path.getsize(raw) / 4
+
+    def test_lzw_known_stream(self):
+        # hand-built TIFF-LZW stream: [Clear, 'A', 'B', EOI] at 9 bits
+        data = bytes([0x80, 0x10, 0x48, 0x50, 0x10])
+        assert tiff.lzw_decode(data) == b"AB"
+
+    def test_lzw_encode_decode_long(self, rng):
+        # exceeds one code width (table grows past 511 entries)
+        payload = rng.integers(0, 8, 5000).astype(np.uint8).tobytes()
+        assert tiff.lzw_decode(tiff.lzw_encode(payload)) == payload
+
+    def test_packbits_vectors(self):
+        # TIFF 6.0 spec-style vectors
+        assert tiff.packbits_decode(
+            tiff.packbits_encode(b"AAAAAAAAAAAB")) == b"AAAAAAAAAAAB"
+        assert tiff.packbits_decode(bytes([0xFE, 0xAA])) == b"\xaa" * 3
+        assert tiff.packbits_decode(bytes([0x02, 0x41, 0x42, 0x43])) \
+            == b"ABC"
+
+    def test_unpredict_horizontal_differencing(self):
+        row = np.array([[10, 2, 3, 251]], np.uint8)  # deltas w/ wraparound
+        out = tiff._unpredict(row, 2)
+        np.testing.assert_array_equal(out, [[10, 12, 15, 10]])
+
+    def test_lazy_stack_compressed(self, tmp_path, rng):
+        arr = self._vol(rng, np.uint16)
+        path = str(tmp_path / "lazy_lzw.tif")
+        tiff.write_tiff(path, arr, compression="lzw")
+        lazy = tiff.LazyTiffStack(path)
+        assert lazy.shape == arr.shape
+        np.testing.assert_array_equal(lazy.page(2), arr[2])
+        np.testing.assert_array_equal(lazy[1:3], arr[1:3])

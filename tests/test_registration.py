@@ -206,3 +206,151 @@ class TestGroupwise:
         assert var_after < 0.5 * var_before
         # aligned mean sharper than unaligned mean
         assert mean_img.max() > np.mean(np.stack(imgs), axis=0).max()
+
+
+class TestElastixFeatureParity:
+    """Round-2 Elastix feature gap: points, masks, schedule, jitter."""
+
+    def test_transform_points_affine_matches_coords(self):
+        shape = (16, 16, 16)
+        params = {"W": jnp.asarray(np.diag([0.1, -0.05, 0.0])),
+                  "t": jnp.asarray([1.0, -2.0, 0.5])}
+        pts = jnp.asarray([[3.0, 4.0, 5.0], [10.0, 2.0, 8.0]])
+        mapped = np.asarray(transform.transform_points(
+            pts, params, "affine", shape))
+        coords = np.asarray(transform.transform_coords(
+            params, "affine", shape))
+        for p, m in zip(np.asarray(pts).astype(int), mapped):
+            np.testing.assert_allclose(
+                coords[:, p[0], p[1], p[2]], m, atol=1e-4)
+
+    def test_transform_points_bspline_matches_field(self):
+        shape = (16, 16, 16)
+        spacing = (8.0, 8.0, 8.0)
+        gshape = transform.bspline_grid_shape(shape, spacing)
+        rng = np.random.default_rng(0)
+        grid = jnp.asarray(
+            rng.normal(scale=0.5, size=(3,) + gshape).astype(np.float32))
+        disp = np.asarray(transform.bspline_displacement(
+            grid, shape, spacing))
+        pts = jnp.asarray([[2.0, 5.0, 7.0], [12.0, 3.0, 9.0]])
+        at = np.asarray(transform.bspline_displacement_at(
+            grid, pts, spacing))
+        for p, d in zip(np.asarray(pts).astype(int), at):
+            np.testing.assert_allclose(
+                disp[:, p[0], p[1], p[2]], d, atol=1e-4)
+
+    def test_point_metric_recovers_translation(self):
+        """Landmarks consistent with the image shift must tighten
+        translation recovery (CorrespondingPointsEuclideanDistanceMetric
+        replacement; ref register.py:583-602)."""
+        vol = blobby_volume(seed=5)
+        shift = np.array([2.0, -3.0, 1.0])
+        moving = np.asarray(transform.resample(
+            jnp.asarray(vol), {"t": jnp.asarray(-shift)}, "translation",
+            vol.shape))
+        fix_pts = np.array(
+            [[12., 12., 12.], [30., 20., 15.], [20., 35., 30.]])
+        mov_pts = fix_pts + shift
+        stage = make_reg_param_map(
+            "translation", 64, metric="ncc", num_resolutions=2,
+            point_based=True)
+        params, _ = reg_engine.register_stage(
+            vol, moving, stage, fix_pts=fix_pts, mov_pts=mov_pts,
+            pt_weight=5.0)
+        np.testing.assert_allclose(np.asarray(params["t"]), shift, atol=0.5)
+
+    def test_fixed_mask_excludes_adversarial_region(self):
+        """Outside-mask content pulls toward identity; with the fixed
+        mask the true shift is recovered (ref SetFixedMask :515)."""
+        vol = blobby_volume(seed=7)
+        shift = np.array([3.0, 0.0, 0.0])
+        moving = np.asarray(transform.resample(
+            jnp.asarray(vol), {"t": jnp.asarray(-shift)}, "translation",
+            vol.shape))
+        # corrupt the fixed image's outer z-slabs with the UNSHIFTED
+        # moving content so unmasked registration is pulled to t=0
+        fixed_bad = vol.copy()
+        fixed_bad[:12] = moving[:12]
+        fixed_bad[-12:] = moving[-12:]
+        mask = np.zeros_like(vol, bool)
+        mask[12:-12] = True
+        stage = make_reg_param_map("translation", 96, metric="ncc",
+                                   num_resolutions=2)
+        p_mask, _ = reg_engine.register_stage(
+            fixed_bad, moving, stage, fixed_mask=mask)
+        np.testing.assert_allclose(
+            np.asarray(p_mask["t"]), shift, atol=0.7)
+
+    def test_erode_mask_shrinks_smoothed_levels(self):
+        mask = np.zeros((32, 32, 32), bool)
+        mask[4:28, 4:28, 4:28] = True
+        plain = reg_engine._mask_pyramid(mask, 3, erode=False)
+        eroded = reg_engine._mask_pyramid(mask, 3, erode=True)
+        # smoothed (coarser) levels shrink; finest level untouched
+        assert int(np.asarray(eroded[0]).sum()) \
+            < int(np.asarray(plain[0]).sum())
+        np.testing.assert_array_equal(
+            np.asarray(eroded[-1]), np.asarray(plain[-1]))
+
+    def test_parse_grid_schedule_per_dimension(self):
+        sched = [8, 8, 4, 4, 4, 2, 2, 2, 1, 1, 1, 1]
+        levels = reg_engine._parse_grid_schedule(sched, 99)
+        assert levels == [(8.0, 8.0, 4.0), (4.0, 4.0, 2.0),
+                          (2.0, 2.0, 1.0), (1.0, 1.0, 1.0)]
+        assert reg_engine._parse_grid_schedule([4, 2, 1], 99) == [
+            (4.0,) * 3, (2.0,) * 3, (1.0,) * 3]
+
+    def test_grid_spacing_schedule_relattices(self):
+        """A schedule must change the control lattice across levels and
+        still register (groupwise profile, ref atlas_prof.py:287)."""
+        fixed = blobby_volume(seed=9, shape=(32, 32, 32))
+        rng = np.random.default_rng(1)
+        gshape0 = transform.bspline_grid_shape((32, 32, 32), (12.0,) * 3)
+        warp = {"grid": jnp.asarray(rng.normal(
+            scale=0.8, size=(3,) + gshape0).astype(np.float32))}
+        moving = np.asarray(transform.resample(
+            jnp.asarray(fixed), warp, "bspline", (32, 32, 32),
+            (12.0,) * 3))
+        stage = make_reg_param_map(
+            "bspline", 48, metric="ncc", grid_space_voxels=12,
+            grid_spacing_schedule=[2, 2, 2, 1, 1, 1])
+        params, _ = reg_engine.register_stage(fixed, moving, stage)
+        # final lattice matches the schedule's last (1x) spacing
+        assert tuple(params["grid"].shape[1:]) == gshape0
+        moved = np.asarray(transform.resample(
+            jnp.asarray(moving), params, "bspline", (32, 32, 32),
+            (12.0,) * 3))
+        before = float(metrics.ncc(jnp.asarray(fixed), jnp.asarray(moving)))
+        after = float(metrics.ncc(jnp.asarray(fixed), jnp.asarray(moved)))
+        assert after > before
+
+    def test_resample_grid_preserves_field(self):
+        """Re-latticing approximates the same displacement field (the
+        coefficients differ — resample_grid samples the field at the new
+        control locations; the optimizer refines the smoothing residue)."""
+        shape = (24, 24, 24)
+        old_sp, new_sp = (12.0,) * 3, (6.0,) * 3
+        gshape_old = transform.bspline_grid_shape(shape, old_sp)
+        gshape_new = transform.bspline_grid_shape(shape, new_sp)
+        rng = np.random.default_rng(2)
+        grid = jnp.asarray(
+            rng.normal(scale=1.0, size=(3,) + gshape_old).astype(np.float32))
+        new_grid = transform.resample_grid(grid, old_sp, gshape_new, new_sp)
+        f_old = np.asarray(transform.bspline_displacement(
+            grid, shape, old_sp))
+        f_new = np.asarray(transform.bspline_displacement(
+            jnp.asarray(new_grid), shape, new_sp))
+        # interior field agreement well under the displacement scale
+        err = np.abs(f_old - f_new)[:, 4:-4, 4:-4, 4:-4]
+        assert float(err.mean()) < 0.15
+        assert float(err.max()) < 0.6
+
+    def test_load_elastix_points(self, tmp_path):
+        from magellanmapper_tpu.atlas import register as reg_task
+        p = tmp_path / "fix_pts.txt"
+        p.write_text("point\n2\n10 20 30\n1.5 2.5 3.5\n")
+        pts = reg_task.load_elastix_points(str(p))
+        # x,y,z file order -> z,y,x rows
+        np.testing.assert_allclose(
+            pts, [[30.0, 20.0, 10.0], [3.5, 2.5, 1.5]])
