@@ -87,7 +87,7 @@ def bench_cpu_baseline(vol, sigmas, threshold, overlap, repeats=2):
     return sub.size / best / 1e6
 
 
-def bench_block_path(shape=(192, 768, 768), n_blobs=3000, seed=1):
+def bench_block_path(shape=(128, 512, 512), n_blobs=1500, seed=1):
     """Production block-path throughput: ``detect_blobs_blocks`` on a
     memmapped uint16 volume, end-to-end (gather + H2D + detect + prune).
 
@@ -123,29 +123,41 @@ def bench_block_path(shape=(192, 768, 768), n_blobs=3000, seed=1):
 
     prof = ROIProfile()
     res = (1.0, 1.0, 1.0)
-    # warm the compile cache, then time end-to-end
-    stack_detect.detect_blobs_blocks(
-        vol[:64, :512, :512], prof, res, preprocess=True)
+    # warm the compile cache with the same shapes, then time end-to-end
+    stack_detect.detect_blobs_blocks(vol, prof, res, preprocess=True)
     t0 = time.perf_counter()
     blobs, _ = stack_detect.detect_blobs_blocks(
         vol, prof, res, preprocess=True)
     e2e = vol.size / (time.perf_counter() - t0) / 1e6
 
-    # device-only rate on one pre-staged batch of production blocks
+    # device-only rate on one pre-staged batch of production blocks —
+    # identical static args/dtype to the dispatcher's program (batch 6 =
+    # its HBM-budget choice here), so this reuses the compiled executable
     blocks = stack_detect.setup_blocks(prof, shape, res)
     bshape = np.minimum(blocks.max_pixels + blocks.overlap, shape)
-    batch = jnp.asarray(
-        np.stack([np.asarray(
-            vol[:bshape[0], :bshape[1], :bshape[2]], np.float32)] * 4))
+    batch = jnp.asarray(np.stack(
+        [vol[:bshape[0], :bshape[1], :bshape[2]]] * 6))
     batch.block_until_ready()
     from magellanmapper_tpu.cv import detector
     sf = detector.calc_scaling_factor(res)[2]
     sigmas = tuple(detector.sigma_list(
         prof["min_sigma_factor"] * sf, prof["max_sigma_factor"] * sf,
         prof["num_sigma"]))
+    sample = vol[::max(1, shape[0] // 16)]
+    near_max = float(np.percentile(sample, 99.5))
+    prep = (
+        ("clip_vmin", float(prof["clip_vmin"])),
+        ("clip_vmax", float(prof["clip_vmax"])),
+        ("max_thresh", float(near_max * prof["max_thresh_factor"])),
+        ("clip_min", float(prof["clip_min"])),
+        ("clip_max", float(prof["clip_max"])),
+        ("tot_var_denoise", float(prof["tot_var_denoise"] or 0.0)),
+        ("unsharp_strength", float(prof["unsharp_strength"] or 0.0)),
+        ("erosion_threshold", float(prof["erosion_threshold"] or 0.0)),
+    )
     args = (sigmas, float(prof["detection_threshold"]),
             float(prof["overlap"]), 8192,
-            tuple(int(v) for v in blocks.denoise_max_shape), None)
+            tuple(int(v) for v in blocks.denoise_max_shape), prep)
     raw, valid = stack_detect._detect_batch_fused(batch, *args)
     np.asarray(valid)
     t0 = time.perf_counter()
@@ -178,11 +190,15 @@ def bench_registration_dsc(shape=(64, 96, 96)):
     moving = np.asarray(transform.resample(
         jnp.asarray(fixed), true_aff, "affine", shape))
 
+    # 2 resolutions per stage to bound first-run remote compiles (each
+    # level is its own XLA program; the tunnel caches them afterwards)
     prof = AtlasProfile()
-    prof["reg_translation"] = make_reg_param_map("translation", 256)
-    prof["reg_affine"] = make_reg_param_map("affine", 256)
+    prof["reg_translation"] = make_reg_param_map(
+        "translation", 256, num_resolutions=2)
+    prof["reg_affine"] = make_reg_param_map(
+        "affine", 256, num_resolutions=2)
     prof["reg_bspline"] = make_reg_param_map(
-        "bspline", 128, grid_space_voxels=24)
+        "bspline", 128, grid_space_voxels=24, num_resolutions=2)
     t0 = time.perf_counter()
     moved, result = reg_engine.register_duo(fixed, moving, prof)
     wall = time.perf_counter() - t0
@@ -229,6 +245,14 @@ def main():
     sigmas = np.linspace(2.0, 4.0, 8)
     threshold, overlap, capacity = 0.1, 0.5, 8192
 
+    t_start = time.perf_counter()
+    #: soft deadline: always print the JSON line well before any driver
+    #: timeout; optional sections degrade to null past it
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", 900))
+
+    def time_left():
+        return deadline_s - (time.perf_counter() - t_start)
+
     vol = make_volume(shape)
     tpu_mvox, n_blobs = bench_tpu(vol, sigmas, threshold, overlap, capacity)
     cpu_mvox = bench_cpu_baseline(vol, sigmas, threshold, overlap)
@@ -236,16 +260,20 @@ def main():
         reg_ips = round(bench_registration(), 1)
     except Exception:
         reg_ips = None
+    blk_e2e = blk_dev = blk_blobs = None
     try:
-        blk_e2e, blk_dev, blk_blobs = bench_block_path()
-        blk_e2e, blk_dev = round(blk_e2e, 2), round(blk_dev, 2)
+        if time_left() > 240:
+            blk_e2e, blk_dev, blk_blobs = bench_block_path()
+            blk_e2e, blk_dev = round(blk_e2e, 2), round(blk_dev, 2)
     except Exception:
-        blk_e2e = blk_dev = blk_blobs = None
+        pass
+    reg_wall = reg_dsc = None
     try:
-        reg_wall, reg_dsc = bench_registration_dsc()
-        reg_wall, reg_dsc = round(reg_wall, 2), round(reg_dsc, 4)
+        if time_left() > 180:
+            reg_wall, reg_dsc = bench_registration_dsc()
+            reg_wall, reg_dsc = round(reg_wall, 2), round(reg_dsc, 4)
     except Exception:
-        reg_wall = reg_dsc = None
+        pass
 
     print(json.dumps({
         "metric": "blob_detection_throughput",

@@ -70,6 +70,10 @@ class ROIEditor:
         self._push()
         self.blobs = np.delete(self.blobs, index, axis=0)
 
+    def set_radius(self, index: int, radius: float) -> None:
+        """Resize a blob (alt-drag on its circle)."""
+        self.blobs[index, 3] = float(radius)
+
     def set_confirmed(self, index: int, flag: int) -> None:
         self.blobs[index, 4] = flag
 

@@ -360,9 +360,17 @@ class ImageOverlayer:
 
     def overlay_images(self, imgs2d, channels=None, cmaps=None,
                        alphas=None, vmins=None, vmaxs=None):
-        return overlay_images(
-            self.ax, self.aspect, self.origin, imgs2d, channels,
-            cmaps, alphas=alphas)
+        """Blend the first image's channels (+ a labels plane when a
+        second image is given), draw onto the held axes, and return the
+        blended RGB array."""
+        imgs2d = list(imgs2d)
+        labels_plane = imgs2d[1] if len(imgs2d) > 1 else None
+        rgb = overlay_images(
+            np.asarray(imgs2d[0]), channels=channels, alphas=alphas,
+            vmins=vmins, vmaxs=vmaxs, labels_plane=labels_plane)
+        if self.ax is not None:
+            self.ax.imshow(rgb, aspect=self.aspect, origin=self.origin)
+        return rgb
 
 
 class ImageSyncMixin:
@@ -390,3 +398,16 @@ class ImageSyncMixin:
                     ed.editor.set_position(ax, c)
         if self.fn_update_coords is not None:
             self.fn_update_coords(coords)
+
+    def update_alpha(self, alpha: float) -> None:
+        """Sync the label-overlay opacity across all linked editors
+        (reference alpha slider -> every PlotEditor)."""
+        for ed in self.plot_eds.values():
+            if hasattr(ed, "alpha"):
+                ed.alpha = float(alpha)
+
+    def update_intensity(self, vmin, vmax) -> None:
+        """Sync the intensity window across all linked editors."""
+        for ed in self.plot_eds.values():
+            if hasattr(ed, "update_intensity"):
+                ed.update_intensity(vmin, vmax)
