@@ -1,45 +1,85 @@
-"""Synchronous equivalents of the reference's Qt worker threads.
+"""Background worker threads for long-running GUI tasks.
 
 Equivalent of ``magmap/gui/import_threads.py``
 (``SetupImportThread :13``, ``ImportThread :42``),
 ``magmap/gui/atlas_threads.py`` (``RemapLevelThread :15``,
 ``AnnotateLabels :50``), and ``magmap/gui/event_handlers.py``
 (``FileOpenHandler :11``). The reference offloads these tasks to
-QThreads to keep the GUI responsive; in the headless controller they
-run inline with the same callback signatures so callers can drop in a
-real executor later.
+QThreads to keep the GUI responsive; these workers do the same with
+``threading.Thread`` — ``start()`` returns immediately with the task
+running in the background, ``fn_progress``/``fn_success`` fire from the
+worker thread (the QThread-signal contract without a Qt event loop),
+and ``result()`` joins and returns the output (re-raising any worker
+exception).
 """
 
 from __future__ import annotations
 
+import threading
 from typing import Callable, Optional, Sequence
 
 import numpy as np
 
 
-class _InlineTask:
-    """Base: run ``task()`` on start, reporting through callbacks."""
+class _WorkerTask:
+    """Base: run :meth:`run` on a daemon thread, reporting via callbacks."""
 
     def __init__(self, fn_success: Optional[Callable] = None,
                  fn_progress: Optional[Callable] = None):
         self.fn_success = fn_success
         self.fn_progress = fn_progress
+        self._thread: Optional[threading.Thread] = None
+        self._result = None
+        self._exc: Optional[BaseException] = None
 
     def _progress(self, *args) -> None:
         if self.fn_progress is not None:
             self.fn_progress(*args)
 
-    def start(self):
-        out = self.run()
+    def _target(self):
+        try:
+            self._result = self.run()
+        except BaseException as exc:  # surfaced by result()
+            self._exc = exc
+            return
         if self.fn_success is not None:
-            self.fn_success(out)
-        return out
+            self.fn_success(self._result)
+
+    def start(self) -> "_WorkerTask":
+        """Launch the task on a background thread; returns ``self``."""
+        self._thread = threading.Thread(target=self._target, daemon=True)
+        self._thread.start()
+        return self
+
+    def is_running(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+    def wait(self, timeout: Optional[float] = None) -> bool:
+        """Join the worker; True when it finished."""
+        if self._thread is None:
+            return False
+        self._thread.join(timeout)
+        return not self._thread.is_alive()
+
+    def result(self, timeout: Optional[float] = None):
+        """Join and return the task output (runs inline if never
+        started), re-raising any worker exception."""
+        if self._thread is None:
+            self.start()
+        self.wait(timeout)
+        if self._exc is not None:
+            raise self._exc
+        return self._result
 
     def run(self):  # pragma: no cover - overridden
         raise NotImplementedError
 
 
-class SetupImportThread(_InlineTask):
+#: historical alias (round-1 name for the synchronous facade)
+_InlineTask = _WorkerTask
+
+
+class SetupImportThread(_WorkerTask):
     """Scan files and build import metadata
     (reference ``import_threads.SetupImportThread :13``)."""
 
@@ -60,7 +100,7 @@ class SetupImportThread(_InlineTask):
         return import_md
 
 
-class ImportThread(_InlineTask):
+class ImportThread(_WorkerTask):
     """Run an image import (reference ``import_threads.ImportThread
     :42``)."""
 
@@ -86,7 +126,7 @@ class ImportThread(_InlineTask):
         return out
 
 
-class RemapLevelThread(_InlineTask):
+class RemapLevelThread(_WorkerTask):
     """Remap a labels image to an ontology level
     (reference ``atlas_threads.RemapLevelThread :15``)."""
 
@@ -106,7 +146,7 @@ class RemapLevelThread(_InlineTask):
         return out
 
 
-class AnnotateLabels(_InlineTask):
+class AnnotateLabels(_WorkerTask):
     """Gather label names under the cursor/region
     (reference ``atlas_threads.AnnotateLabels :50``)."""
 

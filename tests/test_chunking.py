@@ -185,3 +185,59 @@ class TestEdgeCases:
         assert blobs is not None and len(blobs) >= 1
         # no blob coordinates in the reflect-pad zone
         assert np.all(blobs[:, :3] < np.asarray(vol.shape))
+
+
+class TestCapacityOverflowRetry:
+    def test_dense_block_loses_no_blobs(self):
+        """A block whose detections overflow the blob buffer must
+        re-detect at doubled capacity instead of truncating (reference
+        semantics: dynamic lists never truncate, stack_detect.py:169)."""
+        vol, centers = _nuclei_volume(17, (40, 60, 60), 48)
+        prof = ROIProfile()
+        prof["min_sigma_factor"] = 2.0
+        prof["max_sigma_factor"] = 4.0
+        prof["num_sigma"] = 5
+        prof["segment_size"] = 100   # one block holds everything
+        prof["denoise_size"] = None
+        prof["max_blobs_per_block"] = 8   # far below the blob count
+        blobs, _ = stack_detect.detect_blobs_blocks(
+            vol, prof, (1.0, 1.0, 1.0), preprocess=False)
+        assert blobs is not None
+        # zero lost blobs: identical to an ample-capacity run
+        prof["max_blobs_per_block"] = 1024
+        full, _ = stack_detect.detect_blobs_blocks(
+            vol, prof, (1.0, 1.0, 1.0), preprocess=False)
+        assert len(blobs) == len(full)
+        n_match = ref_detect.match_blob_sets(
+            blobs[:, :3], full[:, :3], (1, 1, 1))
+        assert n_match == len(full)
+
+
+class TestPruneAllRemoved:
+    def test_all_blobs_outside_kept_ranges_returns_none(self):
+        """prune_blobs must return None (not an empty slice artifact)
+        when no blob survives (round-1 weak item 9)."""
+        prof = ROIProfile()
+        prof["segment_size"] = 20
+        prof["denoise_size"] = None
+        shape = (40, 20, 20)
+        blocks = stack_detect.setup_blocks(prof, shape, (1.0, 1.0, 1.0))
+        seg_rois = np.full(blocks.sub_roi_slices.shape, None, dtype=object)
+        # a single blob past the stack's end never lands in any kept
+        # range or overlap band -> everything pruned away
+        bad = np.zeros((1, 13))
+        bad[0, :4] = (45.0, 5.0, 5.0, 2.0)
+        coord = tuple(np.subtract(blocks.sub_roi_slices.shape, 1))
+        seg_rois[coord] = bad
+        out = stack_detect.prune_blobs(seg_rois, blocks, shape, [0])
+        assert out is None
+
+    def test_empty_seg_rois_returns_none(self):
+        prof = ROIProfile()
+        prof["segment_size"] = 20
+        prof["denoise_size"] = None
+        blocks = stack_detect.setup_blocks(
+            prof, (40, 20, 20), (1.0, 1.0, 1.0))
+        seg_rois = np.full(blocks.sub_roi_slices.shape, None, dtype=object)
+        assert stack_detect.prune_blobs(
+            seg_rois, blocks, (40, 20, 20), [0]) is None

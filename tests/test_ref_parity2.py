@@ -325,9 +325,9 @@ class TestGuiWidgets:
         ref.create_ref_lookup()
         labels = np.zeros((4, 4, 4), int)
         labels[1:] = 2
-        out = threads.RemapLevelThread(labels, ref, 0).start()
+        out = threads.RemapLevelThread(labels, ref, 0).start().result()
         assert (out[1:] == 1).all()
-        ann = threads.AnnotateLabels(labels, ref, [2]).start()
+        ann = threads.AnnotateLabels(labels, ref, [2]).start().result()
         assert ann[2] == "ctx (R)"
         vis = visualizer.Visualization()
         h = visualizer.VisHandler(vis)
