@@ -164,9 +164,18 @@ def bench_block_path(shape=(128, 512, 512), n_blobs=1500, seed=1):
     raw, valid = stack_detect._detect_batch_fused(batch, *args)
     np.asarray(valid)
     dev = batch.size / (time.perf_counter() - t0) / 1e6
+    # detection-only device rate (no preproc): the configuration
+    # comparable to the single-volume headline bench
+    args_np = args[:5] + (None,)
+    raw, valid = stack_detect._detect_batch_fused(batch, *args_np)
+    np.asarray(valid)
+    t0 = time.perf_counter()
+    raw, valid = stack_detect._detect_batch_fused(batch, *args_np)
+    np.asarray(valid)
+    dev_nopre = batch.size / (time.perf_counter() - t0) / 1e6
     n = 0 if blobs is None else len(blobs)
     os.unlink(path)
-    return e2e, dev, n
+    return e2e, dev, dev_nopre, n
 
 
 def bench_registration_dsc(shape=(64, 96, 96)):
@@ -260,18 +269,19 @@ def main():
         reg_ips = round(bench_registration(), 1)
     except Exception:
         reg_ips = None
-    blk_e2e = blk_dev = blk_blobs = None
-    try:
-        if time_left() > 240:
-            blk_e2e, blk_dev, blk_blobs = bench_block_path()
-            blk_e2e, blk_dev = round(blk_e2e, 2), round(blk_dev, 2)
-    except Exception:
-        pass
     reg_wall = reg_dsc = None
     try:
         if time_left() > 180:
             reg_wall, reg_dsc = bench_registration_dsc()
             reg_wall, reg_dsc = round(reg_wall, 2), round(reg_dsc, 4)
+    except Exception:
+        pass
+    blk_e2e = blk_dev = blk_dev_np = blk_blobs = None
+    try:
+        if time_left() > 240:
+            blk_e2e, blk_dev, blk_dev_np, blk_blobs = bench_block_path()
+            blk_e2e, blk_dev, blk_dev_np = (
+                round(blk_e2e, 2), round(blk_dev, 2), round(blk_dev_np, 2))
     except Exception:
         pass
 
@@ -285,10 +295,13 @@ def main():
             "blobs": n_blobs, "cpu_baseline_mvox_s": round(cpu_mvox, 3),
             "block_path_e2e_mvox_s": blk_e2e,
             "block_path_device_mvox_s": blk_dev,
+            "block_path_device_nopreproc_mvox_s": blk_dev_np,
             "block_path_note": (
-                "e2e on (192,768,768) uint16 memmap incl. gather+H2D over "
+                "e2e on (128,512,512) uint16 memmap incl. gather+H2D over "
                 "the dev tunnel (~50-100 MB/s link, H2D-bound here); "
-                "device rate = same batched program on pre-staged blocks"),
+                "device rates = same batched program on pre-staged blocks "
+                "(10 sigmas, with/without saturate+denoise preproc; the "
+                "headline runs 8 sigmas, no preproc)"),
             "block_path_blobs": blk_blobs,
             "registration_iters_per_s": reg_ips,
             "registration_bench": "affine stage, Mattes-MI, (64,96,96)",

@@ -81,11 +81,9 @@ def blob_log(
     """
     roi = roi.astype(jnp.float32)
     prec = jax.lax.Precision.DEFAULT if fast else None
-    # scale-normalized negated LoG response cube, scales-major
-    cube = jnp.stack([
-        -filters.gaussian_laplace(roi, s, precision=prec)
-        * jnp.float32(s * s)
-        for s in sigmas])
+    # scale-normalized negated LoG response cube, scales-major (batched
+    # band-matmul pyramid: 8 scale-batched einsums)
+    cube = filters.log_pyramid(roi, sigmas, precision=prec)
     coords4, values, count = peaks.find_peaks(cube, threshold, capacity)
     valid = jnp.arange(capacity) < count
     sig = jnp.asarray(sigmas, jnp.float32)[coords4[:, 0]]

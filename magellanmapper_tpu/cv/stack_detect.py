@@ -156,10 +156,7 @@ def _blob_log_impl(
     from magellanmapper_tpu.ops import filters
     prec = jax.lax.Precision.DEFAULT if fast else None
     roi = roi.astype(jnp.float32)
-    cube = jnp.stack([
-        -filters.gaussian_laplace(roi, s, precision=prec)
-        * jnp.float32(s * s)
-        for s in sigmas])
+    cube = filters.log_pyramid(roi, sigmas, precision=prec)
     coords4, values, count = peaks.find_peaks(
         cube, threshold, capacity, fused=fused)
     valid = jnp.arange(capacity) < count

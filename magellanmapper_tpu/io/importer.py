@@ -304,6 +304,24 @@ def assign_metadata(img5d, md: Dict) -> None:
 
 
 # -- Bioformats/JVM surface (Java unavailable: honest gating) -------------
+#
+# Format support matrix (reference ``importer.py:97-156,1127`` imports
+# proprietary formats through Bioformats; this environment has no JVM):
+#
+# | Format                         | Here                | Path           |
+# |--------------------------------|---------------------|----------------|
+# | NumPy .npy / image5d archives  | yes (memmap)        | np_io          |
+# | TIFF (uncompressed strips)     | yes (lazy memmap)   | io.tiff        |
+# | TIFF (deflate/LZW/PackBits)    | yes (lazy decode)   | io.tiff        |
+# | BigTIFF                        | yes (read)          | io.tiff        |
+# | RAW + sidecar metadata         | yes                 | import_raw     |
+# | Plane-per-file directories     | yes                 | import_dir     |
+# | MHD/MHA, NRRD, NIfTI           | yes                 | io.sitk_io     |
+# | CZI, LIF, ND2, OIB/OIF, IMS,   | gated (needs        | start_jvm gate |
+# |   SLD, proprietary OME variants|  javabridge+JVM)    |                |
+#
+# The gate raises with guidance instead of silently failing; install
+# javabridge/python-bioformats on a JVM-equipped host to lift it.
 
 def is_javabridge_loaded() -> bool:
     """True if the Java bridge is importable

@@ -210,6 +210,54 @@ def gaussian_laplace(
     return t1 + t2 + t3
 
 
+def log_pyramid(
+        vol: jax.Array, sigmas: Sequence[float],
+        mode: str = "reflect", truncate: float = 4.0,
+        precision=None) -> jax.Array:
+    """Scale-normalized negated-LoG pyramid ``(S, Z, Y, X)`` in 8 batched
+    einsums.
+
+    The per-sigma :func:`gaussian_laplace` loop issues ``8 * S`` small
+    ``(n, n)`` band matmuls; every sigma's band matrix has the same
+    ``(n, n)`` shape (boundary handling folded in), so stacking them per
+    axis/order turns the whole pyramid into 8 scale-batched matmuls that
+    keep the MXU busy. Matches the loop bit-for-bit up to f32
+    reassociation. Only for 3D volumes with per-axis-uniform sigmas.
+    """
+    assert vol.ndim == 3
+    sigmas = [float(s) for s in sigmas]
+    prec = precision or jax.lax.Precision.HIGH
+
+    def bands(order, axis):
+        n = vol.shape[axis]
+        mats = [
+            _band_matrix(
+                np.asarray(gaussian_kernel1d(s, order, truncate=truncate),
+                           np.float64).tobytes(),
+                len(gaussian_kernel1d(s, order, truncate=truncate)),
+                n, mode, 0.0)
+            for s in sigmas]
+        return jnp.asarray(np.stack(mats), dtype=vol.dtype)
+
+    b0x, b2x = bands(0, 2), bands(2, 2)
+    b0y, b2y = bands(0, 1), bands(2, 1)
+    b0z, b2z = bands(0, 0), bands(2, 0)
+
+    def ein(eq, *args):
+        return jnp.einsum(eq, *args, precision=prec)
+
+    a = ein("zyx,sxu->szyu", vol, b0x)        # G0x f, all scales
+    bx = ein("zyx,sxu->szyu", vol, b2x)       # K2x f
+    u0 = ein("szyx,syu->szux", a, b0y)        # G0y A
+    u2 = ein("szyx,syu->szux", a, b2y)        # K2y A
+    t1 = ein("szyx,szu->suyx", u0, b2z)       # K2z G0y A
+    t2 = ein("szyx,szu->suyx", u2, b0z)       # G0z K2y A
+    t3 = ein("szyx,szu->suyx",
+             ein("szyx,syu->szux", bx, b0y), b0z)   # G0z G0y B
+    scale = jnp.asarray(sigmas, vol.dtype) ** 2
+    return -(t1 + t2 + t3) * scale[:, None, None, None]
+
+
 def erosion(vol: jax.Array, footprint: np.ndarray) -> jax.Array:
     """Grayscale erosion by a boolean footprint (reflect border)."""
     return _morph(vol, footprint, is_erosion=True)

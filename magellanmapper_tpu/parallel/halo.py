@@ -133,9 +133,7 @@ def make_sharded_detector(
         off_z = idx_z * shard_z - halo
 
         extended = extended.astype(jnp.float32)
-        cube = jnp.stack([
-            -filters.gaussian_laplace(extended, s) * jnp.float32(s * s)
-            for s in sigmas])
+        cube = filters.log_pyramid(extended, sigmas)
         coords4, values, count = peaks.find_peaks(
             cube, threshold, capacity, fused=False)
         valid = jnp.arange(capacity) < count

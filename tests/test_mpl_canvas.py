@@ -277,3 +277,39 @@ class TestImageOverlayer:
         rgb = ov.overlay_images([plane, labels])
         assert rgb.shape == (16, 16, 3)
         assert len(ax.images) == 1
+
+
+class TestTkApp:
+    def test_headless_gate_message(self, monkeypatch):
+        from magellanmapper_tpu.gui import app as app_mod
+        monkeypatch.delenv("DISPLAY", raising=False)
+        app = app_mod.MagellanTkApp(vis=None)
+        with pytest.raises(RuntimeError, match="DISPLAY"):
+            app.run()
+
+    def test_actions_without_window(self):
+        """The app's actions work against the controllers with no Tk
+        root (the window only hosts them)."""
+        from magellanmapper_tpu.gui import app as app_mod
+        from magellanmapper_tpu.gui.mpl_canvas import ROIEditorCanvas
+
+        class VisStub:
+            blobs = None
+            db = None
+            roi_offset = (0, 0, 0)
+
+            def get_roi(self):
+                return np.zeros((6, 20, 20), np.float32)
+
+            def detect_blobs(self):
+                out = np.zeros((1, 10))
+                out[0, :4] = (3, 10, 10, 2)
+                return out
+
+        app = app_mod.MagellanTkApp(VisStub())
+        app.roi_canvas = ROIEditorCanvas(
+            ROIEditor(VisStub().get_roi()), z=3)
+        blobs = app.detect()
+        assert blobs is not None and len(app.roi_canvas.circles) == 1
+        app.set_plane(99)
+        assert app.roi_canvas.z == 5
