@@ -113,39 +113,122 @@ def find_symmetric_axis(img_np: np.ndarray, mirror_mult: int = 1) -> int:
     return -1
 
 
+def _resize_nearest2d(arr: np.ndarray, shape) -> np.ndarray:
+    """Nearest-neighbor 2D resize (skimage ``resize(order=0)`` centers)."""
+    i0 = np.minimum(
+        ((np.arange(shape[0]) + 0.5) * arr.shape[0] / shape[0]).astype(int),
+        arr.shape[0] - 1)
+    i1 = np.minimum(
+        ((np.arange(shape[1]) + 0.5) * arr.shape[1] / shape[1]).astype(int),
+        arr.shape[1] - 1)
+    return arr[i0[:, None], i1[None, :]]
+
+
+def _extend_region(vol_lab, vol_ref, threshold, template, planei, slices,
+                   in_paint):
+    """Walk one sub-region laterally (decreasing planes), resizing the
+    prior plane's label template onto each plane's largest thresholded
+    object (reference ``extend_edge`` recursion, ``:440``)."""
+    from scipy import ndimage
+
+    while planei >= 0:
+        sub_ref = vol_ref[planei][slices] > threshold
+        if not np.any(sub_ref):
+            break
+        comps, n = ndimage.label(sub_ref)
+        sizes = ndimage.sum_labels(
+            np.ones_like(comps), comps, index=np.arange(1, n + 1))
+        largest = int(np.argmax(sizes)) + 1
+        objs = ndimage.find_objects(comps == largest)
+        rel = objs[0]
+        # absolute bbox of this plane's object
+        slices = tuple(
+            slice(s.start + r.start, s.start + r.stop)
+            for s, r in zip(slices, rel))
+        shape = tuple(s.stop - s.start for s in slices)
+        resized = _resize_nearest2d(template, shape)
+        plane_add = resized
+        if in_paint and np.any(resized != 0):
+            # fill thresholded foreground the template missed (closed
+            # ventricles, imperfect edges) — add-only, template unchanged
+            fg_thresh = vol_ref[planei][slices] > threshold
+            to_fill = fg_thresh & (plane_add == 0)
+            if np.any(to_fill):
+                plane_add = cv_nd.in_paint(plane_add, to_fill)
+                plane_add[~(fg_thresh | (resized != 0))] = 0
+        vol_lab[planei][slices] = plane_add
+        template = resized
+        planei -= 1
+
+
 def extend_edge(
         labels_img: np.ndarray, atlas_img: np.ndarray,
-        threshold: float, plane_start: int, axis: int = 0) -> np.ndarray:
-    """Extend labels into unlabeled edge planes using the nearest labeled
-    plane, masked by atlas foreground.
+        threshold: float, plane_start: int, axis: int = 0,
+        surr_size: int = 2, in_paint: bool = True) -> np.ndarray:
+    """Extend incomplete lateral labels using the atlas histology
+    (reference ``extend_edge :440``).
 
-    Simplified from the reference's per-region growing (``:440``): each
-    unlabeled plane past ``plane_start`` copies the closest labeled plane,
-    keeping only voxels above the atlas threshold.
+    Per the reference's recursion: at the last labeled lateral plane,
+    distinct thresholded sub-regions of the atlas (restricted to a
+    ``surr_size``-dilated labeled area) each crop a 2D label template;
+    every successive more-lateral plane resizes the prior plane's
+    template (order 0) onto its largest thresholded object, optionally
+    in-painting uncovered foreground — so labels track the tapering
+    specimen edge. Smallest regions extend first so the largest have
+    the final say. Interior unlabeled planes (a gap between labeled
+    planes, not a lateral tail) refill from the nearest labeled plane
+    masked by atlas foreground.
     """
+    from scipy import ndimage
+
     out = np.array(labels_img)
-    n = out.shape[axis]
+    vol_lab = np.moveaxis(out, axis, 0)
+    vol_ref = np.moveaxis(np.asarray(atlas_img), axis, 0)
+    n = vol_lab.shape[0]
 
-    def get_plane(img, i):
-        sl = [slice(None)] * img.ndim
-        sl[axis] = i
-        return img[tuple(sl)]
-
-    labeled = [i for i in range(n) if np.any(get_plane(out, i))]
+    labeled = [i for i in range(n) if np.any(vol_lab[i])]
     if not labeled:
         return out
+
+    # lateral tail: planes below the lowest labeled plane (or below the
+    # caller's start plane when it is labeled)
+    tail_top = labeled[0]
+    if 0 < plane_start < n and np.any(vol_lab[plane_start]):
+        tail_top = max(tail_top, int(plane_start))
+    if tail_top > 0:
+        ref_plane = vol_ref[tail_top] > threshold
+        if surr_size > 0:
+            # only labeled areas (slightly dilated) can seed extension
+            lab_fg = ndimage.binary_dilation(
+                vol_lab[tail_top] != 0, iterations=int(surr_size))
+            ref_plane &= lab_fg
+        comps, n_comp = ndimage.label(ref_plane)
+        if n_comp:
+            sizes = ndimage.sum_labels(
+                np.ones_like(comps), comps,
+                index=np.arange(1, n_comp + 1))
+            order = np.argsort(sizes) + 1        # smallest first
+            for ci in order:
+                objs = ndimage.find_objects(comps == ci)
+                slices = objs[0]
+                template = np.array(vol_lab[tail_top][slices])
+                if not np.any(template):
+                    continue
+                _extend_region(
+                    vol_lab, vol_ref, threshold, template,
+                    tail_top - 1, slices, in_paint)
+
+    # interior gaps: nearest labeled plane masked by atlas foreground
+    labeled = [i for i in range(n) if np.any(vol_lab[i])]
     for i in range(n):
-        if np.any(get_plane(out, i)):
+        if np.any(vol_lab[i]):
             continue
-        fg = get_plane(atlas_img, i) > threshold
-        if not np.any(fg):
+        fg = vol_ref[i] > threshold
+        if not np.any(fg) or not labeled:
             continue
         nearest = min(labeled, key=lambda j: abs(j - i))
-        src = get_plane(out, nearest)
-        dst = get_plane(out, i)
-        dst[fg] = src[fg]
-        # fill remaining unlabeled foreground from the nearest in-plane
-        # label (the reference grows regions into the whole plane fg)
+        dst = vol_lab[i]
+        dst[fg] = vol_lab[nearest][fg]
         missing = fg & (dst == 0)
         if np.any(missing) and np.any(dst != 0):
             filled = cv_nd.in_paint(dst, dst == 0)

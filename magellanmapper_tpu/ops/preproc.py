@@ -27,6 +27,11 @@ def saturate(
     percentiles, raising the upper bound to ``max_thresh`` (the channel's
     ``near_max * max_thresh_factor``) when the percentile falls below it.
     Degenerate (vmin == vmax) inputs pass through unchanged.
+
+    Perf note: replacing the sort inside ``jnp.percentile`` with dual
+    small-k ``top_k`` selections was measured SLOWER on v5e (188 vs
+    144 ms for a 6x(128,256,256) tiled preproc pass) — TPU's bitonic
+    sort beats per-tile top_k at 25^3 tile sizes, so the sort stays.
     """
     roi = roi.astype(jnp.float32)
     vmin, vmax = jnp.percentile(

@@ -149,3 +149,32 @@ class TestRegisterTask:
         assert len(results) == 3
         # aligned mean should be sharper (higher max) than unaligned
         assert mean_img.max() >= mean_before.max() - 1e-3
+
+
+class TestExtendEdgeLateral:
+    def test_tapering_templates_resize_per_region(self):
+        """Reference extend_edge recursion: lateral planes inherit the
+        prior plane's labels RESIZED onto each shrinking thresholded
+        object (atlas_refiner.py:440), per sub-region."""
+        shape = (8, 40, 40)
+        atlas = np.zeros(shape, np.float32)
+        labels = np.zeros(shape, np.int32)
+        # two tapering columns; labeled only from plane 4 up
+        for z in range(shape[0]):
+            r = 4 + z  # wider at higher (medial) planes
+            atlas[z, 10 - r // 2:10 + r // 2, 8 - r // 2:8 + r // 2] = 1.0
+            atlas[z, 28 - r // 2:28 + r // 2, 30 - r // 2:30 + r // 2] = 1.0
+        labels[4:, 4:16, 2:14] = 7
+        labels[4:, 22:34, 24:36] = 9
+        labels[atlas <= 0.5] = 0
+
+        out = atlas_refiner.extend_edge(labels, atlas, 0.5, 0)
+        for z in range(4):
+            fg = atlas[z] > 0.5
+            # every lateral plane's foreground gets labeled
+            assert np.all(out[z][fg] != 0), z
+            # each tapering column keeps its own label (per-region)
+            assert set(np.unique(out[z][:, :20])) - {0} == {7}, z
+            assert set(np.unique(out[z][:, 20:])) - {0} == {9}, z
+            # nothing labeled outside atlas foreground
+            assert np.all(out[z][~fg] == 0), z
