@@ -73,11 +73,11 @@ def _metric_stride(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kind", "metric", "iters", "spacing", "lrs",
+    jax.jit, static_argnames=("kind", "metric", "spacing", "lrs",
                               "stride", "jitter", "pt_weight"))
 def _optimize_level(
         fixed: jnp.ndarray, moving: jnp.ndarray, params: Dict,
-        pre_affine: Optional[Dict], kind: str, metric: str, iters: int,
+        pre_affine: Optional[Dict], kind: str, metric: str, iters,
         spacing: Optional[Tuple[float, ...]], lrs: Tuple[Tuple[str, float],
                                                          ...],
         stride: Tuple[int, int, int] = (1, 1, 1),
