@@ -19,7 +19,7 @@ HBM can shard y over the mesh's ``spy`` axis.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -181,30 +181,36 @@ def _round_up(value: int, multiple: int) -> int:
     return -(-value // multiple) * multiple
 
 
-def detect_blobs_sharded(
-        volume: np.ndarray,
+def detect_blobs_sharded_batch(
+        volumes: Sequence[np.ndarray],
         settings,
         resolutions: Sequence[float],
         mesh: Optional[Mesh] = None,
         preprocess: bool = False,
         near_max: Optional[float] = None,
-) -> Optional[np.ndarray]:
-    """Whole-volume detection sharded over a device mesh.
+) -> List[Optional[np.ndarray]]:
+    """Sharded detection for a batch of same-shape volumes over ``dp``.
 
-    High-level entry: sizes the halo from the maximum LoG support (exact
-    interior parity with the single-device detector), pads z (and y when
-    the mesh shards y) to shard multiples, optionally folds production
-    saturate/denoise preprocessing into the sharded step, and returns an
-    ``N x 10`` blob array (host).
+    The batch rides the mesh's data-parallel axis (each dp row holds one
+    volume, z/y sharded over sp/spy within it); sizes the halo from the
+    maximum LoG support (exact interior parity with the single-device
+    detector), pads z/y to shard multiples with the Gaussian kernels'
+    reflect boundary, and optionally folds production saturate/denoise
+    preprocessing into the sharded step. The batch length must be a
+    multiple of the mesh's dp extent (short tails are padded with the
+    first volume and dropped). Returns one ``N x 10`` blob array (or
+    None) per input volume.
     """
     from magellanmapper_tpu.parallel.mesh import make_mesh
     from magellanmapper_tpu.cv import blobs as blobs_mod
 
     if mesh is None:
         mesh = make_mesh()
+    dp = mesh.shape.get("dp", 1)
     sp = mesh.shape["sp"]
     spy = mesh.shape.get("spy", 1)
-    z, y, x = volume.shape[:3]
+    volumes = [np.asarray(v) for v in volumes]
+    z, y, x = volumes[0].shape[:3]
 
     scaling_factor = detector.calc_scaling_factor(resolutions)[2]
     sigmas = tuple(detector.sigma_list(
@@ -226,7 +232,7 @@ def detect_blobs_sharded(
                     * denoise_size).astype(int))
         if near_max is None:
             near_max = float(np.percentile(
-                volume[::max(1, z // 16)], 99.5))
+                volumes[0][::max(1, z // 16)], 99.5))
         prep = (
             ("clip_vmin", float(settings["clip_vmin"])),
             ("clip_vmax", float(settings["clip_vmax"])),
@@ -252,13 +258,17 @@ def detect_blobs_sharded(
             shard_y = _round_up(shard_y, denoise_shape[1])
     pad_z = shard_z * sp - z
     pad_y = shard_y * spy - y
+
     # symmetric pad == the Gaussian kernels' scipy-'reflect' boundary, so
     # convolutions near the true edge see exactly what single-shot sees;
     # reflected duplicate peaks are masked out before pruning (the step
     # gets the true extents)
-    vol = np.pad(
-        volume.astype(np.float32), ((0, pad_z), (0, pad_y), (0, 0)),
-        mode="symmetric")
+    padded = [np.pad(
+        v.astype(np.float32), ((0, pad_z), (0, pad_y), (0, 0)),
+        mode="symmetric") for v in volumes]
+    n_true = len(padded)
+    while len(padded) % dp:
+        padded.append(padded[0])      # dp tail fill, dropped on return
 
     capacity = int(settings["max_blobs_per_block"] or 4096)
     step = make_sharded_detector(
@@ -268,19 +278,42 @@ def detect_blobs_sharded(
         denoise_shape=denoise_shape, preproc_items=prep,
         true_extent=(z, y))
 
-    batch = vol[None]  # dp=1
+    results: List[Optional[np.ndarray]] = []
     with mesh:
         sharding = NamedSharding(mesh, P("dp", "sp", "spy", None))
-        batch = jax.device_put(batch, sharding)
-        raw, valid = step(batch)
-    raw = np.asarray(raw)[0]
-    valid = np.asarray(valid)[0]
-    out = raw[valid]
-    if out.shape[0] == 0:
-        return None
-    out = out[(out[:, 0] < z) & (out[:, 1] < y)]  # drop pad-zone blobs
-    out[:, 3] *= math.sqrt(3)
-    return blobs_mod.Blobs(out).format_blobs(0)
+        for i0 in range(0, len(padded), dp):
+            batch = jax.device_put(
+                jnp.asarray(np.stack(padded[i0:i0 + dp])), sharding)
+            raw, valid = step(batch)
+            raw = np.asarray(raw)
+            valid = np.asarray(valid)
+            for bi in range(dp):
+                out = raw[bi][valid[bi]]
+                if out.shape[0] == 0:
+                    results.append(None)
+                    continue
+                out = out[(out[:, 0] < z) & (out[:, 1] < y)]
+                if out.shape[0] == 0:
+                    results.append(None)
+                    continue
+                out[:, 3] *= math.sqrt(3)
+                results.append(blobs_mod.Blobs(out).format_blobs(0))
+    return results[:n_true]
+
+
+def detect_blobs_sharded(
+        volume: np.ndarray,
+        settings,
+        resolutions: Sequence[float],
+        mesh: Optional[Mesh] = None,
+        preprocess: bool = False,
+        near_max: Optional[float] = None,
+) -> Optional[np.ndarray]:
+    """Whole-volume detection sharded over a device mesh (single-volume
+    front of :func:`detect_blobs_sharded_batch`)."""
+    return detect_blobs_sharded_batch(
+        [volume], settings, resolutions, mesh=mesh,
+        preprocess=preprocess, near_max=near_max)[0]
 
 
 def detect_blobs_sharded_stack(
@@ -292,11 +325,10 @@ def detect_blobs_sharded_stack(
         preprocess: bool = False) -> Optional[np.ndarray]:
     """Multichannel sharded whole-volume detection.
 
-    Channels loop over the single-channel sharded pipeline; channels that
-    share a profile reuse the same compiled step (the jit cache keys on
-    the static detection parameters, mirroring the reference's grouping
-    of channels with identical block settings, ``stack_detect.py:520``).
-    Channel IDs are stamped into the blob rows.
+    Channels sharing a profile form one group (the reference groups
+    channels with identical block settings, ``stack_detect.py:520``) and
+    ride the mesh's ``dp`` axis together — one sharded dispatch covers
+    ``dp`` channels. Channel IDs are stamped into the blob rows.
     """
     from magellanmapper_tpu.cv import blobs as blobs_mod
 
@@ -309,14 +341,29 @@ def detect_blobs_sharded_stack(
             return profiles[min(chl, len(profiles) - 1)]
         return profiles
 
-    out = []
+    # group channels with identical detection-relevant settings
+    keys = (
+        "min_sigma_factor", "max_sigma_factor", "num_sigma",
+        "detection_threshold", "overlap", "max_blobs_per_block",
+        "denoise_size", "clip_vmin", "clip_vmax", "max_thresh_factor",
+        "clip_min", "clip_max", "tot_var_denoise", "unsharp_strength",
+        "erosion_threshold")
+    groups: dict = {}
     for chl in channels:
-        vol = volume[..., chl] if multichannel else volume
-        blobs = detect_blobs_sharded(
-            np.asarray(vol), get_prof(chl), resolutions, mesh=mesh,
+        prof = get_prof(chl)
+        key = tuple(repr(prof.get(k)) for k in keys)
+        groups.setdefault(key, []).append(chl)
+
+    out = []
+    for grp in groups.values():
+        vols = [np.asarray(volume[..., c] if multichannel else volume)
+                for c in grp]
+        results = detect_blobs_sharded_batch(
+            vols, get_prof(grp[0]), resolutions, mesh=mesh,
             preprocess=preprocess)
-        if blobs is None:
-            continue
-        blobs_mod.Blobs.set_blob_channel(blobs, chl)
-        out.append(blobs)
+        for chl, blobs in zip(grp, results):
+            if blobs is None:
+                continue
+            blobs_mod.Blobs.set_blob_channel(blobs, chl)
+            out.append(blobs)
     return np.vstack(out) if out else None

@@ -195,3 +195,49 @@ class TestShardedMultichannel:
             img, prof, (1.0, 1.0, 1.0), mesh=m)
         assert blobs is not None
         assert set(np.unique(blobs[:, 6]).tolist()) == {0.0, 1.0}
+
+
+class TestShardedDpBatch:
+    def test_channels_batch_over_dp(self):
+        """Channels sharing a profile ride the dp mesh axis in one
+        dispatch and match per-channel dp=1 runs exactly."""
+        vol_a, _ = _nuclei(41, (32, 40, 40), 12)
+        vol_b, _ = _nuclei(43, (32, 40, 40), 12)
+        img = np.stack([vol_a, vol_b], axis=-1)
+        prof = ROIProfile()
+        prof["min_sigma_factor"] = 2.0
+        prof["max_sigma_factor"] = 4.0
+        prof["num_sigma"] = 4
+        prof["max_blobs_per_block"] = 256
+
+        m_dp = mesh_mod.make_mesh(8, dp=2, sp=4)
+        batched = halo.detect_blobs_sharded_stack(
+            img, prof, (1.0, 1.0, 1.0), mesh=m_dp)
+        assert batched is not None
+
+        m1 = mesh_mod.make_mesh(4, dp=1, sp=4)
+        singles = []
+        for chl, v in ((0, vol_a), (1, vol_b)):
+            b = halo.detect_blobs_sharded(v, prof, (1.0, 1.0, 1.0), mesh=m1)
+            from magellanmapper_tpu.cv import blobs as blobs_mod
+            blobs_mod.Blobs.set_blob_channel(b, chl)
+            singles.append(b)
+        single = np.vstack(singles)
+        assert len(batched) == len(single)
+        sa = set(map(tuple, np.round(batched[:, [0, 1, 2, 6]], 3)))
+        sb = set(map(tuple, np.round(single[:, [0, 1, 2, 6]], 3)))
+        assert sa == sb
+
+    def test_dp_tail_fill_dropped(self):
+        """A batch shorter than dp pads internally and returns only the
+        true volumes' results."""
+        vol, _ = _nuclei(47, (24, 32, 32), 8)
+        prof = ROIProfile()
+        prof["min_sigma_factor"] = 2.0
+        prof["max_sigma_factor"] = 3.5
+        prof["num_sigma"] = 3
+        prof["max_blobs_per_block"] = 128
+        m_dp = mesh_mod.make_mesh(8, dp=2, sp=4)
+        res = halo.detect_blobs_sharded_batch(
+            [vol], prof, (1.0, 1.0, 1.0), mesh=m_dp)
+        assert len(res) == 1 and res[0] is not None
