@@ -179,15 +179,24 @@ def lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _decode_strip(raw: bytes, comp: int, path: str) -> bytes:
+def _decode_strip(raw: bytes, comp: int, path: str,
+                  max_out: Optional[int] = None) -> bytes:
     if comp == COMP_NONE:
         return raw
     if comp in (COMP_DEFLATE_ADOBE, COMP_DEFLATE):
-        return zlib.decompress(raw)
-    if comp == COMP_LZW:
-        return lzw_decode(raw)
-    if comp == COMP_PACKBITS:
-        return packbits_decode(raw)
+        return zlib.decompress(raw)   # zlib is already C
+    if comp in (COMP_LZW, COMP_PACKBITS):
+        if max_out:
+            # native decoders (~100x the pure-Python loops); None falls
+            # through to Python when the library isn't built
+            from magellanmapper_tpu import native
+            fn = (native.lzw_decode if comp == COMP_LZW
+                  else native.packbits_decode)
+            out = fn(raw, int(max_out))
+            if out is not None:
+                return out
+        return (lzw_decode(raw) if comp == COMP_LZW
+                else packbits_decode(raw))
     raise ValueError(f"unsupported TIFF compression {comp} in {path}")
 
 
@@ -277,10 +286,12 @@ def read_tiff(path: str) -> np.ndarray:
             offsets = tags[_TAG_STRIP_OFFSETS]
             counts = tags.get(_TAG_STRIP_COUNTS,
                               [h * w * spp * bits // 8])
+            page_bytes = h * w * spp * bits // 8
             raw = b""
             for off, cnt in zip(offsets, counts):
                 f.seek(off)
-                raw += _decode_strip(f.read(cnt), comp, path)
+                raw += _decode_strip(
+                    f.read(cnt), comp, path, max_out=page_bytes)
             arr = np.frombuffer(raw, dtype=dtype, count=h * w * spp)
             if spp > 1:
                 arr = arr.reshape(h, w, spp)
@@ -306,7 +317,9 @@ def write_tiff(path: str, arr: np.ndarray,
     """Write a grayscale 2D/3D array as a multi-page TIFF.
 
     ``compression``: None/"none", "deflate"/"zlib", "lzw", "packbits"
-    (one strip per page).
+    (one strip per page). Prefer "deflate" for compressed writes — it
+    runs through zlib's C encoder; the LZW/PackBits encoders are pure
+    Python (reads of such files decode natively, see native/tiffcodec).
     """
     arr = np.asarray(arr)
     if arr.ndim == 2:
@@ -433,11 +446,13 @@ class LazyTiffStack:
             return np.memmap(
                 self.path, dtype=self.dtype, mode="r",
                 offset=offsets[0], shape=(h, w))
+        page_bytes = h * w * self.dtype.itemsize
         raw = b""
         with open(self.path, "rb") as f:
             for off, cnt in zip(offsets, counts):
                 f.seek(off)
-                raw += _decode_strip(f.read(cnt), comp, self.path)
+                raw += _decode_strip(
+                    f.read(cnt), comp, self.path, max_out=page_bytes)
         arr = np.frombuffer(raw, dtype=self.dtype, count=h * w)
         return _unpredict(arr.reshape(h, w), predictor)
 

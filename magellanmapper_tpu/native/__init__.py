@@ -104,3 +104,68 @@ def extract_blocks(
     for i, (z0, y0, x0) in enumerate(starts):
         out[i] = volume[z0:z0 + bz, y0:y0 + by, x0:x0 + bx]
     return out
+
+
+# -- TIFF strip codecs (libtiffcodec.so) -----------------------------------
+
+_TIFF_LIB_PATH = os.path.join(
+    os.path.dirname(__file__), "libtiffcodec.so")
+_tiff_lib = None
+
+
+def _load_tiff():
+    global _tiff_lib
+    if _tiff_lib is not None:
+        return _tiff_lib
+    if not os.path.exists(_TIFF_LIB_PATH):
+        import subprocess
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.dirname(__file__)],
+                capture_output=True, timeout=120, check=False)
+        except (OSError, subprocess.TimeoutExpired):
+            pass
+    if not os.path.exists(_TIFF_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_TIFF_LIB_PATH)
+        for name in ("tiff_lzw_decode", "tiff_packbits_decode"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int
+            fn.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64)]
+        _tiff_lib = lib
+    except OSError as exc:  # pragma: no cover - build/platform issue
+        _logger.warning("libtiffcodec load failed: %s", exc)
+        _tiff_lib = None
+    return _tiff_lib
+
+
+def _tiff_decode(fn_name: str, data: bytes,
+                 max_out: int) -> Optional[bytes]:
+    lib = _load_tiff()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, np.uint8)
+    dst = np.empty(max_out, np.uint8)
+    out_len = ctypes.c_int64(0)
+    rc = getattr(lib, fn_name)(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(len(data)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(max_out), ctypes.byref(out_len))
+    if rc != 0:
+        return None
+    return dst[:out_len.value].tobytes()
+
+
+def lzw_decode(data: bytes, max_out: int) -> Optional[bytes]:
+    """TIFF-variant LZW decode in C (None -> caller's Python fallback)."""
+    return _tiff_decode("tiff_lzw_decode", data, max_out)
+
+
+def packbits_decode(data: bytes, max_out: int) -> Optional[bytes]:
+    """PackBits decode in C (None -> caller's Python fallback)."""
+    return _tiff_decode("tiff_packbits_decode", data, max_out)
