@@ -441,28 +441,43 @@ def register_duo(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "lrs", "stride"))
+    jax.jit, static_argnames=("lrs", "stride", "spacing"))
 def _optimize_group_level(
-        vols: jnp.ndarray, params_stack: Dict, iters: int,
+        vols: jnp.ndarray, params_stack: Dict, iters,
         lrs: Tuple[Tuple[str, float], ...],
-        stride: Tuple[int, int, int] = (1, 1, 1)):
+        stride: Tuple[int, int, int] = (1, 1, 1),
+        spacing: Optional[Tuple[float, ...]] = None):
     """Joint groupwise level: minimize mean per-voxel variance across the
-    group under per-image affine transforms (the Elastix 4D-groupwise
-    metric family, ``register_group`` reference ``register.py:1189``).
-    The variance metric is evaluated on a ``stride``-subsampled grid —
-    the K warp gathers per step are the TPU hot spot."""
+    group under per-image transforms (the Elastix 4D-groupwise metric
+    family, ``register_group`` reference ``register.py:1189``). Affine
+    per image; when the parameter stack carries per-image ``grid``
+    control lattices, each image additionally warps through its B-spline
+    FFD composed with its affine (the reference's groupwise bspline
+    stage). The variance metric is evaluated on a ``stride``-subsampled
+    grid — the K warp gathers per step are the TPU hot spot."""
     lr_map = dict(lrs)
     opt = optax.adam(1.0)
     shape = vols.shape[1:]
+    with_grid = "grid" in params_stack
 
     def loss_fn(p):
-        def move_one(vol, w, t):
-            return transform.resample(
-                vol, {"W": w, "t": t}, "affine", shape, stride=stride)
-        moved = jax.vmap(move_one)(vols, p["W"], p["t"])
+        if with_grid:
+            def move_one(vol, w, t, g):
+                return transform.resample(
+                    vol, {"grid": g}, "bspline", shape, spacing,
+                    pre_affine={"W": w, "t": t}, stride=stride)
+            moved = jax.vmap(move_one)(
+                vols, p["W"], p["t"], p["grid"])
+        else:
+            def move_one(vol, w, t):
+                return transform.resample(
+                    vol, {"W": w, "t": t}, "affine", shape, stride=stride)
+            moved = jax.vmap(move_one)(vols, p["W"], p["t"])
         var = jnp.var(moved, axis=0)
         # anchor: keep the mean transform near identity
         reg = jnp.mean(p["t"] ** 2) * 1e-4 + jnp.mean(p["W"] ** 2) * 1e-2
+        if with_grid:
+            reg = reg + jnp.mean(p["grid"] ** 2) * 1e-3
         return jnp.mean(var) + reg
 
     def step(_, state):
@@ -479,12 +494,18 @@ def _optimize_group_level(
 
 def register_groupwise(
         imgs: Sequence[np.ndarray], max_iter: int = 256,
-        num_resolutions: int = 3) -> Tuple[np.ndarray, list]:
-    """Joint groupwise affine registration (4D variance metric).
+        num_resolutions: int = 3,
+        bspline_iter: int = 0,
+        grid_space_voxels: float = 130.0) -> Tuple[np.ndarray, list]:
+    """Joint groupwise registration (4D variance metric).
 
-    All images' affine parameters optimize together against the group
-    variance — the fixed-image-free formulation of the reference's
-    Elastix groupwise stage. Returns ``(mean_image, per_image_params)``.
+    All images' parameters optimize together against the group variance
+    — the fixed-image-free formulation of the reference's Elastix
+    groupwise stage. An affine pass runs first; with ``bspline_iter``,
+    per-image B-spline FFD lattices (control spacing
+    ``grid_space_voxels``, the reference groupwise profile's coarse 130
+    vx default, ``atlas_prof.py:287``) then refine jointly, composed
+    with each image's affine. Returns ``(mean_image, per_image_params)``.
     """
     shapes = np.asarray([im.shape for im in imgs])
     target = shapes.min(axis=0)
@@ -511,12 +532,38 @@ def register_groupwise(
             v_l, params, iters, lrs, stride)
         if lvl < levels - 1:
             params = {"W": params["W"], "t": params["t"] * 2.0}
+
+    spacing = None
+    if bspline_iter:
+        # joint FFD refinement at the finest level, affine-composed
+        spacing = (float(grid_space_voxels),) * 3
+        gshape = transform.bspline_grid_shape(tuple(target), spacing)
+        params = dict(params)
+        params["grid"] = jnp.zeros((k, 3) + gshape)
+        lrs_b = (("W", 0.003), ("grid", 0.5), ("t", 0.3))
+        stride = _metric_stride(tuple(target))
+        params, loss = _optimize_group_level(
+            vols, params, int(bspline_iter), lrs_b, stride,
+            spacing=spacing)
     _logger.info("groupwise registration done, loss %.6f", float(loss))
 
-    def move_one(vol, w, t):
-        return transform.resample(vol, {"W": w, "t": t}, "affine",
-                                  tuple(target))
-    moved = np.asarray(jax.vmap(move_one)(vols, params["W"], params["t"]))
-    per_img = [{"W": np.asarray(params["W"][i]),
-                "t": np.asarray(params["t"][i])} for i in range(k)]
+    if "grid" in params:
+        def move_one(vol, w, t, g):
+            return transform.resample(
+                vol, {"grid": g}, "bspline", tuple(target), spacing,
+                pre_affine={"W": w, "t": t})
+        moved = np.asarray(jax.vmap(move_one)(
+            vols, params["W"], params["t"], params["grid"]))
+        per_img = [{"W": np.asarray(params["W"][i]),
+                    "t": np.asarray(params["t"][i]),
+                    "grid": np.asarray(params["grid"][i]),
+                    "spacing": spacing} for i in range(k)]
+    else:
+        def move_one(vol, w, t):
+            return transform.resample(vol, {"W": w, "t": t}, "affine",
+                                      tuple(target))
+        moved = np.asarray(jax.vmap(move_one)(
+            vols, params["W"], params["t"]))
+        per_img = [{"W": np.asarray(params["W"][i]),
+                    "t": np.asarray(params["t"][i])} for i in range(k)]
     return moved.mean(axis=0), per_img

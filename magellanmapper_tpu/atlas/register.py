@@ -303,7 +303,15 @@ def register_group(
     """
     if joint:
         max_iter = int(profile["groupwise_iter_max"] * iters_scale)
-        return reg_engine.register_groupwise(imgs, max_iter=max_iter)
+        # groupwise bspline stage per the reference's groupwise profile
+        # (coarse 130-voxel grid, atlas_prof.py:287)
+        bs = profile["reg_bspline"] or {}
+        bspline_iter = int((bs.get("max_iter") or 0) * iters_scale) \
+            if bs else 0
+        gsv = float(bs.get("grid_space_voxels") or 130) if bs else 130.0
+        return reg_engine.register_groupwise(
+            imgs, max_iter=max_iter, bspline_iter=bspline_iter,
+            grid_space_voxels=gsv)
     shapes = np.asarray([im.shape for im in imgs])
     target_shape = shapes.min(axis=0)
     vols = [np.asarray(im[:target_shape[0], :target_shape[1],

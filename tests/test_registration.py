@@ -354,3 +354,47 @@ class TestElastixFeatureParity:
         # x,y,z file order -> z,y,x rows
         np.testing.assert_allclose(
             pts, [[30.0, 20.0, 10.0], [3.5, 2.5, 1.5]])
+
+
+class TestGroupwiseBspline:
+    def test_bspline_stage_reduces_variance_beyond_affine(self):
+        """Groupwise FFD refinement (reference groupwise profile's
+        bspline stage, 130vx grid) must tighten the group beyond the
+        affine-only joint stage."""
+        base = blobby_volume(seed=21, shape=(32, 32, 32))
+        rng = np.random.default_rng(3)
+        spacing = (12.0,) * 3
+        gshape = transform.bspline_grid_shape((32, 32, 32), spacing)
+        imgs = [base]
+        for i in range(2):
+            warp = {"grid": jnp.asarray(rng.normal(
+                scale=1.2, size=(3,) + gshape).astype(np.float32))}
+            imgs.append(np.asarray(transform.resample(
+                jnp.asarray(base), warp, "bspline", (32, 32, 32),
+                spacing)))
+
+        mean_aff, _ = reg_engine.register_groupwise(
+            imgs, max_iter=96, num_resolutions=2)
+        mean_bs, per_img = reg_engine.register_groupwise(
+            imgs, max_iter=96, num_resolutions=2,
+            bspline_iter=96, grid_space_voxels=12)
+        assert "grid" in per_img[0] and per_img[0]["grid"].shape[0] == 3
+
+        def group_var(mean_fn_params, bspline):
+            moved = []
+            for im, p in zip(imgs, mean_fn_params):
+                kind = "bspline" if bspline else "affine"
+                params = {"grid": jnp.asarray(p["grid"])} if bspline \
+                    else {"W": jnp.asarray(p["W"]), "t": jnp.asarray(p["t"])}
+                pre = {"W": jnp.asarray(p["W"]),
+                       "t": jnp.asarray(p["t"])} if bspline else None
+                moved.append(np.asarray(transform.resample(
+                    jnp.asarray(im), params, kind, (32, 32, 32),
+                    p.get("spacing"), pre_affine=pre)))
+            return float(np.var(np.stack(moved), axis=0).mean())
+
+        _, per_aff = reg_engine.register_groupwise(
+            imgs, max_iter=96, num_resolutions=2)
+        var_aff = group_var(per_aff, bspline=False)
+        var_bs = group_var(per_img, bspline=True)
+        assert var_bs < var_aff
