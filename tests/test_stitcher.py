@@ -1,5 +1,7 @@
 """Stitching tests: phase correlation, global optimization, fusion."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -87,3 +89,40 @@ class TestStitch:
             [t1, t2], np.array([[0.0, 0, 0], [0, 0, 32]]))
         np.testing.assert_allclose(
             fused[:, :, 2:78], scene[:, :, 2:78], atol=1e-4)
+
+
+class TestAcquisition:
+    def test_tile_config_bidirectional(self):
+        from magellanmapper_tpu.stitch import acquisition
+        lines = acquisition.build_tile_config(
+            "img.tif", rows=2, cols=3, size=(100.0, 80.0), overlap=0.1,
+            directionality="bi", start_direction="right")
+        assert lines[0] == "dim = 2"
+        assert len(lines) == 7
+        # rightward start flips row 1 (reference row_alt logic:
+        # row_alt = gy + 1, even row_alt rows reverse)
+        xs = [float(ln.split("(")[1].split(",")[0]) for ln in lines[1:]]
+        assert xs[:3] == [0.0, 90.0, 180.0]     # row 0 forward
+        assert xs[3:] == [180.0, 90.0, 0.0]     # row 1 reversed
+
+    def test_mesospim_conversion(self, tmp_path):
+        from magellanmapper_tpu.stitch import acquisition
+        from magellanmapper_tpu.io import tiff
+        rng = np.random.default_rng(0)
+        shape = (4, 8, 10)
+        for chl in ("488", "561"):
+            for tile in ("X0Y0", "X1Y0"):
+                arr = (rng.random(shape) * 900).astype(np.uint16)
+                p = tmp_path / f"{chl}_{tile}.raw"
+                arr.tofile(p)
+                (tmp_path / f"{chl}_{tile}.raw_meta.txt").write_text(
+                    "[z_planes] 4\n[y_pixels] 8\n[x_pixels] 10\n"
+                    "[z_stepsize] 5.0\n[Pixelsize in um] 2.6\n"
+                    "[Zoom] 1x\n")
+        out = acquisition.mesospim_to_tif(str(tmp_path))
+        assert len(out) == 4
+        names = sorted(os.path.basename(p) for p, _, _ in out)
+        assert names == ["tile_0_ch_0.tif", "tile_0_ch_1.tif",
+                         "tile_1_ch_0.tif", "tile_1_ch_1.tif"]
+        back = tiff.read_tiff(out[0][0])
+        assert back.shape == shape and back.dtype == np.uint16
