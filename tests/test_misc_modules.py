@@ -197,7 +197,7 @@ def test_all_modules_import():
     failures = []
     for mod in pkgutil.walk_packages(
             magellanmapper_tpu.__path__, "magellanmapper_tpu."):
-        if mod.name.endswith("libblockio"):
+        if ".native.lib" in mod.name or mod.name.endswith("libblockio"):
             continue
         try:
             importlib.import_module(mod.name)
