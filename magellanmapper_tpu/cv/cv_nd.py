@@ -653,3 +653,88 @@ def get_thresholded_regionprops(img_np: np.ndarray, threshold=10,
         prop = RegionProps(mask)
         props.append((prop, prop.area))
     return sorted(props, key=lambda p: p[1], reverse=sort_reverse)
+
+
+def surface_net_mesh(
+        vol: np.ndarray, level: float,
+        smooth_iters: int = 2) -> Tuple[np.ndarray, np.ndarray]:
+    """Isosurface mesh via naive surface nets (marching-cubes stand-in).
+
+    The reference extracts meshes with skimage's marching cubes
+    (``cv_nd.surface_area_3d :329``, Mayavi surface rendering in
+    ``vis_3d.py``); surface nets place one vertex per surface-crossing
+    cell and emit a quad (two triangles) per sign-changing voxel edge —
+    a compact, fully vectorized formulation. Vertices are Laplacian-
+    smoothed toward their face-neighbor mean.
+
+    Returns:
+        ``(verts, faces)``: ``(V, 3)`` float z,y,x vertices and
+        ``(F, 3)`` int triangle indices.
+    """
+    fg = np.asarray(vol) > level
+    z, y, x = fg.shape
+    # cells between voxel corners: active when corners are mixed
+    corners = np.zeros((z - 1, y - 1, x - 1), np.int8)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                corners += fg[dz:z - 1 + dz, dy:y - 1 + dy,
+                              dx:x - 1 + dx]
+    active = (corners > 0) & (corners < 8)
+    cell_idx = np.full(active.shape, -1, np.int64)
+    acts = np.argwhere(active)
+    if not len(acts):
+        return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
+    cell_idx[tuple(acts.T)] = np.arange(len(acts))
+    verts = acts.astype(float) + 0.5
+
+    faces = []
+    for ax in range(3):
+        # voxel edges along `ax` whose endpoints straddle the level
+        sl_lo = [slice(None)] * 3
+        sl_hi = [slice(None)] * 3
+        sl_lo[ax] = slice(0, fg.shape[ax] - 1)
+        sl_hi[ax] = slice(1, fg.shape[ax])
+        crossing = fg[tuple(sl_lo)] != fg[tuple(sl_hi)]
+        o1, o2 = [a for a in range(3) if a != ax]
+        # interior edges only: need all 4 adjacent cells to exist
+        edges = np.argwhere(crossing)
+        keep = (edges[:, o1] >= 1) & (edges[:, o1] <= crossing.shape[o1] - 1)
+        keep &= (edges[:, o2] >= 1) & (edges[:, o2] <= crossing.shape[o2] - 1)
+        keep &= edges[:, ax] <= active.shape[ax] - 1
+        edges = edges[keep]
+        if not len(edges):
+            continue
+        quad = []
+        for d1 in (1, 0):
+            for d2 in (1, 0):
+                c = edges.copy()
+                c[:, o1] -= d1
+                c[:, o2] -= d2
+                in_rng = np.all(
+                    (c >= 0) & (c < np.asarray(active.shape)), axis=1)
+                ids = np.full(len(edges), -1, np.int64)
+                ids[in_rng] = cell_idx[tuple(c[in_rng].T)]
+                quad.append(ids)
+        q = np.stack(quad, axis=1)      # (E, 4): (11, 10, 01, 00)
+        ok = np.all(q >= 0, axis=1)
+        q = q[ok]
+        # two triangles per quad (11,10,00) and (11,00,01)
+        faces.append(np.stack([q[:, 0], q[:, 1], q[:, 3]], axis=1))
+        faces.append(np.stack([q[:, 0], q[:, 3], q[:, 2]], axis=1))
+    if not faces:
+        return verts, np.zeros((0, 3), np.int64)
+    faces_arr = np.concatenate(faces)
+
+    # Laplacian smoothing toward connected-vertex means
+    for _ in range(int(smooth_iters)):
+        acc = np.zeros_like(verts)
+        cnt = np.zeros(len(verts))
+        for i in range(3):
+            j = (i + 1) % 3
+            np.add.at(acc, faces_arr[:, i], verts[faces_arr[:, j]])
+            np.add.at(cnt, faces_arr[:, i], 1)
+        mask = cnt > 0
+        verts[mask] = 0.5 * verts[mask] + 0.5 * (
+            acc[mask] / cnt[mask, None])
+    return verts, faces_arr

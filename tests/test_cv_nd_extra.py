@@ -62,3 +62,37 @@ class TestPlot3D:
         assert mask[8, 8, 8] == 1
         assert mask[0, 0, 0] == 0
         assert 50 < mask.sum() < 200  # ~4/3 pi 27 = 113
+
+
+class TestSurfaceNetMesh:
+    def test_sphere_mesh_geometry(self):
+        from magellanmapper_tpu.cv import cv_nd
+        zz, yy, xx = np.indices((32, 32, 32)).astype(float)
+        vol = (((zz-16)**2 + (yy-16)**2 + (xx-16)**2) <= 100).astype(
+            np.float32)
+        verts, faces = cv_nd.surface_net_mesh(vol, 0.5)
+        assert len(verts) > 500 and len(faces) > 1000
+        d = np.linalg.norm(verts - 16, axis=1)
+        assert abs(d.mean() - 10.0) < 0.3 and d.std() < 0.5
+        # closed surface: every face edge appears exactly twice
+        edges = np.sort(np.concatenate([
+            faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]), axis=1)
+        _, counts = np.unique(edges, axis=0, return_counts=True)
+        assert set(counts.tolist()) == {2}
+
+    def test_empty_volume(self):
+        from magellanmapper_tpu.cv import cv_nd
+        verts, faces = cv_nd.surface_net_mesh(
+            np.zeros((8, 8, 8), np.float32), 0.5)
+        assert len(verts) == 0 and len(faces) == 0
+
+    def test_surface_render(self, tmp_path):
+        from magellanmapper_tpu.gui import vis_3d
+        zz, yy, xx = np.indices((24, 24, 24)).astype(float)
+        vol = (((zz-12)**2 + (yy-12)**2 + (xx-12)**2) <= 49).astype(
+            np.float32)
+        out = str(tmp_path / "surface.png")
+        fig, (verts, faces) = vis_3d.plot_surface_3d(
+            vol, 0.5, out_path=out)
+        import os
+        assert os.path.exists(out) and len(faces) > 100
