@@ -338,6 +338,64 @@ class PlotEditorCanvas:
             max(lo, vmin - delta), min(hi, vmax + delta))
 
 
+class VerifierCanvas:
+    """Paged blob-verification grid with click-to-flag cells.
+
+    Binds the reference VerifierEditor interactions
+    (``magmap/gui/verifier_editor.py:21``) onto a figure over the
+    headless :class:`gui.verifier_editor.VerifierEditor`: each cell
+    shows one blob patch, clicking a cell cycles its confirmed flag
+    (border recolors), and left/right arrow keys page through blobs.
+    """
+
+    def __init__(self, editor, figsize=(6, 6)):
+        import matplotlib.figure
+        from matplotlib.backends.backend_agg import FigureCanvasAgg
+
+        self.editor = editor
+        self.fig = matplotlib.figure.Figure(figsize=figsize)
+        self.canvas = FigureCanvasAgg(self.fig)
+        self.axes_views: Dict = {}
+        self.canvas.mpl_connect("button_press_event", self._on_press)
+        self.canvas.mpl_connect("key_press_event", self._on_key)
+        self.refresh()
+
+    def refresh(self):
+        self.fig.clf()
+        views = self.editor.build_page()
+        self.axes_views = {}
+        n = self.editor._nrows
+        m = self.editor._ncols
+        for i, view in enumerate(views):
+            ax = self.fig.add_subplot(n, m, i + 1)
+            ax.imshow(view.patch, cmap="gray")
+            ax.set_xticks([])
+            ax.set_yticks([])
+            color = self.editor.blob_color(view.index)
+            for spine in ax.spines.values():
+                spine.set_edgecolor(
+                    color if color != "none" else "0.5")
+                spine.set_linewidth(3)
+            self.axes_views[ax] = view
+        self.canvas.draw()
+
+    def _on_press(self, event):
+        view = self.axes_views.get(event.inaxes)
+        if view is None:
+            return
+        self.editor.flag_blob(view.index)
+        self.refresh()
+
+    def _on_key(self, event):
+        if event.key == "right":
+            self.editor.next_page()
+        elif event.key == "left":
+            self.editor.prev_page()
+        else:
+            return
+        self.refresh()
+
+
 class AtlasEditorCanvases:
     """Three synchronized orthogonal editing views over one AtlasEditor.
 

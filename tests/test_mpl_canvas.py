@@ -313,3 +313,45 @@ class TestTkApp:
         assert blobs is not None and len(app.roi_canvas.circles) == 1
         app.set_plane(99)
         assert app.roi_canvas.z == 5
+
+
+class TestVerifierCanvas:
+    def _editor(self):
+        from magellanmapper_tpu.gui.verifier_editor import VerifierEditor
+        rng = np.random.default_rng(4)
+        vol = rng.random((6, 48, 48)).astype(np.float32)
+        blobs = np.zeros((12, 10))
+        blobs[:, 0] = rng.integers(0, 6, 12)
+        blobs[:, 1] = rng.integers(8, 40, 12)
+        blobs[:, 2] = rng.integers(8, 40, 12)
+        blobs[:, 3] = 3
+        blobs[:, 4] = -1
+        return VerifierEditor(vol, blobs, nrows=2, ncols=2)
+
+    def test_click_cell_cycles_flag(self):
+        from matplotlib.backend_bases import MouseEvent
+        from magellanmapper_tpu.gui.mpl_canvas import VerifierCanvas
+        ed = self._editor()
+        cv = VerifierCanvas(ed)
+        assert len(cv.axes_views) == 4
+        ax, view = next(iter(cv.axes_views.items()))
+        x, y = ax.transData.transform((5, 5))
+        cv.canvas.callbacks.process(
+            "button_press_event",
+            MouseEvent("button_press_event", cv.canvas, x, y, button=1))
+        assert ed._blob_arr[view.index][4] == 0  # -1 -> 0
+
+    def test_arrow_keys_page(self):
+        from matplotlib.backend_bases import KeyEvent
+        from magellanmapper_tpu.gui.mpl_canvas import VerifierCanvas
+        ed = self._editor()
+        cv = VerifierCanvas(ed)
+        cv.canvas.callbacks.process(
+            "key_press_event",
+            KeyEvent("key_press_event", cv.canvas, "right"))
+        assert ed.page == 1
+        assert next(iter(cv.axes_views.values())).index == 4
+        cv.canvas.callbacks.process(
+            "key_press_event",
+            KeyEvent("key_press_event", cv.canvas, "left"))
+        assert ed.page == 0
