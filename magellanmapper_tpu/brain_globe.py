@@ -12,9 +12,8 @@ from __future__ import annotations
 import json
 import logging
 import os
-from typing import Dict, List, Optional
+from typing import List, Optional
 
-import numpy as np
 
 _logger = logging.getLogger(__name__)
 

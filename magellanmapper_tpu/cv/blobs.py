@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import os
 from enum import Enum
-from typing import Dict, Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -10,9 +10,7 @@ training loop; training/inference batch over the dp mesh axis naturally.
 
 from __future__ import annotations
 
-import functools
 import logging
-import os
 import pickle
 from typing import Dict, Optional, Sequence, Tuple
 

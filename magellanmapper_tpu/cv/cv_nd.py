@@ -16,7 +16,7 @@ resampling. The scipy.ndimage C kernels the reference leans on
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ view is a :class:`magellanmapper_tpu.gui.plot_editor.PlotEditor`.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 

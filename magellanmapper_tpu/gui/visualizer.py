@@ -13,9 +13,8 @@ confirmation) driving the headless renderers in ``gui.roi_review`` and
 from __future__ import annotations
 
 import logging
-import os
 from enum import Enum, auto
-from typing import Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -16,14 +16,11 @@ from __future__ import annotations
 import argparse
 import logging
 import os
-import sys
 from dataclasses import dataclass, field
-from enum import Enum, auto
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from magellanmapper_tpu.settings import config as cfg
 from magellanmapper_tpu.settings.config import ProcessTypes, RegisterTypes
 from magellanmapper_tpu.settings.roi_prof import ROIProfile
 from magellanmapper_tpu.settings.atlas_prof import AtlasProfile

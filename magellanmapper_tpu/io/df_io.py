@@ -9,9 +9,8 @@ vocabulary (``main :800``).
 from __future__ import annotations
 
 import logging
-import os
 from enum import Enum, auto
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, Optional, Sequence, Union
 
 import numpy as np
 import pandas as pd

@@ -19,7 +19,6 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from magellanmapper_tpu.cv import blobs as blobs_mod
 from magellanmapper_tpu.utils import libmag
 
 DB_NAME = "magmap.db"

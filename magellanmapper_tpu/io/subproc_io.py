@@ -12,7 +12,7 @@ import os
 import shutil
 import subprocess
 import zipfile
-from typing import Optional, Sequence
+from typing import Optional
 
 _logger = logging.getLogger(__name__)
 

@@ -9,7 +9,7 @@ dictionaries with numpy scalars/arrays coerced to plain Python types.
 from __future__ import annotations
 
 import enum
-from typing import Any, Dict, List, Optional, Sequence, Type
+from typing import Any, Dict, List, Optional, Type
 
 import numpy as np
 import yaml

@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from magellanmapper_tpu.cv import detector
-from magellanmapper_tpu.cv.stack_detect import _blob_log_impl, _preproc_one
+from magellanmapper_tpu.cv.stack_detect import _preproc_one
 
 
 def log_support(max_sigma: float) -> int:

@@ -159,7 +159,6 @@ def deconvolve(roi: np.ndarray, iterations: int = 30,
 def get_isotropic_vis(settings) -> np.ndarray:
     """Isotropic rescale factor for visualization from a profile
     (reference ``plot_3d.get_isotropic_vis :320``)."""
-    from magellanmapper_tpu.cv import detector as _det
     isotropic = settings["isotropic_vis"]
     if isotropic is None:
         return np.ones(3)

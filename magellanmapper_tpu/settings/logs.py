@@ -12,7 +12,6 @@ import logging
 import logging.handlers
 import pathlib
 import sys
-from typing import Optional
 
 
 class LogWriter:

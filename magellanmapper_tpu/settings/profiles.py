@@ -15,7 +15,7 @@ from __future__ import annotations
 import copy
 import dataclasses
 import os
-from typing import Any, Dict, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 from magellanmapper_tpu.io import yaml_io
 

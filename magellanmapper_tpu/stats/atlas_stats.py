@@ -7,7 +7,7 @@ landmark distances (``meas_landmark_dist :535``).
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 import pandas as pd

@@ -14,7 +14,7 @@ import itertools
 import logging
 from enum import Enum
 from collections import OrderedDict
-from typing import Callable, Dict, Optional, Sequence, Tuple
+from typing import Callable, Sequence
 
 import numpy as np
 import pandas as pd

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import functools
 from enum import Enum
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

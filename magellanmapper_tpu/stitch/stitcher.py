@@ -18,10 +18,9 @@ ImageJ ``TileConfiguration.txt`` files read/write for interchange.
 
 from __future__ import annotations
 
-import functools
 import logging
 import re
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ from __future__ import annotations
 import csv
 import os
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional
 
 #: timing CSV emitted after whole-stack detection (reference artifact name).
 STACK_TIMES_CSV = "stack_detection_times.csv"
