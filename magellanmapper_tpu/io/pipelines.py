@@ -57,6 +57,11 @@ def run_pipeline(
         fused_path = os.path.splitext(img_path)[0] + "_fused.npy"
         if not os.path.exists(
                 np_io.make_filenames(fused_path)[0]):
+            if tile_grid.get("mesospim"):
+                # mesoSPIM RAW tiles -> BigStitcher-style TIFs first
+                # (reference stitch/mesospim_to_tif.py pre-stitch stage)
+                from magellanmapper_tpu.stitch import acquisition
+                acquisition.mesospim_to_tif(tile_grid["dir"])
             files = importer.setup_import_dir(tile_grid["dir"])
             tiles = [tiff.read_tiff(f) for f in files]
             grid = stitcher.TileGrid(

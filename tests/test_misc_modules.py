@@ -204,3 +204,32 @@ def test_all_modules_import():
         except Exception as exc:   # pragma: no cover - report below
             failures.append((mod.name, repr(exc)))
     assert not failures, failures
+
+
+def test_pipeline_mesospim_stitching(tmp_path):
+    """The stitching pipeline ingests mesoSPIM RAW tiles when asked
+    (mesospim flag converts tiles before stitching)."""
+    from magellanmapper_tpu.settings.roi_prof import ROIProfile
+    rng = np.random.default_rng(0)
+    from scipy import ndimage
+    scene = (ndimage.gaussian_filter(
+        rng.random((4, 60, 60)).astype(np.float32), 2) * 1000).astype(
+        np.uint16)
+    tiles_dir = tmp_path / "tiles"
+    tiles_dir.mkdir()
+    parts = {"X0Y0": scene[:, :36, :36], "X1Y0": scene[:, :36, 24:],
+             "X0Y1": scene[:, 24:, :36], "X1Y1": scene[:, 24:, 24:]}
+    for key, arr in parts.items():
+        p = tiles_dir / f"488_{key}.raw"
+        np.ascontiguousarray(arr).tofile(p)
+        (tiles_dir / f"488_{key}.raw_meta.txt").write_text(
+            f"[z_planes] {arr.shape[0]}\n[y_pixels] {arr.shape[1]}\n"
+            f"[x_pixels] {arr.shape[2]}\n[z_stepsize] 5.0\n"
+            "[Pixelsize in um] 2.6\n[Zoom] 1x\n")
+    out = pipelines.run_pipeline(
+        "stitching", str(tmp_path / "scene.npy"), ROIProfile(),
+        tile_grid={"dir": str(tiles_dir), "rows": 2, "cols": 2,
+                   "overlap": 0.33, "mesospim": True})
+    assert "stitching" in out
+    fused = np_io.read_file(out["stitching"])
+    assert fused.img[0].shape[0] >= 4
