@@ -62,6 +62,10 @@ class RunConfig:
     classifier: Optional[List[str]] = None
     savefig: Optional[str] = None
     plot_2d_task: Optional[str] = None
+    #: device mesh (dp, sp[, spy]) for sharded whole-volume detection —
+    #: a TPU-native addition with no reference analog (the reference's
+    #: scale-out is "rent a bigger box", stack_detect.py:406 TODO)
+    mesh: Optional[List[int]] = None
 
     def get_roi_profile(self, channel: int) -> ROIProfile:
         if self.roi_profiles and channel < len(self.roi_profiles):
@@ -113,6 +117,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--db", help="database path")
     p.add_argument("--truth_db", nargs="*", help="truth DB mode and path")
     p.add_argument("--cpus", help="worker count (compat; unused on TPU)")
+    p.add_argument(
+        "--mesh", help="dp,sp[,spy] device mesh for sharded whole-volume "
+        "detection over multiple TPU chips (TPU-native addition)")
     p.add_argument("--load", nargs="*", help="data to load")
     p.add_argument("--proc", nargs="*", help="processing task(s)")
     p.add_argument("--register", help="registration task")
@@ -163,6 +170,8 @@ def process_cli_args(argv: Optional[Sequence[str]] = None) -> RunConfig:
     rc.classifier = args.classifier
     rc.savefig = args.savefig
     rc.save_subimg = args.save_subimg
+    if getattr(args, "mesh", None):
+        rc.mesh = [int(v) for v in str(args.mesh).split(",")]
     rc.verbose = args.verbose is not None
     if rc.verbose:
         logging.getLogger().setLevel(logging.DEBUG)
@@ -408,8 +417,25 @@ def _detect(rc: RunConfig, coloc: bool = False):
     res = (img5d.resolutions[0] if img5d.resolutions is not None
            else (1.0, 1.0, 1.0))
     profiles = rc.roi_profiles or rc.roi_profile
-    blobs, timing = stack_detect.detect_blobs_stack(
-        np.asarray(vol), profiles, res, channels=rc.channel)
+    if rc.mesh:
+        # multi-chip sharded whole-volume detection over a
+        # (dp, sp[, spy]) mesh (--mesh; halo exchange over ICI)
+        import time as time_mod
+        from magellanmapper_tpu.parallel import halo, mesh as mesh_mod
+        dims = list(rc.mesh) + [1] * (3 - len(rc.mesh))
+        dp, sp, spy = dims[:3]
+        m = mesh_mod.make_mesh(dp * sp * spy, dp=dp, sp=sp, spy=spy)
+        t0 = time_mod.time()
+        merged = halo.detect_blobs_sharded_stack(
+            np.asarray(vol), profiles, res, mesh=m,
+            channels=rc.channel, preprocess=True)
+        blobs = blobs_mod.Blobs(merged)
+        blobs.resolutions = np.atleast_2d(np.asarray(res, float))
+        timing = {"Detection": time_mod.time() - t0, "Pruning": 0.0,
+                  "Total_stack": time_mod.time() - t0}
+    else:
+        blobs, timing = stack_detect.detect_blobs_stack(
+            np.asarray(vol), profiles, res, channels=rc.channel)
     if coloc and blobs.blobs is not None and vol.ndim > 3:
         colocs = colocalizer.colocalize_blobs(
             np.asarray(vol), blobs.blobs)

@@ -576,3 +576,35 @@ class TestDfPlotTaskDispatches:
             self._run("--img", vols_csv, "--plot_2d", task,
                       "--labels", *labels, "--prefix", out)
             assert os.path.exists(out), task
+
+
+def test_cli_detect_with_mesh(tmp_path):
+    """--mesh dp,sp[,spy] routes detection through the sharded
+    whole-volume path (TPU-native multi-chip CLI surface)."""
+    import sys
+    import numpy as np
+    from magellanmapper_tpu.io import cli, np_io
+
+    rng = np.random.default_rng(0)
+    vol = np.zeros((32, 40, 40), np.float32)
+    zz, yy, xx = np.indices(vol.shape).astype(np.float32)
+    for cz, cy, cx in np.column_stack(
+            [rng.uniform(6, s - 6, 10) for s in vol.shape]):
+        vol += np.exp(-((zz-cz)**2 + (yy-cy)**2 + (xx-cx)**2) / 10.7)
+    vol = np.clip(vol / vol.max(), 0, None)
+    base = str(tmp_path / "meshvol.npy")
+    np_io.write_npy(base, vol, resolutions=(1.0, 1.0, 1.0))
+
+    argv = sys.argv
+    try:
+        sys.argv = ["mm-tpu", "--img", base, "--proc", "detect",
+                    "--mesh", "1,4,2"]
+        cli.main()
+    finally:
+        sys.argv = argv
+    import os
+    blobs_path = str(tmp_path / "meshvol_blobs.npz")
+    assert os.path.exists(blobs_path)
+    from magellanmapper_tpu.cv import blobs as blobs_mod
+    blobs = blobs_mod.Blobs().load_blobs(blobs_path)
+    assert blobs.blobs is not None and len(blobs.blobs) > 0
