@@ -379,7 +379,8 @@ def register_duo(
         fixed_mask: Optional[np.ndarray] = None,
         moving_mask: Optional[np.ndarray] = None,
         fix_pts: Optional[np.ndarray] = None,
-        mov_pts: Optional[np.ndarray] = None) -> Tuple[np.ndarray,
+        mov_pts: Optional[np.ndarray] = None,
+        checkpoint_dir: Optional[str] = None) -> Tuple[np.ndarray,
                                                        RegResult]:
     """Register ``moving`` onto ``fixed`` through the profile's stages.
 
@@ -400,6 +401,12 @@ def register_duo(
     ]
     stages_cfg = [(k, s) for k, s in stages_cfg if s]
 
+    ckpt = None
+    if checkpoint_dir:
+        from magellanmapper_tpu.utils.checkpoint import (
+            RegistrationCheckpoint)
+        ckpt = RegistrationCheckpoint(checkpoint_dir)
+
     done: List[Tuple[str, Dict]] = []
     init_affine = None
     pre_affine = None
@@ -410,6 +417,24 @@ def register_duo(
         if stage.get("point_based") and fix_pts is not None \
                 and mov_pts is not None:
             pts = dict(fix_pts=fix_pts, mov_pts=mov_pts)
+        restored = ckpt.load_stage(kind) if ckpt else None
+        if restored is not None:
+            params = {k: jnp.asarray(v) for k, v in restored.items()}
+            loss = float("nan")   # stage skipped; no fresh metric value
+            if kind == "translation":
+                init_affine = {"W": jnp.zeros((3, 3)), "t": params["t"]}
+            elif kind == "affine":
+                pre_affine = params
+            else:
+                gsv = float(stage.get("grid_space_voxels") or 50)
+                sched = stage.get("grid_spacing_schedule")
+                mult = _parse_grid_schedule(sched, 99)[-1] if sched \
+                    else (1.0, 1.0, 1.0)
+                bspline_spacing = tuple(gsv * m for m in mult)
+            done.append(
+                (kind, {k: np.asarray(v) for k, v in params.items()}))
+            _logger.info("stage %s restored from checkpoint", kind)
+            continue
         if kind == "translation":
             params, loss = register_stage(
                 fixed, moving, stage, iters_scale=iters_scale, kind=kind,
@@ -433,6 +458,8 @@ def register_duo(
             bspline_spacing = tuple(gsv * m for m in mult)
         _logger.info("stage %s done, loss %.5f", kind, loss)
         done.append((kind, {k: np.asarray(v) for k, v in params.items()}))
+        if ckpt:
+            ckpt.save_stage(kind, done[-1][1])
 
     result = RegResult(done, fixed.shape, bspline_spacing)
     moved = result.transform_img(moving, order=1)
