@@ -116,7 +116,8 @@ def register(
         channel: int = 0,
         reg_suffixes: Optional[Dict[str, str]] = None,
         fixed_mask: Optional[np.ndarray] = None,
-        moving_mask: Optional[np.ndarray] = None) -> Dict:
+        moving_mask: Optional[np.ndarray] = None,
+        checkpoint_dir: Optional[str] = None) -> Dict:
     """Register a moving atlas onto a fixed sample image
     (reference ``register.register :647``).
 
@@ -201,11 +202,13 @@ def register(
                 "loaded %d corresponding points from %s / %s",
                 len(fix_pts), fp, mp)
 
-    # register: translation -> affine -> bspline per profile
+    # register: translation -> affine -> bspline per profile; stages
+    # checkpoint/resume through Orbax when a directory is given
     moved, result = reg_engine.register_duo(
         fixed, moving_atlas, profile, iters_scale=iters_scale,
         fixed_mask=fixed_mask, moving_mask=moving_mask,
-        fix_pts=fix_pts, mov_pts=mov_pts)
+        fix_pts=fix_pts, mov_pts=mov_pts,
+        checkpoint_dir=checkpoint_dir)
     dsc = reg_metrics.measure_overlap(fixed, moved)
 
     fallback = profile["metric_sim_fallback"]
@@ -224,7 +227,9 @@ def register(
         moved2, result2 = reg_engine.register_duo(
             fixed, moving_atlas, prof2, iters_scale=iters_scale,
             fixed_mask=fixed_mask, moving_mask=moving_mask,
-            fix_pts=fix_pts, mov_pts=mov_pts)
+            fix_pts=fix_pts, mov_pts=mov_pts,
+            checkpoint_dir=(os.path.join(checkpoint_dir, "fallback")
+                            if checkpoint_dir else None))
         dsc2 = reg_metrics.measure_overlap(fixed, moved2)
         if dsc2 > dsc:
             moved, result, dsc = moved2, result2, dsc2
