@@ -110,6 +110,64 @@ class Visualization:
     def save_prefs(self, path: Optional[str] = None) -> str:
         return self.prefs.save_prefs(path or "prefs.yaml")
 
+    # -- remaining app-tab workflows ------------------------------------------
+
+    def set_roi_profile(self, names: str) -> "ROIProfile":
+        """Apply a comma-chained ROI profile (the app's profile picker,
+        reference profile tab)."""
+        prof = ROIProfile()
+        prof.add_profiles(names)
+        self.roi_profile = prof
+        return prof
+
+    def adjust_image(self, vmin=None, vmax=None, alpha=None) -> dict:
+        """Image-adjustment state (brightness/contrast/alpha sliders,
+        reference image adjustment tab); consumed by the editor
+        canvases via ImageSyncMixin."""
+        adj = getattr(self, "display_adjust", {})
+        if vmin is not None:
+            adj["vmin"] = float(vmin)
+        if vmax is not None:
+            adj["vmax"] = float(vmax)
+        if alpha is not None:
+            adj["alpha"] = float(alpha)
+        self.display_adjust = adj
+        return adj
+
+    def import_file(self, path: str, prefix: Optional[str] = None,
+                    resolutions=None) -> np_io.Image5d:
+        """Import a TIFF/RAW into the image5d format and load it
+        (reference import tab -> ImportThread flow)."""
+        from magellanmapper_tpu.gui import threads
+        task = threads.ImportThread(
+            "tif", prefix or path, {0: [path]}).start()
+        img5d = task.result()
+        self.img5d = img5d
+        return img5d
+
+    def open_atlas_editor(self):
+        """Synced orthogonal atlas editing views over the loaded image +
+        labels (reference atlas-label annotation tab)."""
+        from magellanmapper_tpu.gui.atlas_editor import AtlasEditor
+        from magellanmapper_tpu.gui.mpl_canvas import AtlasEditorCanvases
+        if self.labels_img is None:
+            raise ValueError("no labels image loaded")
+        vol = self.img5d.img[0]
+        vol = vol[..., 0] if vol.ndim > 3 else vol
+        return AtlasEditorCanvases(
+            AtlasEditor(np.asarray(vol), np.asarray(self.labels_img)))
+
+    def open_brain_globe(self, name: str, cache_dir: Optional[str] = None):
+        """Fetch/open a BrainGlobe atlas as the current image set
+        (reference BrainGlobe tab)."""
+        from magellanmapper_tpu import brain_globe
+        bg = brain_globe.BrainGlobeMM(
+            **({"cache_dir": cache_dir} if cache_dir else {}))
+        img5d, labels_img, meta = bg.get_atlas(name)
+        self.img5d = img5d
+        self.labels_img = labels_img
+        return img5d, labels_img, meta
+
 
 class ViewerTabs(Enum):
     """Viewer tab enumerations (reference ``vis_handler.ViewerTabs

@@ -233,3 +233,44 @@ def test_pipeline_mesospim_stitching(tmp_path):
     assert "stitching" in out
     fused = np_io.read_file(out["stitching"])
     assert fused.img[0].shape[0] >= 4
+
+
+class TestVisualizerTabWorkflows:
+    """Round-2: the session controller covers the app's remaining tabs."""
+
+    def test_profile_picker_and_adjustment(self):
+        from magellanmapper_tpu.gui.visualizer import Visualization
+        vis = Visualization()
+        prof = vis.set_roi_profile("lightsheet,4xnuc")
+        assert "lightsheet" in prof["settings_name"]
+        adj = vis.adjust_image(vmin=0.1, vmax=0.9, alpha=0.5)
+        assert adj == {"vmin": 0.1, "vmax": 0.9, "alpha": 0.5}
+
+    def test_import_tab_flow(self, tmp_path):
+        from magellanmapper_tpu.gui.visualizer import Visualization
+        from magellanmapper_tpu.io import tiff
+        arr = (np.random.default_rng(0).random((3, 16, 16)) * 100
+               ).astype(np.uint16)
+        p = str(tmp_path / "imp.tif")
+        tiff.write_tiff(p, arr)
+        vis = Visualization()
+        img5d = vis.import_file(p, prefix=str(tmp_path / "out"))
+        assert img5d.img.shape == (1, 3, 16, 16)
+        assert vis.img5d is img5d
+
+    def test_atlas_editor_tab(self):
+        from magellanmapper_tpu.gui.visualizer import Visualization
+        from magellanmapper_tpu.io.np_io import Image5d
+        vis = Visualization()
+        rng = np.random.default_rng(1)
+        vol = rng.random((1, 8, 16, 16)).astype(np.float32)
+        vis.img5d = Image5d(img=vol)
+        vis.labels_img = np.zeros((8, 16, 16), np.int32)
+        views = vis.open_atlas_editor()
+        assert set(views.canvases) == {"xy", "xz", "yz"}
+
+    def test_brain_globe_tab(self, tmp_path):
+        from magellanmapper_tpu.gui.visualizer import Visualization
+        vis = Visualization()
+        with pytest.raises(FileNotFoundError):
+            vis.open_brain_globe("nope_atlas", cache_dir=str(tmp_path))
