@@ -269,19 +269,21 @@ def main():
         reg_ips = round(bench_registration(), 1)
     except Exception:
         reg_ips = None
-    reg_wall = reg_dsc = None
-    try:
-        if time_left() > 180:
-            reg_wall, reg_dsc = bench_registration_dsc()
-            reg_wall, reg_dsc = round(reg_wall, 2), round(reg_dsc, 4)
-    except Exception:
-        pass
+    # block path first: the production-path record takes priority over
+    # the DSC extra when the tunnel eats the time budget
     blk_e2e = blk_dev = blk_dev_np = blk_blobs = None
     try:
         if time_left() > 240:
             blk_e2e, blk_dev, blk_dev_np, blk_blobs = bench_block_path()
             blk_e2e, blk_dev, blk_dev_np = (
                 round(blk_e2e, 2), round(blk_dev, 2), round(blk_dev_np, 2))
+    except Exception:
+        pass
+    reg_wall = reg_dsc = None
+    try:
+        if time_left() > 180:
+            reg_wall, reg_dsc = bench_registration_dsc()
+            reg_wall, reg_dsc = round(reg_wall, 2), round(reg_dsc, 4)
     except Exception:
         pass
 
