@@ -273,7 +273,9 @@ def main():
     # the DSC extra when the tunnel eats the time budget
     blk_e2e = blk_dev = blk_dev_np = blk_blobs = None
     try:
-        if time_left() > 240:
+        # warm block-path cost is ~1-2 min (compiles cached from the e2e
+        # run's own warmup); run it whenever any budget remains
+        if time_left() > 60:
             blk_e2e, blk_dev, blk_dev_np, blk_blobs = bench_block_path()
             blk_e2e, blk_dev, blk_dev_np = (
                 round(blk_e2e, 2), round(blk_dev, 2), round(blk_dev_np, 2))
