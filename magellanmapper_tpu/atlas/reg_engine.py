@@ -156,8 +156,7 @@ def _parse_grid_schedule(sched, levels_cap: int):
     """
     vals = [float(v) for v in sched]
     ndim = 3
-    if (len(vals) % ndim == 0
-            and len(set(vals[:ndim])) != ndim and len(vals) > ndim):
+    if len(vals) % ndim == 0 and len(set(vals[:ndim])) != ndim:
         per_level = [tuple(vals[i:i + ndim])
                      for i in range(0, len(vals), ndim)]
     else:

@@ -187,10 +187,15 @@ def _detect_batch(
     return jax.vmap(one)(batch)
 
 
-def _preproc_one(vol, denoise_shape, preproc_items):
+def _preproc_one(vol, denoise_shape, preproc_items, max_thresh=None):
+    """Apply the saturate+denoise chain; ``max_thresh`` (possibly a
+    traced scalar) overrides the static ``preproc_items`` entry so
+    per-channel near-max values can ride a batched dispatch as data."""
     if preproc_items is None:
         return vol
     params = dict(preproc_items)
+    if max_thresh is not None:
+        params["max_thresh"] = max_thresh
     if denoise_shape is not None:
         return _preproc_sub_blocks(vol, denoise_shape, params)
     vol = preproc.saturate(

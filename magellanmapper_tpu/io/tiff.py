@@ -201,10 +201,24 @@ def _decode_strip(raw: bytes, comp: int, path: str,
 
 
 def _unpredict(page: np.ndarray, predictor: int) -> np.ndarray:
-    """Undo the horizontal-differencing predictor (tag 317 value 2)."""
-    if predictor == 2:
-        return np.cumsum(page, axis=-1, dtype=page.dtype)
-    return page
+    """Undo the horizontal-differencing predictor (tag 317 value 2).
+
+    Differences run across image columns *per sample*: for ``spp > 1``
+    pages shaped ``(h, w, spp)`` the accumulation axis is the column
+    axis (-2), not the trailing sample axis. Predictor 2 is defined for
+    integer samples only (floating-point pages use predictor 3, which
+    is not supported); anything other than 1/2 is rejected.
+    """
+    if predictor == 1:
+        return page
+    if predictor != 2:
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if page.dtype.kind not in "iu":
+        raise ValueError(
+            "TIFF predictor 2 (horizontal differencing) is only valid "
+            f"for integer samples, got dtype {page.dtype}")
+    axis = -2 if page.ndim == 3 else -1
+    return np.cumsum(page, axis=axis, dtype=page.dtype)
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
                10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
@@ -297,8 +311,7 @@ def read_tiff(path: str) -> np.ndarray:
                 arr = arr.reshape(h, w, spp)
             else:
                 arr = arr.reshape(h, w)
-            if predictor == 2:
-                arr = _unpredict(arr, predictor)
+            arr = _unpredict(arr, predictor)
             pages.append(arr)
     if not pages:
         raise ValueError(f"no image pages in {path}")

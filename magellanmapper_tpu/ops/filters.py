@@ -227,6 +227,17 @@ def log_pyramid(
     assert vol.ndim == 3
     sigmas = [float(s) for s in sigmas]
     prec = precision or jax.lax.Precision.HIGH
+    if max(vol.shape) > _MATMUL_MAX_LEN:
+        # beyond the band-matmul crossover the dense (S, n, n) stacks pay
+        # O(n^2) FLOPs per axis and hold multi-hundred-MB band matrices;
+        # per-sigma gaussian_laplace dispatches each axis to taps or band
+        # matmul individually (conv1d's _MATMUL_MAX_LEN crossover)
+        scale = jnp.asarray(sigmas, vol.dtype) ** 2
+        stacked = jnp.stack([
+            -gaussian_laplace(
+                vol, s, mode=mode, truncate=truncate, precision=precision)
+            for s in sigmas])
+        return stacked * scale[:, None, None, None]
 
     def bands(order, axis):
         n = vol.shape[axis]

@@ -20,23 +20,31 @@ import jax
 import jax.numpy as jnp
 
 
-def max_filter_full(cube: jax.Array) -> jax.Array:
+def max_filter_full(cube: jax.Array, clamp_zero: bool = True) -> jax.Array:
     """Max filter with a full 3^nd footprint, constant-0 border.
 
     Implemented as one ``lax.reduce_window`` (XLA's windowed-reduce has a
     dedicated TPU lowering; one fused pass over HBM instead of one
     materialized 3-tap pass per axis — measured 12.4 -> 8.4 ms on the
-    (8,128,256,256) detection cube on v5e). The window reduction starts
-    from the 0 init value, so every output is additionally clamped to
-    >= 0; with the constant-0 border that is indistinguishable wherever
-    it matters: peak tests compare ``cube == max_filter`` only above a
-    positive threshold, and the distance transforms fed to the watershed
-    are nonnegative.
+    (8,128,256,256) detection cube on v5e). With ``clamp_zero`` the
+    window reduction starts from the 0 init value, so every output is
+    additionally clamped to >= 0; with the constant-0 border that is
+    indistinguishable wherever it matters: peak tests compare
+    ``cube == max_filter`` only above a positive threshold, and the
+    distance transforms fed to the watershed are nonnegative. Pass
+    ``clamp_zero=False`` for exact skimage ``maximum_filter``
+    (mode='constant', cval=0) semantics on inputs that go negative —
+    one explicit 0-pad, then an unclamped (-inf init) window reduce.
     """
     ndim = cube.ndim
+    if clamp_zero:
+        return jax.lax.reduce_window(
+            cube, jnp.asarray(0.0, cube.dtype), jax.lax.max,
+            (3,) * ndim, (1,) * ndim, [(1, 1)] * ndim)
+    padded = jnp.pad(cube, [(1, 1)] * ndim, constant_values=0)
     return jax.lax.reduce_window(
-        cube, jnp.asarray(0.0, cube.dtype), jax.lax.max,
-        (3,) * ndim, (1,) * ndim, [(1, 1)] * ndim)
+        padded, jnp.asarray(-jnp.inf, cube.dtype), jax.lax.max,
+        (3,) * ndim, (1,) * ndim, [(0, 0)] * ndim)
 
 
 def fused_peaks_fit(shape: Tuple[int, ...]) -> bool:
@@ -72,13 +80,23 @@ def find_peaks(
         ``values``: ``(capacity,)`` peak values (-inf past the count).
         ``count``: scalar int32 number of valid peaks (clipped to capacity).
     """
+    # the fused kernel's plane max assumes a positive threshold (its 0
+    # init clamps neighborhood maxima to >= 0); thresholds <= 0 take the
+    # XLA path with unclamped maxima for exact skimage semantics
+    positive_thresh = float(threshold) > 0
     if fused is None:
         fused = (cube.ndim == 4 and fused_peaks_fit(cube.shape)
+                 and positive_thresh
                  and jax.default_backend() not in ("cpu",))
     if fused:
+        if not positive_thresh:
+            raise ValueError(
+                "the fused peak finder requires threshold > 0 (its "
+                "plane-max kernel clamps neighborhood maxima to >= 0)")
         from magellanmapper_tpu.ops import pallas_kernels
         return pallas_kernels.find_peaks_fused(cube, threshold, capacity)
-    is_peak = (cube == max_filter_full(cube)) & (cube > threshold)
+    is_peak = (cube == max_filter_full(cube, clamp_zero=positive_thresh)) \
+        & (cube > threshold)
     count = jnp.minimum(jnp.sum(is_peak), capacity).astype(jnp.int32)
     flat_vals = jnp.where(is_peak, cube, -jnp.inf).reshape(-1)
     top_vals, top_idx = _sparse_top_k(flat_vals, capacity)

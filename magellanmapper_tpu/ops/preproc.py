@@ -37,7 +37,10 @@ def saturate(
     vmin, vmax = jnp.percentile(
         roi, jnp.asarray([clip_vmin, clip_vmax], jnp.float32))
     if max_thresh is not None:
-        vmax = jnp.maximum(vmax, jnp.float32(max_thresh))
+        # max_thresh may be a traced scalar (per-channel near-max rides
+        # the sharded step as data so channels batched over dp don't
+        # share one baked-in constant)
+        vmax = jnp.maximum(vmax, jnp.asarray(max_thresh, jnp.float32))
     degenerate = vmin >= vmax
     safe_span = jnp.where(degenerate, 1.0, vmax - vmin)
     scaled = (jnp.clip(roi, vmin, vmax) - vmin) / safe_span

@@ -115,13 +115,18 @@ def make_sharded_detector(
         raise ValueError(
             f"halo_y {halo_y} exceeds y-shard extent {shard_y}")
 
-    def per_shard(local: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        # local: (1, shard_z, shard_y, X) — dp-local entry, z/y shard
+    def per_shard(
+            local: jax.Array, mt: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        # local: (1, shard_z, shard_y, X) — dp-local entry, z/y shard;
+        # mt: (1,) per-dp-row max_thresh (traced, so channels batched
+        # over dp keep their own near-max instead of sharing row 0's)
         from magellanmapper_tpu.ops import filters, peaks
 
         vol = local[0]
         if preproc_items is not None:
-            vol = _preproc_one(vol, denoise_shape, preproc_items)
+            vol = _preproc_one(
+                vol, denoise_shape, preproc_items, max_thresh=mt[0])
         idx_z = jax.lax.axis_index("sp")
         extended = halo_exchange(vol, halo, axis=0, axis_name="sp")
         off_y = jnp.int32(0)
@@ -171,10 +176,23 @@ def make_sharded_detector(
 
     sharded = shard_map(
         per_shard, mesh=mesh,
-        in_specs=P("dp", "sp", "spy", None),
+        in_specs=(P("dp", "sp", "spy", None), P("dp")),
         out_specs=(P("dp", None, None), P("dp", None)),
         check_vma=False)
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+    static_mt = (dict(preproc_items).get("max_thresh", 0.0)
+                 if preproc_items is not None else 0.0)
+    dp = mesh.shape.get("dp", 1)
+
+    def step(volume: jax.Array,
+             max_thresh: Optional[jax.Array] = None):
+        if max_thresh is None:
+            mt = jnp.full((dp,), float(static_mt), jnp.float32)
+        else:
+            mt = jnp.asarray(max_thresh, jnp.float32).reshape((dp,))
+        return jitted(volume, mt)
+
+    return step
 
 
 def _round_up(value: int, multiple: int) -> int:
@@ -223,6 +241,7 @@ def detect_blobs_sharded_batch(
 
     denoise_shape = None
     prep = None
+    max_thresh_list: List[float] = []
     if preprocess:
         denoise_size = settings["denoise_size"]
         if denoise_size:
@@ -230,14 +249,24 @@ def detect_blobs_sharded_batch(
                 int(v) for v in np.ceil(
                     detector.calc_scaling_factor(resolutions)
                     * denoise_size).astype(int))
+        # near-max per volume: batch entries are distinct channels (the
+        # reference keeps per-channel config.near_max), so each gets its
+        # own saturation bound, threaded through the step as a traced
+        # per-dp-row array rather than a baked-in constant
         if near_max is None:
-            near_max = float(np.percentile(
-                volumes[0][::max(1, z // 16)], 99.5))
+            near_max_list = [
+                float(np.percentile(v[::max(1, z // 16)], 99.5))
+                for v in volumes]
+        elif np.isscalar(near_max):
+            near_max_list = [float(near_max)] * len(volumes)
+        else:
+            near_max_list = [float(v) for v in near_max]
+        factor = float(settings["max_thresh_factor"])
+        max_thresh_list = [nm * factor for nm in near_max_list]
         prep = (
             ("clip_vmin", float(settings["clip_vmin"])),
             ("clip_vmax", float(settings["clip_vmax"])),
-            ("max_thresh", float(
-                near_max * settings["max_thresh_factor"])),
+            ("max_thresh", max_thresh_list[0]),
             ("clip_min", float(settings["clip_min"])),
             ("clip_max", float(settings["clip_max"])),
             ("tot_var_denoise", float(
@@ -269,6 +298,8 @@ def detect_blobs_sharded_batch(
     n_true = len(padded)
     while len(padded) % dp:
         padded.append(padded[0])      # dp tail fill, dropped on return
+        if max_thresh_list:
+            max_thresh_list.append(max_thresh_list[0])
 
     capacity = int(settings["max_blobs_per_block"] or 4096)
     step = make_sharded_detector(
@@ -284,7 +315,9 @@ def detect_blobs_sharded_batch(
         for i0 in range(0, len(padded), dp):
             batch = jax.device_put(
                 jnp.asarray(np.stack(padded[i0:i0 + dp])), sharding)
-            raw, valid = step(batch)
+            mt = (np.asarray(max_thresh_list[i0:i0 + dp], np.float32)
+                  if max_thresh_list else None)
+            raw, valid = step(batch, mt)
             raw = np.asarray(raw)
             valid = np.asarray(valid)
             for bi in range(dp):

@@ -67,3 +67,36 @@ class TestMorphology:
     def test_footprints(self):
         assert filters.octahedron_footprint(1).sum() == 7
         assert filters.cube_footprint(3).sum() == 27
+
+
+class TestLogPyramidLongAxis:
+    def test_falls_back_to_taps_past_matmul_crossover(self):
+        """log_pyramid on a volume with an axis beyond _MATMUL_MAX_LEN
+        must not build dense (S, n, n) band stacks — the per-sigma
+        gaussian_laplace fallback matches scipy on every scale."""
+        rng = np.random.default_rng(11)
+        vol = rng.random((4, 6, filters._MATMUL_MAX_LEN + 32)
+                         ).astype(np.float32)
+        sigmas = [1.5, 2.5]
+        out = np.asarray(filters.log_pyramid(vol, sigmas))
+        for i, s in enumerate(sigmas):
+            want = -ndi.gaussian_laplace(
+                vol.astype(np.float64), s) * s * s
+            np.testing.assert_allclose(
+                out[i], want, atol=2e-4)
+
+
+class TestNegativeThresholdPeaks:
+    def test_find_peaks_negative_threshold_keeps_negative_peaks(self):
+        """Thresholds <= 0 must not clamp interior maxima to >= 0
+        (skimage maximum_filter mode='constant' only zero-pads the
+        border)."""
+        import jax.numpy as jnp
+        from magellanmapper_tpu.ops import peaks
+        cube = np.full((5, 7, 7), -2.0, np.float32)
+        cube[2, 3, 3] = -0.5        # interior local max, negative value
+        coords, vals, count = peaks.find_peaks(
+            jnp.asarray(cube), -1.0, 8)
+        assert int(count) == 1
+        np.testing.assert_array_equal(
+            np.asarray(coords)[0], (2, 3, 3))

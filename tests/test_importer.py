@@ -145,3 +145,28 @@ class TestCompressedTiff:
         assert lazy.shape == arr.shape
         np.testing.assert_array_equal(lazy.page(2), arr[2])
         np.testing.assert_array_equal(lazy[1:3], arr[1:3])
+
+
+class TestPredictor:
+    def test_unpredict_multisample_columns(self):
+        """Predictor-2 undo must accumulate across image columns per
+        sample for (h, w, spp) pages, not across the sample axis."""
+        from magellanmapper_tpu.io.tiff import _unpredict
+        rng = np.random.default_rng(5)
+        page = rng.integers(0, 200, (4, 6, 3)).astype(np.uint8)
+        diffed = page.copy()
+        diffed[:, 1:, :] = np.diff(page, axis=1)
+        np.testing.assert_array_equal(_unpredict(diffed, 2), page)
+        # single-sample pages accumulate across the trailing (column) axis
+        page2 = rng.integers(0, 200, (4, 6)).astype(np.uint16)
+        diffed2 = page2.copy()
+        diffed2[:, 1:] = np.diff(page2, axis=1)
+        np.testing.assert_array_equal(_unpredict(diffed2, 2), page2)
+
+    def test_unpredict_rejects_bad_inputs(self):
+        from magellanmapper_tpu.io.tiff import _unpredict
+        import pytest
+        with pytest.raises(ValueError):
+            _unpredict(np.zeros((2, 2), np.uint8), 3)
+        with pytest.raises(ValueError):
+            _unpredict(np.zeros((2, 2), np.float32), 2)

@@ -241,3 +241,27 @@ class TestShardedDpBatch:
         res = halo.detect_blobs_sharded_batch(
             [vol], prof, (1.0, 1.0, 1.0), mesh=m_dp)
         assert len(res) == 1 and res[0] is not None
+
+    def test_per_channel_near_max(self):
+        """With preprocess=True, dp-batched channels of very different
+        intensity scales must each saturate with their OWN near-max.
+        A dim channel (0.01x) saturated against the bright channel's
+        near-max would be squashed to ~0 and lose all its blobs (the
+        pre-fix behavior baked volume 0's near-max into the step)."""
+        vol, _ = _nuclei(53, (32, 32, 32), 10)
+        prof = ROIProfile()
+        prof["min_sigma_factor"] = 2.0
+        prof["max_sigma_factor"] = 4.0
+        prof["num_sigma"] = 4
+        prof["denoise_size"] = 16
+        prof["max_blobs_per_block"] = 256
+        m_dp = mesh_mod.make_mesh(8, dp=2, sp=4)
+        res = halo.detect_blobs_sharded_batch(
+            [vol, vol * 0.01], prof, (1.0, 1.0, 1.0), mesh=m_dp,
+            preprocess=True)
+        assert res[0] is not None and res[1] is not None
+        # saturation normalizes each channel by its own near-max, so the
+        # scaled channel detects the same blobs at the same coordinates
+        a = set(map(tuple, np.round(res[0][:, :3], 2)))
+        b = set(map(tuple, np.round(res[1][:, :3], 2)))
+        assert len(a & b) >= 0.95 * max(len(a), len(b))

@@ -300,6 +300,11 @@ class TestElastixFeatureParity:
                           (2.0, 2.0, 1.0), (1.0, 1.0, 1.0)]
         assert reg_engine._parse_grid_schedule([4, 2, 1], 99) == [
             (4.0,) * 3, (2.0,) * 3, (1.0,) * 3]
+        # exactly-ndim schedules with repeated values are ONE
+        # per-dimension level (reference register.py:408 heuristic),
+        # not ndim isotropic levels
+        assert reg_engine._parse_grid_schedule([2, 2, 1], 99) == [
+            (2.0, 2.0, 1.0)]
 
     def test_grid_spacing_schedule_relattices(self):
         """A schedule must change the control lattice across levels and
