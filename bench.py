@@ -19,6 +19,22 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (verified working through the
+    axon remote backend): repeated bench runs skip the multi-minute
+    remote compiles, which previously dominated the registration
+    full-schedule wall time (BENCH_r02: 145 s total for ~25 s of
+    optimizer steps)."""
+    import jax
+    cache_dir = os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def make_volume(shape=(128, 256, 256), n_blobs=600, seed=0):
     rng = np.random.default_rng(seed)
     vol = rng.normal(scale=0.02, size=shape).astype(np.float32)
@@ -178,10 +194,18 @@ def bench_block_path(shape=(128, 512, 512), n_blobs=1500, seed=1):
     return e2e, dev, dev_nopre, n
 
 
-def bench_registration_dsc(shape=(64, 96, 96)):
-    """Full 3-stage schedule (translation/affine/bspline, Mattes-MI) on a
-    synthetic affine-warped pair; returns ``(wall_s, dsc)`` — the DSC gate
-    the reference computes per run (``register.py:1001-1016``)."""
+def bench_registration_dsc(shape=(160, 240, 200)):
+    """The TRUE Elastix-default schedule on an atlas-scale pair.
+
+    translation 2048 / affine 1024 / bspline 512 iterations, 4
+    resolutions, B-spline grid 50 voxels — the reference's default
+    effort (``/root/reference/magmap/settings/atlas_prof.py:56,61,67``;
+    Elastix runs ``MaximumNumberOfIterations`` at EVERY resolution).
+    Runs the constant-shape smoothing pyramid (one compiled program per
+    stage; Elastix ``FixedSmoothingImagePyramid`` semantics). Returns
+    ``(wall_s, dsc)`` — the DSC gate the reference computes per run
+    (``register.py:1001-1016``).
+    """
     import jax.numpy as jnp
     from magellanmapper_tpu.atlas import reg_engine, transform
     from magellanmapper_tpu.settings.atlas_prof import (
@@ -191,23 +215,22 @@ def bench_registration_dsc(shape=(64, 96, 96)):
     zz, yy, xx = np.indices(shape).astype(np.float32)
     fixed = np.zeros(shape, np.float32)
     for cz, cy, cx in np.column_stack(
-            [rng.uniform(10, s - 10, 40) for s in shape]):
-        fixed += np.exp(-((zz-cz)**2 + (yy-cy)**2 + (xx-cx)**2) / 24.0)
+            [rng.uniform(10, s - 10, 160) for s in shape]):
+        fixed += np.exp(-((zz-cz)**2 + (yy-cy)**2 + (xx-cx)**2) / 40.0)
     fixed /= fixed.max()
     true_aff = {"W": jnp.asarray(np.diag([0.08, -0.05, 0.06])),
                 "t": jnp.asarray([3.0, -2.0, 2.0])}
     moving = np.asarray(transform.resample(
         jnp.asarray(fixed), true_aff, "affine", shape))
 
-    # 2 resolutions per stage to bound first-run remote compiles (each
-    # level is its own XLA program; the tunnel caches them afterwards)
     prof = AtlasProfile()
     prof["reg_translation"] = make_reg_param_map(
-        "translation", 256, num_resolutions=2)
+        "translation", 2048, num_resolutions=4, pyramid_mode="smoothing")
     prof["reg_affine"] = make_reg_param_map(
-        "affine", 256, num_resolutions=2)
+        "affine", 1024, num_resolutions=4, pyramid_mode="smoothing")
     prof["reg_bspline"] = make_reg_param_map(
-        "bspline", 128, grid_space_voxels=24, num_resolutions=2)
+        "bspline", 512, grid_space_voxels=50, num_resolutions=4,
+        pyramid_mode="smoothing")
     t0 = time.perf_counter()
     moved, result = reg_engine.register_duo(fixed, moving, prof)
     wall = time.perf_counter() - t0
@@ -250,6 +273,7 @@ def bench_registration(shape=(64, 96, 96), iters=192):
 
 
 def main():
+    _enable_compile_cache()
     shape = (128, 256, 256)
     sigmas = np.linspace(2.0, 4.0, 8)
     threshold, overlap, capacity = 0.1, 0.5, 8192
@@ -310,7 +334,12 @@ def main():
             "registration_iters_per_s": reg_ips,
             "registration_bench": "affine stage, Mattes-MI, (64,96,96)",
             "registration_full_schedule_s": reg_wall,
-            "registration_full_schedule_dsc": reg_dsc},
+            "registration_full_schedule_dsc": reg_dsc,
+            "registration_full_schedule": (
+                "TRUE Elastix defaults: translation 2048 / affine 1024 / "
+                "bspline 512 iters x 4 resolutions (full max_iter per "
+                "level), grid 50 vx, Mattes-MI, (160,240,200) pair, "
+                "constant-shape smoothing pyramid")},
     }))
 
 

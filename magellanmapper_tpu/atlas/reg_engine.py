@@ -35,12 +35,50 @@ _LEARNING_RATES = {"t": 1.0, "W": 0.01, "grid": 0.5}
 
 
 def _pyramid(img: jnp.ndarray, levels: int) -> List[jnp.ndarray]:
-    """Gaussian pyramid, coarsest first (Elastix smoothing pyramid)."""
+    """Gaussian pyramid, coarsest first (Elastix recursive pyramid)."""
     out = [img]
     for _ in range(levels - 1):
         smoothed = filters.gaussian_filter(out[0], 1.0, mode="nearest")
         out.insert(0, smoothed[::2, ::2, ::2])
     return out
+
+
+def _smoothing_pyramid(img: jnp.ndarray, levels: int) -> List[jnp.ndarray]:
+    """Constant-shape smoothing pyramid, coarsest first.
+
+    Elastix ``FixedSmoothingImagePyramid`` semantics: level ``lvl`` is the
+    full-resolution image smoothed with ``sigma = 2^(levels-1-lvl) / 2``
+    (half the default ``ImagePyramidSchedule`` factor), NOT downsampled.
+    Because every level shares the image shape, all levels of a stage
+    reuse ONE compiled XLA program (iteration counts are traced) — the
+    downsampling pyramid compiles one program per level, and over the
+    remote-TPU link compile time dominated the reduced round-2 schedule
+    (BENCH_r02 145 s for ~25 s of optimizer steps).
+    """
+    out = []
+    for lvl in range(levels):
+        sigma = (2.0 ** (levels - 1 - lvl)) / 2.0
+        out.append(filters.gaussian_filter(img, sigma, mode="nearest"))
+    return out
+
+
+def _erode_mask_by(mask: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Binary erosion by a cube of half-width ``radius`` (separable
+    min via ``reduce_window``)."""
+    m = (jnp.asarray(mask) > 0).astype(jnp.float32)
+    if radius < 1:
+        return m > 0.5
+    w = 2 * radius + 1
+    for ax in range(3):
+        window = [1, 1, 1]
+        strides = [1, 1, 1]
+        window[ax] = w
+        pads = [(0, 0)] * 3
+        pads[ax] = (radius, radius)
+        m = jax.lax.reduce_window(
+            m, jnp.float32(1.0), jax.lax.min, tuple(window),
+            tuple(strides), pads)
+    return m > 0.5
 
 
 def _scale_params(params: Dict, factor: float, kind: str) -> Dict:
@@ -235,9 +273,17 @@ def register_stage(
 
     fixed = jnp.asarray(fixed, jnp.float32)
     moving = jnp.asarray(moving, jnp.float32)
+    #: "smoothing" = constant-shape Elastix FixedSmoothingImagePyramid:
+    #: every level shares one compiled program and runs the stage's FULL
+    #: max_iter (Elastix runs MaximumNumberOfIterations per resolution);
+    #: "downsample" (default) = recursive half-res pyramid with the
+    #: legacy decayed iteration schedule.
+    smoothing = str(stage.get("pyramid_mode") or "downsample") \
+        == "smoothing"
     # limit pyramid so the coarsest level keeps >= 8 voxels per axis
     max_levels = int(np.floor(np.log2(max(min(fixed.shape) / 8, 1)))) + 1
-    levels = max(1, min(levels, max_levels))
+    if not smoothing:
+        levels = max(1, min(levels, max_levels))
 
     sched_levels = None
     gsv = None
@@ -251,16 +297,37 @@ def register_stage(
         else:
             sched_levels = [(1.0, 1.0, 1.0)] * levels
 
-    pyr_f = _pyramid(fixed, levels)
-    pyr_m = _pyramid(moving, levels)
-    mask_pyr = None
-    if fixed_mask is not None:
-        mask_pyr = _mask_pyramid(
-            fixed_mask, levels, bool(stage.get("erode_mask")))
-    mov_mask_pyr = None
-    if moving_mask is not None:
-        mov_mask_pyr = _mask_pyramid(
-            moving_mask, levels, bool(stage.get("erode_mask")))
+    if smoothing:
+        pyr_f = _smoothing_pyramid(fixed, levels)
+        pyr_m = _smoothing_pyramid(moving, levels)
+        erode = bool(stage.get("erode_mask"))
+
+        def smooth_masks(mask):
+            m = jnp.asarray(mask) > 0
+            out = []
+            for lvl in range(levels):
+                if erode:
+                    sigma = (2.0 ** (levels - 1 - lvl)) / 2.0
+                    out.append(_erode_mask_by(m, int(4 * sigma + 0.5)))
+                else:
+                    out.append(m)
+            return out
+
+        mask_pyr = (smooth_masks(fixed_mask)
+                    if fixed_mask is not None else None)
+        mov_mask_pyr = (smooth_masks(moving_mask)
+                        if moving_mask is not None else None)
+    else:
+        pyr_f = _pyramid(fixed, levels)
+        pyr_m = _pyramid(moving, levels)
+        mask_pyr = None
+        if fixed_mask is not None:
+            mask_pyr = _mask_pyramid(
+                fixed_mask, levels, bool(stage.get("erode_mask")))
+        mov_mask_pyr = None
+        if moving_mask is not None:
+            mov_mask_pyr = _mask_pyramid(
+                moving_mask, levels, bool(stage.get("erode_mask")))
 
     # reference gates the point metric on the stage's point_based key
     # (register.py:583); explicit pts passed by an API caller default on
@@ -272,7 +339,7 @@ def register_stage(
 
     def level_spacing(lvl: int):
         """B-spline control spacing at level ``lvl``, in level voxels."""
-        level_factor = 2.0 ** (levels - 1 - lvl)
+        level_factor = 1.0 if smoothing else 2.0 ** (levels - 1 - lvl)
         return tuple(
             gsv * sched_levels[lvl][ax] / level_factor for ax in range(3))
 
@@ -290,7 +357,7 @@ def register_stage(
             params = transform.identity_params(kind, grid_shape)
 
     # scale warm-start voxel params down to the coarsest level
-    coarse_factor = 2.0 ** (levels - 1)
+    coarse_factor = 1.0 if smoothing else 2.0 ** (levels - 1)
     params = _scale_params(params, 1.0 / coarse_factor, kind)
     pre = pre_affine
     if pre is not None:
@@ -299,16 +366,17 @@ def register_stage(
     loss = np.inf
     prev_sp = level_spacing(0) if kind == "bspline" else None
     for lvl, (f_l, m_l) in enumerate(zip(pyr_f, pyr_m)):
-        level_factor = 2.0 ** (levels - 1 - lvl)
+        level_factor = 1.0 if smoothing else 2.0 ** (levels - 1 - lvl)
         sp = None
         if kind == "bspline":
             sp = level_spacing(lvl)
             gshape = transform.bspline_grid_shape(f_l.shape, sp)
             if tuple(params["grid"].shape[1:]) != gshape:
                 # grid_spacing_schedule: re-lattice control points
-                # (prev spacing in THIS level's voxels is 2x its own)
-                old_sp = tuple(2.0 * s for s in prev_sp) \
-                    if lvl > 0 else prev_sp
+                # (prev spacing in THIS level's voxels is 2x its own in
+                # the downsampling pyramid; unchanged in smoothing mode)
+                old_sp = prev_sp if smoothing or lvl == 0 \
+                    else tuple(2.0 * s for s in prev_sp)
                 params = {"grid": transform.resample_grid(
                     params["grid"], old_sp, gshape, sp)}
             prev_sp = sp
@@ -316,7 +384,10 @@ def register_stage(
                  if pre is not None else None)
         lrs = tuple(sorted(
             (k, _LEARNING_RATES.get(k, 1.0)) for k in params))
-        iters = max(1, max_iter // (2 ** lvl))
+        # Elastix runs the stage's full MaximumNumberOfIterations at
+        # every resolution; the downsampling mode keeps the legacy
+        # decayed schedule (coarse levels get the full budget)
+        iters = max_iter if smoothing else max(1, max_iter // (2 ** lvl))
         max_samples = int(
             stage.get("num_spatial_samples") or _MAX_METRIC_SAMPLES)
         stride = _metric_stride(f_l.shape, max_samples)
@@ -333,7 +404,7 @@ def register_stage(
         params, loss = _optimize_level(
             f_l, m_l, params, pre_l, kind, metric, iters, sp, lrs,
             stride, fixed_mask=mask_l, moving_mask=mov_mask_l, **pts_args)
-        if lvl < levels - 1:
+        if not smoothing and lvl < levels - 1:
             params = _scale_params(params, 2.0, kind)
     return params, float(loss)
 

@@ -47,11 +47,25 @@ def _coords(shape: Sequence[int],
     ranges = [jnp.arange(0, s, st, dtype=jnp.float32)
               for s, st in zip(shape, stride)]
     if offset is not None:
-        ranges = [jnp.minimum(r + offset[ax].astype(jnp.float32),
-                              jnp.float32(shape[ax] - 1))
+        starts = _clamped_starts(shape, stride, offset)
+        ranges = [r + starts[ax].astype(jnp.float32)
                   for ax, r in enumerate(ranges)]
     zz, yy, xx = jnp.meshgrid(*ranges, indexing="ij")
     return jnp.stack([zz, yy, xx])
+
+
+def _clamped_starts(shape, stride, offset):
+    """Per-axis jitter starts clamped so the whole strided window stays
+    in bounds (lets :func:`strided_sample` use one ``dynamic_slice``
+    instead of a 3-axis gather — the gather cost ~10% of a Mattes-MI
+    optimizer step on v5e)."""
+    out = []
+    for ax, (s, st) in enumerate(zip(shape, stride)):
+        n = -(-s // st)
+        window = (n - 1) * st + 1
+        out.append(jnp.minimum(
+            offset[ax], jnp.int32(max(s - window, 0))).astype(jnp.int32))
+    return out
 
 
 def strided_sample(
@@ -61,11 +75,12 @@ def strided_sample(
     the fixed-image counterpart of ``resample(..., stride, offset)``."""
     if offset is None:
         return vol[::stride[0], ::stride[1], ::stride[2]]
-    idx = [jnp.minimum(
-        jnp.arange(0, s, st) + offset[ax], s - 1)
-        for ax, (s, st) in enumerate(zip(vol.shape, stride))]
-    return vol[idx[0][:, None, None], idx[1][None, :, None],
-               idx[2][None, None, :]]
+    starts = _clamped_starts(vol.shape, stride, offset)
+    sizes = tuple(
+        (-(-s // st) - 1) * st + 1
+        for s, st in zip(vol.shape, stride))
+    window = jax.lax.dynamic_slice(vol, starts, sizes)
+    return window[::stride[0], ::stride[1], ::stride[2]]
 
 
 def cubic_bspline(u: np.ndarray) -> np.ndarray:

@@ -34,7 +34,8 @@ def make_reg_param_map(
         map_name: str, max_iter: int, metric="AdvancedMattesMutualInformation",
         num_resolutions: int = 4, grid_space_voxels=None,
         grid_spacing_schedule=None, erode_mask=False, point_based=False,
-        learning_rate=None, num_spatial_samples=None) -> dict:
+        learning_rate=None, num_spatial_samples=None,
+        pyramid_mode=None) -> dict:
     """One registration stage's parameters as a plain dict.
 
     Key names follow the reference ``RegParamMap`` so YAML atlas profiles
@@ -53,6 +54,10 @@ def make_reg_param_map(
         "point_based": point_based,
         "learning_rate": learning_rate,
         "num_spatial_samples": num_spatial_samples,
+        # "smoothing" = constant-shape FixedSmoothingImagePyramid (one
+        # compiled program per stage, full max_iter per level);
+        # None/"downsample" = recursive half-res pyramid
+        "pyramid_mode": pyramid_mode,
     }
 
 

@@ -403,3 +403,32 @@ class TestGroupwiseBspline:
         var_aff = group_var(per_aff, bspline=False)
         var_bs = group_var(per_img, bspline=True)
         assert var_bs < var_aff
+
+
+class TestSmoothingPyramid:
+    def test_smoothing_mode_registers_with_one_program_per_stage(self):
+        """pyramid_mode='smoothing' (constant-shape Elastix
+        FixedSmoothingImagePyramid) must register as well as the
+        downsampling pyramid while compiling ONE program per stage
+        (all levels share shapes; iteration counts are traced)."""
+        rng = np.random.default_rng(7)
+        shape = (32, 40, 36)
+        fixed = blobby_volume(seed=7, shape=shape, n=20)
+        true_t = {"t": jnp.asarray([2.0, -1.5, 1.0])}
+        moving = np.asarray(transform.resample(
+            jnp.asarray(fixed), true_t, "translation", shape))
+
+        from magellanmapper_tpu.settings.atlas_prof import (
+            AtlasProfile, make_reg_param_map)
+        prof = AtlasProfile()
+        prof["reg_translation"] = make_reg_param_map(
+            "translation", 48, num_resolutions=3,
+            pyramid_mode="smoothing")
+        prof["reg_affine"] = make_reg_param_map(
+            "affine", 48, num_resolutions=3, pyramid_mode="smoothing")
+        prof["reg_bspline"] = None
+        n0 = reg_engine._optimize_level._cache_size()
+        moved, result = reg_engine.register_duo(fixed, moving, prof)
+        n_compiled = reg_engine._optimize_level._cache_size() - n0
+        assert n_compiled <= 2, n_compiled
+        assert result.metrics["dsc_fixed_moved"] > 0.85
