@@ -34,6 +34,7 @@ LABEL_METRICS = (
     "LowIntensity", "HighIntensity", "VarNuclei", "MeanNuclei",
     "CoefVarIntens", "CoefVarNuc", "EdgeSize", "EdgeDistSum",
     "EdgeDistMean", "SurfaceArea", "Compactness", "VolDSC", "NucDSC",
+    "NucCluster", "NucClusNoise", "NucClusLarg",
 )
 
 
@@ -69,7 +70,10 @@ def measure_labels_metrics(
         label_ids: Optional[Sequence[int]] = None,
         combine_sides: bool = True,
         labels_ref: Optional[ontology.LabelsRef] = None,
-        level: Optional[int] = None) -> pd.DataFrame:
+        level: Optional[int] = None,
+        blobs: Optional[np.ndarray] = None,
+        cluster_eps: float = 20.0,
+        cluster_minpts: int = 5) -> pd.DataFrame:
     """Measure per-label metrics (reference ``measure_labels_metrics``).
 
     Args:
@@ -83,6 +87,14 @@ def measure_labels_metrics(
         combine_sides: treat -id and +id as one region.
         labels_ref: loaded ontology for optional level aggregation.
         level: ontology level to remap labels to before measuring.
+        blobs: optional blob array for per-region point-cloud cluster
+            columns (reference ``MeasureLabel.measure_point_cloud``,
+            ``vols.py:688``): column 3 = label ID; column 4, when
+            present, = precomputed DBSCAN cluster ID (noise = -1, the
+            ``clustering.cluster_by_label`` output); otherwise each
+            region is DBSCAN-clustered here with
+            ``cluster_eps``/``cluster_minpts`` (profile
+            ``dbscan_eps``/``dbscan_minpts``).
 
     Returns:
         DataFrame with one row per label, reference column names.
@@ -162,6 +174,35 @@ def measure_labels_metrics(
     sa = _surface_areas(work, ids, spacing)
     compactness = np.divide(sa ** 1.5, np.maximum(volume, 1e-12))
 
+    # per-region point-cloud cluster metrics (reference
+    # measure_point_cloud -> NucCluster/NucClusNoise/NucClusLarg)
+    nuc_cluster = np.full(n, np.nan)
+    nuc_noise = np.full(n, np.nan)
+    nuc_larg = np.full(n, np.nan)
+    if blobs is not None and len(blobs) > 0:
+        from magellanmapper_tpu.stats import clustering
+        b = np.asarray(blobs)
+        blob_lbl = b[:, 3].astype(int)
+        if combine_sides:
+            blob_lbl = np.abs(blob_lbl)
+        if b.shape[1] > 4:
+            clus = b[:, 4].astype(int)
+        else:
+            clus = np.full(len(b), -1, dtype=int)
+            for lid in ids:
+                m = blob_lbl == lid
+                if m.any():
+                    clus[m] = clustering.cluster_dbscan(
+                        b[m, :3], cluster_eps, cluster_minpts)
+        for i, lid in enumerate(ids):
+            m = blob_lbl == lid
+            if not m.any():
+                continue
+            ncl, nns, nlg = clustering.cluster_dbscan_metrics(clus[m])
+            nuc_cluster[i] = ncl
+            nuc_noise[i] = nns
+            nuc_larg[i] = nlg
+
     df = pd.DataFrame({
         "Region": ids,
         "Volume": volume,
@@ -184,6 +225,9 @@ def measure_labels_metrics(
         "EdgeDistMean": edge_mean,
         "SurfaceArea": sa,
         "Compactness": compactness,
+        "NucCluster": nuc_cluster,
+        "NucClusNoise": nuc_noise,
+        "NucClusLarg": nuc_larg,
     })
     if labels_ref is not None and labels_ref.ref_lookup is not None:
         df["RegionName"] = [
@@ -417,9 +461,11 @@ class MeasureLabel:
         self.atlas_img_np = atlas_img_np
         self.labels_img_np = labels_img_np
         self.heat_map = heat_map
+        self.blobs = blobs
         self.spacing = spacing
 
     def measure(self, **kwargs) -> pd.DataFrame:
+        kwargs.setdefault("blobs", self.blobs)
         return measure_labels_metrics(
             self.atlas_img_np, self.labels_img_np,
             heat_map=self.heat_map, spacing=self.spacing, **kwargs)

@@ -274,3 +274,69 @@ class TestVisualizerTabWorkflows:
         vis = Visualization()
         with pytest.raises(FileNotFoundError):
             vis.open_brain_globe("nope_atlas", cache_dir=str(tmp_path))
+
+
+class TestClrstatsModels:
+    """Regression models of the reference kModel family
+    (clrstats/R/clrstats.R:92 fitModel: logit / gee / linregr)."""
+
+    @staticmethod
+    def _frame(seed=0, n_samples=16, sep=3.0):
+        rng = np.random.default_rng(seed)
+        rows = []
+        for s in range(n_samples):
+            cond = "wt" if s < n_samples // 2 else "ko"
+            for side in ("L", "R"):
+                # region 1 separates the conditions; region 2 is null
+                rows.append({"Sample": s, "Condition": cond,
+                             "Side": side, "Region": 1,
+                             "Volume": rng.normal(
+                                 sep if cond == "ko" else 0.0, 1.0)})
+                rows.append({"Sample": s, "Condition": cond,
+                             "Side": side, "Region": 2,
+                             "Volume": rng.normal(0.0, 1.0)})
+        import pandas as pd
+        return pd.DataFrame(rows)
+
+    @pytest.mark.parametrize("model", ["logit", "gee", "linregr"])
+    def test_separating_region_significant_null_region_not(self, model):
+        # moderate separation: near-perfect separation degenerates the
+        # logit Wald test (Hauck-Donner), as it would in R glm
+        df = self._frame(n_samples=24, sep=1.2)
+        out = clrstats.meas_group_stats(
+            df, "Volume", conds=("wt", "ko"), model=model)
+        out = out.set_index("Region")
+        assert out.loc[1, "P"] < 0.05
+        assert out.loc[2, "P"] > 0.05
+        # effect direction: higher volume -> ko (positive coefficient)
+        assert out.loc[1, "Effect"] > 0
+
+    def test_gee_clusters_widen_errors(self):
+        """Duplicating each sample's rows must NOT shrink GEE p-values
+        the way it shrinks independence-logit p-values (the clustered
+        sandwich sees the duplicates as correlated)."""
+        df = self._frame(seed=1, n_samples=12, sep=0.8)
+        import pandas as pd
+        df_dup = pd.concat([df, df], ignore_index=True)
+        p_logit = clrstats.meas_group_stats(
+            df_dup, "Volume", conds=("wt", "ko"),
+            model="logit").set_index("Region").loc[1, "P"]
+        p_gee = clrstats.meas_group_stats(
+            df_dup, "Volume", conds=("wt", "ko"),
+            model="gee").set_index("Region").loc[1, "P"]
+        assert p_gee > p_logit
+
+    def test_logit_matches_closed_form_balance(self):
+        """With a symmetric predictor the logit slope must match the
+        sign/magnitude expected from the group separation; cross-check
+        the IRLS fit against scipy's logistic fit on the same design."""
+        rng = np.random.default_rng(4)
+        x = np.concatenate([rng.normal(0, 1, 200), rng.normal(2, 1, 200)])
+        y = np.concatenate([np.zeros(200), np.ones(200)])
+        X = np.column_stack([np.ones_like(x), x])
+        beta, cov = clrstats._fit_logit_irls(X, y)
+        # gradient at the optimum must vanish (IRLS converged)
+        mu = 1 / (1 + np.exp(-(X @ beta)))
+        grad = X.T @ (y - mu)
+        assert np.max(np.abs(grad)) < 1e-5
+        assert 1.0 < beta[1] < 3.5

@@ -179,3 +179,48 @@ def test_levels_aggregation_concat(aba_ref):
     lvl1 = df[df.Level == 1]
     assert set(lvl1["Region"]) == {2}
     assert lvl1.iloc[0]["VolPx"] == 216
+
+
+class TestClusterMetricsInRegionalEngine:
+    """Per-region point-cloud cluster columns (reference
+    MeasureLabel.measure_point_cloud, vols.py:688 -> NucCluster /
+    NucClusNoise / NucClusLarg in measure_labels_metrics)."""
+
+    def test_cluster_columns_from_precomputed_ids(self):
+        labels = np.full((8, 8, 8), 2, np.int32)
+        # blob rows: z, y, x, label_id, cluster_id
+        blobs = np.array([
+            [1, 1, 1, 2, 0], [1, 1, 2, 2, 0], [1, 2, 1, 2, 0],
+            [5, 5, 5, 2, 1], [5, 5, 6, 2, 1],
+            [7, 0, 0, 2, -1],                      # noise
+        ], float)
+        df = vols.measure_labels_metrics(
+            None, labels, blobs=blobs).set_index("Region")
+        assert df.loc[2, "NucCluster"] == 2
+        assert df.loc[2, "NucClusNoise"] == 1
+        assert df.loc[2, "NucClusLarg"] == 3
+
+    def test_cluster_columns_via_dbscan(self):
+        """Without a cluster column the engine DBSCANs each region."""
+        labels = np.zeros((16, 16, 16), np.int32)
+        labels[:8] = 1
+        labels[8:] = 2
+        rng = np.random.default_rng(0)
+        tight = rng.normal((4, 8, 8), 0.5, (12, 3))     # one dense cluster
+        spread = rng.uniform(8, 15, (6, 3))             # sparse -> noise
+        blobs = np.vstack([
+            np.column_stack([tight, np.full(12, 1)]),
+            np.column_stack([spread, np.full(6, 2)]),
+        ])
+        df = vols.measure_labels_metrics(
+            None, labels, blobs=blobs, cluster_eps=2.0,
+            cluster_minpts=4).set_index("Region")
+        assert df.loc[1, "NucCluster"] == 1
+        assert df.loc[1, "NucClusLarg"] == 12
+        assert df.loc[2, "NucCluster"] == 0
+        assert df.loc[2, "NucClusNoise"] == 6
+
+    def test_no_blobs_leaves_nan(self):
+        labels = np.full((4, 4, 4), 3, np.int32)
+        df = vols.measure_labels_metrics(None, labels)
+        assert np.isnan(df.iloc[0]["NucCluster"])
