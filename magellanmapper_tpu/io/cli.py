@@ -66,6 +66,13 @@ class RunConfig:
     #: a TPU-native addition with no reference analog (the reference's
     #: scale-out is "rent a bigger box", stack_detect.py:406 TODO)
     mesh: Optional[List[int]] = None
+    #: cloud tasks (reference cli.py:330-335, process_tasks :893)
+    ec2_start: Optional[List[object]] = None
+    ec2_list: Optional[List[object]] = None
+    ec2_terminate: Optional[List[str]] = None
+    notify_url: Optional[str] = None
+    notify_msg: Optional[str] = None
+    notify_attach: Optional[str] = None
 
     def get_roi_profile(self, channel: int) -> ROIProfile:
         if self.roi_profiles and channel < len(self.roi_profiles):
@@ -152,6 +159,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--savefig", help="figure file format")
     p.add_argument("--groups", nargs="*", help="group names")
     p.add_argument("-v", "--verbose", nargs="*", help="verbosity")
+    p.add_argument(
+        "--ec2_start", nargs="*",
+        help="AWS EC2 instance start: tag_name, ami_id, instance_type, "
+             "subnet_id, sec_group, key_name, [count[, snapshot_ids...]]")
+    p.add_argument("--ec2_list", nargs="*", help="AWS EC2 instance list")
+    p.add_argument(
+        "--ec2_terminate", nargs="*",
+        help="AWS EC2 instance IDs to terminate")
+    p.add_argument(
+        "--notify", nargs="*",
+        help="notification: URL [message [attachment-file]]")
     return p
 
 
@@ -220,6 +238,19 @@ def process_cli_args(argv: Optional[Sequence[str]] = None) -> RunConfig:
         rc.truth_db = args.truth_db[-1]
     rc.df_task = args.df
     rc.plot_2d_task = args.plot_2d
+    # cloud tasks (reference cli.py:673-695)
+    if args.ec2_start is not None:
+        rc.ec2_start = args_with_dict(args.ec2_start)
+    if args.ec2_list is not None:
+        rc.ec2_list = args_with_dict(args.ec2_list)
+    if args.ec2_terminate:
+        rc.ec2_terminate = args.ec2_terminate
+    if args.notify:
+        rc.notify_url = args.notify[0]
+        if len(args.notify) > 1:
+            rc.notify_msg = args.notify[1]
+        if len(args.notify) > 2:
+            rc.notify_attach = args.notify[2]
     return rc
 
 
@@ -229,19 +260,63 @@ def process_cli_args(argv: Optional[Sequence[str]] = None) -> RunConfig:
 
 def process_tasks(rc: RunConfig) -> Optional[object]:
     """Dispatch parsed tasks (reference ``process_tasks :874``);
-    priority: register > grid search > proc."""
+    priority: register > notify > plot/df/grid > ec2 > proc."""
     if rc.register_type is not None:
         return _process_register(rc)
+    if rc.notify_url:
+        return _process_notify(rc)
     if rc.plot_2d_task:
         return _plot_2d(rc)
     if rc.df_task:
         return _df_task(rc)
     if rc.grid_search:
         return _grid_search(rc)
+    if rc.ec2_start or rc.ec2_list or rc.ec2_terminate:
+        return _process_aws(rc)
     if rc.proc is not None:
         return process_file(rc)
     _logger.info("no task specified; see --proc / --register")
     return None
+
+
+def _process_notify(rc: RunConfig):
+    """Webhook notification task (reference ``notify.main``, dispatched
+    from ``process_tasks :885``)."""
+    from magellanmapper_tpu.cloud import notify
+    return notify.post(
+        rc.notify_url, rc.notify_msg or "", rc.notify_attach)
+
+
+def _process_aws(rc: RunConfig):
+    """EC2 tasks (reference ``aws.main``, dispatched from
+    ``process_tasks :893``); boto3 import is deferred so cloud deps
+    stay optional."""
+    from magellanmapper_tpu.cloud import aws
+    out = None
+    if rc.ec2_start:
+        # reference aws.main: positional tag_name, ami_id, instance_type,
+        # subnet_id, sec_group, key_name, [count], trailing key=val dict
+        pos = [a for a in rc.ec2_start if not isinstance(a, dict)]
+        kwargs = {}
+        for a in rc.ec2_start:
+            if isinstance(a, dict):
+                kwargs.update(a)
+        count = int(pos[6]) if len(pos) > 6 else 1
+        out = aws.start_instances(
+            image_id=pos[1] if len(pos) > 1 else kwargs.pop("ami_id"),
+            instance_type=(pos[2] if len(pos) > 2
+                           else kwargs.pop("instance_type")),
+            count=count,
+            key_name=pos[5] if len(pos) > 5 else kwargs.pop(
+                "key_name", None))
+    if rc.ec2_list:
+        pos = [a for a in rc.ec2_list if not isinstance(a, dict)]
+        state = pos[0] if pos else "running"
+        out = aws.show_instances(state)
+    if rc.ec2_terminate:
+        aws.terminate_instances(rc.ec2_terminate)
+        out = rc.ec2_terminate
+    return out
 
 
 def _load_image(rc: RunConfig):

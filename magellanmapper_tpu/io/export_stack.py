@@ -64,7 +64,14 @@ def _save_plane(plane: np.ndarray, path: str) -> None:
 def animate_imgs(
         image: np.ndarray, out_path: str, fps: int = 10,
         channel: Optional[int] = None) -> str:
-    """Animate z-planes into a GIF (reference ``animate_imgs :277``)."""
+    """Animate z-planes into a GIF or MP4 (reference
+    ``animate_imgs :277`` writes both formats).
+
+    ``.mp4`` paths use Matplotlib's FFMpegWriter when an ``ffmpeg``
+    binary is available, falling back to a ``.gif`` (PillowWriter, no
+    external dependency) with a warning otherwise; any other extension
+    writes a GIF.
+    """
     vol = image[0] if image.ndim >= 4 and image.shape[0] == 1 else image
     multichannel = vol.ndim > 3
     fig, ax = plt.subplots()
@@ -86,6 +93,15 @@ def animate_imgs(
 
     anim = animation.FuncAnimation(
         fig, update, frames=vol.shape[0], blit=True)
+    if out_path.endswith(".mp4"):
+        if animation.FFMpegWriter.isAvailable():
+            anim.save(out_path, writer=animation.FFMpegWriter(fps=fps))
+            plt.close(fig)
+            _logger.info("saved animation to %s", out_path)
+            return out_path
+        _logger.warning(
+            "ffmpeg not available; writing GIF instead of %s", out_path)
+        out_path = out_path[:-4] + ".gif"
     if not out_path.endswith(".gif"):
         out_path += ".gif"
     anim.save(out_path, writer=animation.PillowWriter(fps=fps))

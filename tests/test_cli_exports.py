@@ -608,3 +608,81 @@ def test_cli_detect_with_mesh(tmp_path):
     from magellanmapper_tpu.cv import blobs as blobs_mod
     blobs = blobs_mod.Blobs().load_blobs(blobs_path)
     assert blobs.blobs is not None and len(blobs.blobs) > 0
+
+
+class TestCloudCLI:
+    """--ec2_*/--notify flags dispatch to cloud/aws.py + notify.py
+    (reference cli.py:253-434, process_tasks :874)."""
+
+    def test_ec2_list_dispatch(self, monkeypatch):
+        from magellanmapper_tpu.cloud import aws
+        calls = {}
+        def fake_show(state="running"):
+            calls["state"] = state
+            return [{"id": "i-123", "type": "t3.micro", "ip": None}]
+
+        monkeypatch.setattr(aws, "show_instances", fake_show)
+        rc = cli.process_cli_args(["--ec2_list", "stopped"])
+        assert rc.ec2_list[0] == "stopped"
+        out = cli.process_tasks(rc)
+        assert calls["state"] == "stopped"
+        assert out[0]["id"] == "i-123"
+
+    def test_ec2_terminate_dispatch(self, monkeypatch):
+        from magellanmapper_tpu.cloud import aws
+        got = []
+        monkeypatch.setattr(
+            aws, "terminate_instances", lambda ids: got.extend(ids))
+        rc = cli.process_cli_args(["--ec2_terminate", "i-1", "i-2"])
+        cli.process_tasks(rc)
+        assert got == ["i-1", "i-2"]
+
+    def test_ec2_start_dispatch(self, monkeypatch):
+        from magellanmapper_tpu.cloud import aws
+        seen = {}
+
+        def fake_start(image_id, instance_type, count=1, key_name=None):
+            seen.update(image_id=image_id, instance_type=instance_type,
+                        count=count, key_name=key_name)
+            return ["i-new"]
+
+        monkeypatch.setattr(aws, "start_instances", fake_start)
+        rc = cli.process_cli_args([
+            "--ec2_start", "tag", "ami-42", "m5.large", "subnet-1",
+            "sg-1", "mykey", "2"])
+        out = cli.process_tasks(rc)
+        assert out == ["i-new"]
+        assert seen == {"image_id": "ami-42",
+                        "instance_type": "m5.large",
+                        "count": 2, "key_name": "mykey"}
+
+    def test_notify_dispatch(self, monkeypatch):
+        from magellanmapper_tpu.cloud import notify
+        seen = {}
+        monkeypatch.setattr(
+            notify, "post",
+            lambda url, msg, attachment=None: seen.update(
+                url=url, msg=msg, attachment=attachment) or True)
+        rc = cli.process_cli_args(
+            ["--notify", "http://hook.example/x", "done", "/tmp/log.txt"])
+        assert cli.process_tasks(rc) is True
+        assert seen == {"url": "http://hook.example/x", "msg": "done",
+                        "attachment": "/tmp/log.txt"}
+
+
+class TestAnimateMp4:
+    def test_mp4_or_gif_fallback(self, tmp_path):
+        """.mp4 target writes MP4 via FFMpegWriter when ffmpeg exists,
+        else falls back to GIF (reference export_stack.py:277 writes
+        both formats)."""
+        from matplotlib import animation
+        from magellanmapper_tpu.io import export_stack
+        vol = np.random.default_rng(0).random((4, 16, 16)).astype(
+            np.float32)
+        out = export_stack.animate_imgs(
+            vol, str(tmp_path / "anim.mp4"), fps=4)
+        if animation.FFMpegWriter.isAvailable():
+            assert out.endswith(".mp4")
+        else:
+            assert out.endswith(".gif")
+        assert os.path.exists(out) and os.path.getsize(out) > 0
