@@ -409,6 +409,61 @@ def insert_roi(conn, cur, exp_id: int, series: int, offset, size):
         exp_id, series, offset, size)
 
 
+def select_or_insert_roi(conn, cur, exp_id: int, series: int, offset, size):
+    """Fetch-or-create an ROI row (reference
+    ``sqlite.select_or_insert_roi :270``)."""
+    return _db_for(conn, cur).select_or_insert_roi(
+        exp_id, series, offset, size)
+
+
+def insert_blobs(conn, cur, roi_id: int, blobs) -> int:
+    """Insert blob rows for an ROI (reference ``sqlite.insert_blobs
+    :359``)."""
+    return _db_for(conn, cur).insert_blobs(roi_id, np.asarray(blobs))
+
+
+def delete_blobs(conn, cur, roi_id: int, blobs) -> int:
+    """Delete blobs matching the given ROI ID and z,y,x coordinates
+    (reference ``sqlite.delete_blobs :387``); returns rows deleted."""
+    deleted = 0
+    for blob in blobs:
+        cur.execute(
+            "DELETE FROM blobs WHERE roi_id = ? AND z = ? AND y = ? "
+            "AND x = ?",
+            (roi_id, int(round(blob[0])), int(round(blob[1])),
+             int(round(blob[2]))))
+        deleted += cur.rowcount
+    conn.commit()
+    return deleted
+
+
+def select_blobs_confirmed(cur, confirmed: int) -> np.ndarray:
+    """All blobs with the given confirmation flag across every ROI
+    (reference ``sqlite.select_blobs_confirmed :438``)."""
+    cur.execute(
+        "SELECT z, y, x, radius, confirmed, truth, channel FROM blobs "
+        "WHERE confirmed = ?", (confirmed,))
+    rows = cur.fetchall()
+    return np.array([[r[k] for k in (
+        "z", "y", "x", "radius", "confirmed", "truth", "channel")]
+        for r in rows], dtype=float).reshape(-1, 7)
+
+
+def verification_stats(db: "ClrDB", exp_name: str, treat_maybes: int = 0):
+    """Sens/PPV from verified blobs of an experiment (reference
+    ``sqlite.verification_stats :454`` ->
+    ``detector.meas_detection_accuracy``)."""
+    from magellanmapper_tpu.cv import verifier
+    exp_id = db.select_or_insert_experiment(exp_name)
+    parts = [db.select_blobs_by_roi(roi["id"])
+             for roi in db.get_rois(exp_id)]
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return None, None, None
+    return verifier.meas_detection_accuracy(
+        np.vstack(parts), verified=True, treat_maybes=treat_maybes)
+
+
 def select_rois(cur, exp_id: Optional[int] = None) -> list:
     """ROI rows (reference ``sqlite.select_rois``)."""
     if exp_id is None:

@@ -192,143 +192,130 @@ def extract_candidates_pallas(
 
 
 # ---------------------------------------------------------------------------
-# fused peak finding: two cooperating kernels
-#   K1: per z-plane neighborhood max (scale/y/x 3-max), plane-local
-#   K2: rolling peak test across z + in-VMEM candidate harvest
+# fused peak finding: ONE kernel walks z once — per step it DMAs a single
+# cube plane (double-buffered), computes that plane's (s, y, x)
+# 3-neighborhood max on-chip into a rolling 3-ring, folds the z-window
+# max, runs the peak test, and harvests candidates with a vectorized
+# early-exit rounds loop. Round-2's two-kernel pipeline (XLA
+# reduce_window plane-max + a 4-DMA/step harvest kernel with a per-tile
+# fori) measured 16.5 ms on the (8,128,256,256) detection cube; the
+# reduce_window was ~10x off VPU ideal and the 1024 dynamic-sliced tile
+# iterations dominated the rest.
 
 
-def _slab_max3(slab):
-    """Max over the 3^3 neighborhood within a (S, Y, X) slab, constant-0
-    boundaries on every axis (scale included)."""
-    out = slab
-    for ax in range(3):
-        n = out.shape[ax]
+def _kernel_max3_plane(p):
+    """(S, Y, X) -> 3^3-neighborhood max, constant-0 borders (the
+    skimage ``maximum_filter(mode='constant')`` border inside
+    ``peak_local_max``; outputs clamp to >= 0, indistinguishable above
+    the positive detection threshold)."""
+    def ax3(t, ax):
+        n = t.shape[ax]
         pad = [(0, 0)] * 3
         pad[ax] = (1, 1)
-        padded = jnp.pad(out, pad, constant_values=0.0)
+        padded = jnp.pad(t, pad, constant_values=0.0)
         lo = jax.lax.slice_in_dim(padded, 0, n, axis=ax)
         mid = jax.lax.slice_in_dim(padded, 1, n + 1, axis=ax)
         hi = jax.lax.slice_in_dim(padded, 2, n + 2, axis=ax)
-        out = jnp.maximum(jnp.maximum(lo, mid), hi)
-    return out
-
-
-#: VMEM stack budget per striped tile (bytes); keeps Mosaic's scoped
-#: allocation well under the 16 MB limit even with several live temps
-_STRIPE_BYTES = 1 << 20
-
-
-def _plane_max(cube: jax.Array, interpret: bool = False) -> jax.Array:
-    """Per-plane (S, Y, X) neighborhood max for every z (K1).
-
-    One XLA ``reduce_window`` with a (3, 1, 3, 3) window — TPU's windowed
-    reduce lowers to a fused streaming pass with no VMEM lane constraints
-    (a whole-slab Pallas formulation stacked several (S, Y, X)
-    temporaries and blew the 16 MB scoped-VMEM limit at 10 sigmas).
-    The 0 init value clamps outputs to >= 0, indistinguishable where it
-    matters: K2's peak test only compares above a positive threshold.
-    """
-    del interpret
-    cube = cube.astype(jnp.float32)
-    return jax.lax.reduce_window(
-        cube, jnp.float32(0.0), jax.lax.max,
-        (3, 1, 3, 3), (1, 1, 1, 1),
-        [(1, 1), (0, 0), (1, 1), (1, 1)])
+        return jnp.maximum(jnp.maximum(lo, mid), hi)
+    return ax3(ax3(ax3(p, 0), 1), 2)
 
 
 def _peak_harvest_kernel(
-        cube_ref, m_ref, thresh_ref, vals_ref, lanes_ref,
-        r_buf, m_buf, m_acc, dma_sems, rounds: int, pad_x: int,
-        y_chunk: int):
-    """K2 step z: peak test for plane z via DMA'd M planes + harvest.
+        cube_ref, thresh_ref, vals_ref, lanes_ref,
+        stage, mring, dma_sems, rounds: int, pad_x: int):
+    """Step z: stream cube plane z+1 in, roll the plane-max ring,
+    peak-test plane z, and harvest candidates.
 
-    M(z-1), M(z), M(z+1) stream through one ping-pong buffer into a
-    running max; the harvest runs per (scale, y-stripe) tile to bound
-    VMEM stack temporaries at production slab sizes.
+    DMA schedule (one 2 MB copy per step, double-buffered): plane z+1's
+    copy was started at step z-1; after the peak test reads plane z its
+    slot is reused to prefetch plane z+2, so every copy overlaps a full
+    step of compute.
+
+    Harvest: whole-slab vectorized rounds under ``lax.while_loop`` — no
+    per-tile dynamic slicing (round 2's 8-tile fori cost ~8 ms/cube) and
+    no unrolled-round VMEM stack blowup (the carry is allocated once);
+    the loop exits as soon as a round harvests nothing, so the common
+    few-peaks-per-plane case pays for ~2 rounds, not ``rounds``.
     """
     z = pl.program_id(0)
     nz = pl.num_programs(0)
+    s_dim, y_dim, x_dim = stage.shape[1], stage.shape[3], stage.shape[4]
 
-    def cube_copy(dst, src_z, slot):
+    def copy(slot, src_z, sem):
         return pltpu.make_async_copy(
-            cube_ref.at[:, pl.ds(src_z, 1)], dst.at[:], dma_sems.at[slot])
+            cube_ref.at[:, pl.ds(src_z, 1)], stage.at[slot],
+            dma_sems.at[sem])
 
-    def m_copy(dst, src_z, slot):
-        return pltpu.make_async_copy(
-            m_ref.at[:, pl.ds(src_z, 1)], dst.at[:], dma_sems.at[slot])
-
-    # issue every plane fetch up front so the copies overlap in the DMA
-    # engines; the M(z-1)/M(z+1) planes share m_buf, so the max fold
-    # happens between their waits
-    cp_cube = cube_copy(r_buf, z, 0)
-    cp_cube.start()
-    cp_mz = m_copy(m_acc, z, 1)
-    cp_mz.start()
-
-    @pl.when(z > 0)
+    @pl.when(z == 0)
     def _():
-        m_copy(m_buf, z - 1, 2).start()   # M(z-1)
+        cp = copy(0, 0, 0)
+        cp.start()
+        cp.wait()
+        m0 = _kernel_max3_plane(stage[0, :, 0])
+        mring[pl.ds(0, 1)] = m0[None]
+        mring[pl.ds(2, 1)] = jnp.zeros_like(m0)[None]   # M(-1) border
 
-    cp_cube.wait()
-    cp_mz.wait()
-
-    @pl.when(z > 0)
+    @pl.when((z == 0) & (nz > 1))
     def _():
-        m_copy(m_buf, z - 1, 2).wait()
-        m_acc[:] = jnp.maximum(m_acc[:], m_buf[:])
+        copy(1, 1, 1).start()
 
     @pl.when(z < nz - 1)
     def _():
-        cp = m_copy(m_buf, z + 1, 3)      # M(z+1)
-        cp.start()
-        cp.wait()
-        m_acc[:] = jnp.maximum(m_acc[:], m_buf[:])
+        slot = (z + 1) % 2
+        copy(slot, z + 1, slot).wait()
+        mnew = _kernel_max3_plane(stage[pl.ds(slot, 1)][0, :, 0])
+        mring[pl.ds((z + 1) % 3, 1)] = mnew[None]
 
-    # harvest per (scale, y-stripe) tile inside a fori_loop — Mosaic's
-    # stack allocator reserves each unrolled iteration's temporaries
-    # separately, so a Python tile loop multiplies VMEM stack usage with
-    # the tile count; a fori body is allocated once. Tiles address the
-    # output's leading (unrestricted-dynamic) dim; the lane dim is the
-    # wide rows_per_tile axis, so nothing pads 8 -> 128 lanes.
-    s_dim, _, y_dim, x_dim = r_buf.shape
-    xp = x_dim + pad_x
-    n_tiles_y = y_dim // y_chunk
+    @pl.when(z == nz - 1)
+    def _():
+        mring[pl.ds((z + 1) % 3, 1)] = jnp.zeros(
+            (1, s_dim, y_dim, x_dim), jnp.float32)   # M(nz) border
 
-    # pre-fill the step's outputs so peak-free tiles can skip harvesting
-    vals_ref[...] = jnp.full(vals_ref.shape, -jnp.inf, jnp.float32)
-    lanes_ref[...] = jnp.zeros(lanes_ref.shape, jnp.int32)
+    cur = stage[pl.ds(z % 2, 1)][0, :, 0]            # (S, Y, X)
+    # ring max over {z-1, z, z+1} plane-maxima (slot order irrelevant)
+    m3 = jnp.maximum(jnp.maximum(mring[0], mring[1]), mring[2])
+    is_peak = (cur == m3) & (cur > thresh_ref[0, 0])
+    work = jnp.where(is_peak, cur, -jnp.inf)
+    if pad_x:
+        work = jnp.pad(
+            work, ((0, 0), (0, 0), (0, pad_x)), constant_values=-jnp.inf)
+    work = work.reshape(-1, 128)                      # (rows, lanes)
 
-    def tile_body(t, carry):
-        si = t // n_tiles_y
-        y0 = (t % n_tiles_y) * y_chunk
-        cur = r_buf[pl.ds(si, 1), 0, pl.ds(y0, y_chunk), :][0]
-        m = m_acc[pl.ds(si, 1), 0, pl.ds(y0, y_chunk), :][0]
-        is_peak = (cur == m) & (cur > thresh_ref[0, 0])
+    # plane z is consumed; reuse its slot to prefetch plane z+2
+    @pl.when(z + 2 < nz)
+    def _():
+        copy(z % 2, z + 2, z % 2).start()
 
-        # peaks are sparse (hundreds over millions of voxels): only tiles
-        # that contain one pay for the iterated-extraction rounds
-        @pl.when(jnp.any(is_peak))
-        def _():
-            work = jnp.where(is_peak, cur, -jnp.inf)
-            if pad_x:
-                work = jnp.pad(
-                    work, ((0, 0), (0, pad_x)), constant_values=-jnp.inf)
-            work = work.reshape(-1, 128)
-            lane = jax.lax.broadcasted_iota(jnp.int32, work.shape, 1)
-            for r in range(rounds):
-                mx = jnp.max(work, axis=1)
-                # first-max lane as min-lane-of-maxima (argmax semantics;
-                # Mosaic cannot legalize vector argmax inside a fori body)
-                a = jnp.min(
-                    jnp.where(work == mx[:, None], lane,
-                              jnp.int32(1 << 30)),
-                    axis=1)
-                vals_ref[0, pl.ds(t, 1), r, :] = mx[None]
-                lanes_ref[0, pl.ds(t, 1), r, :] = a[None]
-                work = jnp.where(lane == a[:, None], -jnp.inf, work)
-        return carry
+    n_rows = work.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 128), 1)
+    round_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (rounds, n_rows), 0)
+    vals0 = jnp.full((rounds, n_rows), -jnp.inf, jnp.float32)
+    lanes0 = jnp.zeros((rounds, n_rows), jnp.int32)
 
-    jax.lax.fori_loop(0, s_dim * n_tiles_y, tile_body, 0)
+    def cond(state):
+        r, _, _, _, found = state
+        return (r < rounds) & found
+
+    def body(state):
+        r, wk, va, la, _ = state
+        mx = jnp.max(wk, axis=1)
+        # first-max lane as min-lane-of-maxima (argmax semantics;
+        # vector argmax does not legalize inside Mosaic loop bodies)
+        a = jnp.min(
+            jnp.where(wk == mx[:, None], lane, jnp.int32(1 << 30)),
+            axis=1)
+        sel = round_iota == r
+        va = jnp.where(sel, mx[None, :], va)
+        la = jnp.where(sel, a[None, :], la)
+        wk = jnp.where(lane == a[:, None], -jnp.inf, wk)
+        return r + 1, wk, va, la, jnp.any(mx > -jnp.inf)
+
+    _, _, va, la, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), work, vals0, lanes0,
+                     jnp.any(is_peak)))
+    vals_ref[0] = va
+    lanes_ref[0] = la
 
 
 def peak_candidates_pallas(
@@ -336,62 +323,53 @@ def peak_candidates_pallas(
         interpret: bool = False):
     """Fused local-maxima + candidate harvest over a (S, Z, Y, X) cube.
 
-    Two passes instead of XLA's ~12: K1 writes per-plane neighborhood
-    maxima; K2 walks z once, DMA-ing the response plane plus three M
-    planes into single-buffered VMEM, and harvests up to ``rounds``
-    peak candidates per 128-lane group entirely on-chip.
+    ONE streaming pass: per z step the kernel DMAs a single response
+    plane, computes its (s, y, x) neighborhood max into a rolling
+    3-plane ring (constant-0 z borders), folds the 3^4 peak test, and
+    harvests up to ``rounds`` peak candidates per 128-lane group with a
+    vectorized early-exit rounds loop.
 
     Returns ``(vals, lanes)``: per-z candidate values
-    ``(Z, n_tiles, rounds, rows_per_tile)`` and their lane offsets, where
-    tile ``t`` covers flattened slab rows
-    ``[t * rows_per_tile, (t+1) * rows_per_tile)``. Every peak appears
-    exactly once among the candidates (up to ``rounds`` per lane group),
-    so the peak count equals the number of finite candidate values.
+    ``(Z, rounds, rows)`` and their lane offsets, where row ``r`` covers
+    flattened slab positions ``[r * 128, (r+1) * 128)`` of the x-padded
+    ``(S, Y, Xp)`` plane. Every peak appears exactly once among the
+    candidates (up to ``rounds`` per lane group), so the peak count
+    equals the number of finite candidate values.
     """
     s, z, y, x = cube.shape
     pad_x = (-x) % 128
     xp = x + pad_x
     thresh = jnp.full((1, 1), threshold, jnp.float32)
     cube = cube.astype(jnp.float32)
-    m_cube = _plane_max(cube, interpret=interpret)
-
-    # largest divisor of y whose (y_chunk, xp) fp32 tile fits the stripe
-    # budget (the fori harvest needs uniform tiles)
-    budget = max(1, _STRIPE_BYTES // max(1, xp * 4))
-    y_chunk = max(d for d in range(1, y + 1)
-                  if y % d == 0 and d <= budget)
-    n_tiles = s * (y // y_chunk)
-    rows_per_tile = y_chunk * xp // 128
+    n_rows = s * y * xp // 128
     vals, lanes = pl.pallas_call(
-        functools.partial(_peak_harvest_kernel, rounds=rounds, pad_x=pad_x,
-                          y_chunk=y_chunk),
+        functools.partial(
+            _peak_harvest_kernel, rounds=rounds, pad_x=pad_x),
         grid=(z,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # cube in HBM
-            pl.BlockSpec(memory_space=pl.ANY),   # M cube in HBM
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, n_tiles, rounds, rows_per_tile),
-                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_tiles, rounds, rows_per_tile),
-                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rounds, n_rows),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rounds, n_rows),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct(
-                (z, n_tiles, rounds, rows_per_tile), jnp.float32),
-            jax.ShapeDtypeStruct(
-                (z, n_tiles, rounds, rows_per_tile), jnp.int32),
+            jax.ShapeDtypeStruct((z, rounds, n_rows), jnp.float32),
+            jax.ShapeDtypeStruct((z, rounds, n_rows), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((s, 1, y, x), jnp.float32),  # response plane
-            pltpu.VMEM((s, 1, y, x), jnp.float32),  # M ping-pong
-            pltpu.VMEM((s, 1, y, x), jnp.float32),  # M running max
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2, s, 1, y, x), jnp.float32),  # cube plane slots
+            pltpu.VMEM((3, s, y, x), jnp.float32),     # plane-max ring
+            pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20),
         interpret=interpret,
-    )(cube, m_cube, thresh)
+    )(cube, thresh)
     return vals, lanes
 
 
@@ -409,13 +387,11 @@ def find_peaks_fused(
     flat_vals = vals.reshape(-1)
     from magellanmapper_tpu.ops import peaks as _peaks
     top_vals, pos = _peaks.select_top_sparse(flat_vals, capacity)
-    # decode (z, tile, round, tile-row) -> (s, z, y, x)
-    _, n_tiles, rounds, rpt = vals.shape
-    per_z = n_tiles * rounds * rpt
+    # decode (z, round, row) -> (s, z, y, x)
+    _, rounds, n_rows = vals.shape
+    per_z = rounds * n_rows
     zz = (pos // per_z).astype(jnp.int32)
-    rem_z = pos % per_z
-    tile = rem_z // (rounds * rpt)
-    row = (tile * rpt + rem_z % rpt).astype(jnp.int32)
+    row = (pos % n_rows).astype(jnp.int32)
     lane = lanes.reshape(-1)[pos]
     per_s = y * (xp // 128)
     ss = row // per_s

@@ -50,12 +50,14 @@ def max_filter_full(cube: jax.Array, clamp_zero: bool = True) -> jax.Array:
 def fused_peaks_fit(shape: Tuple[int, ...]) -> bool:
     """Whether the fused Pallas peak finder fits a ``(S, Z, Y, X)`` cube.
 
-    Mosaic slices VMEM along the 128-lane axis (x must be aligned), and
-    the harvest kernel holds three ``(S, Y, X)`` fp32 plane buffers in
-    VMEM scratch — cap their total well under the 16 MB scoped limit.
+    Mosaic slices VMEM along the 128-lane axis (x must be aligned). The
+    streaming kernel holds five ``(S, Y, X)`` fp32 plane slabs in VMEM
+    scratch (two cube-plane slots + the 3-plane max ring) plus the
+    in-kernel max3/harvest temporaries (~4 more slabs); it requests a
+    100 MB scoped-VMEM limit (v5e has 128 MB), so cap ~9 slabs at 90 MB.
     """
     s, _, y, x = shape
-    return x % 128 == 0 and 3 * s * y * x * 4 <= (12 << 20)
+    return x % 128 == 0 and 9 * s * y * x * 4 <= (90 << 20)
 
 
 def find_peaks(

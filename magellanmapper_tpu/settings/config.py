@@ -385,6 +385,12 @@ class Config:
 config = Config()
 
 
+def get_roi_profile(i: int):
+    """Module-level per-channel ROI profile accessor on the active
+    :data:`config` (reference ``config.get_roi_profile :887``)."""
+    return config.get_roi_profile(i)
+
+
 class DocsURLs(Enum):
     """Online documentation URLs (reference ``config.DocsURLs :65``)."""
     DOCS_URL = "https://magellanmapper.readthedocs.io/en/latest"
