@@ -138,6 +138,107 @@ def _preproc_sub_blocks(
     return out[:bz, :by, :bx]
 
 
+@functools.lru_cache(maxsize=64)
+def _blockdiag_band(d: int, n_tiles: int, sigma: float,
+                    mode: str) -> np.ndarray:
+    """Block-diagonal band matrix: per-tile 1D Gaussian smoothing with
+    in-tile boundary handling, as ONE ``(n_tiles*d, n_tiles*d)`` matmul
+    over the full block axis. Exactly the per-tile ``gaussian_filter``
+    math (off-tile entries are structural zeros), but the MXU sees one
+    large matmul instead of ~1300 padded 25x25 ones, and the 6D
+    tile-reshape transposes disappear."""
+    from magellanmapper_tpu.ops import filters
+    kernel = filters.gaussian_kernel1d(sigma, 0)
+    block = filters._band_matrix(
+        np.asarray(kernel, np.float64).tobytes(), len(kernel), d, mode,
+        0.0)
+    return np.kron(np.eye(n_tiles, dtype=np.float32), block)
+
+
+def _tile_eroded(vol: jax.Array,
+                 denoise_shape: Tuple[int, int, int]) -> jax.Array:
+    """Per-tile octahedron(1) erosion on the full block via masked
+    shift-min: the symmetric tile padding duplicates edge voxels, so a
+    cross-tile-boundary neighbor always equals the (already included)
+    center — excluding it reproduces per-tile erosion exactly."""
+    out = vol
+    for ax, d in enumerate(denoise_shape):
+        n = vol.shape[ax]
+        idx = jax.lax.broadcasted_iota(jnp.int32, vol.shape, ax)
+        fwd = jnp.where(idx % d == d - 1, vol, jnp.roll(vol, -1, ax))
+        bwd = jnp.where(idx % d == 0, vol, jnp.roll(vol, 1, ax))
+        out = jnp.minimum(out, jnp.minimum(fwd, bwd))
+    return out
+
+
+def _preproc_sub_blocks_fused(
+        vol: jax.Array, denoise_shape: Tuple[int, ...],
+        params: Dict[str, float]) -> jax.Array:
+    """Per-denoise-tile saturate+denoise without per-tile dispatch.
+
+    Same semantics as :func:`_preproc_sub_blocks` (per-tile percentile
+    saturation, clip, unsharp, density-gated erosion) but TPU-shaped:
+    exact per-tile percentiles come from one Pallas bisection kernel
+    (``tile_percentiles_pallas``) instead of ~1300 bitonic sorts, the
+    sigma-8 unsharp blur runs as three block-diagonal band matmuls on
+    the full block, and the erosion is a masked shift-min — round 2
+    measured the sort + tile transposes at ~40% of the whole production
+    detection program (311 -> 192 Mvox/s). Requires
+    ``tot_var_denoise == 0`` (callers fall back to the tiled path).
+    """
+    dz, dy, dx = denoise_shape
+    bz, by, bx = vol.shape
+    nz, ny, nx = (-(-bz // dz), -(-by // dy), -(-bx // dx))
+    pad = (nz * dz - bz, ny * dy - by, nx * dx - bx)
+    padded = jnp.pad(
+        vol.astype(jnp.float32), [(0, p) for p in pad], mode="symmetric")
+
+    from magellanmapper_tpu.ops import pallas_kernels
+    tiles2d = padded.reshape(nz, dz, ny, dy, nx, dx).transpose(
+        0, 2, 4, 1, 3, 5).reshape(nz * ny * nx, dz * dy * dx)
+    pct = pallas_kernels.tile_percentiles_pallas(
+        tiles2d, float(params["clip_vmin"]), float(params["clip_vmax"]))
+    vmin = pct[:, 0]
+    vmax = pct[:, 1]
+    if params.get("max_thresh") is not None:
+        vmax = jnp.maximum(
+            vmax, jnp.asarray(params["max_thresh"], jnp.float32))
+    degenerate = vmin >= vmax
+    span = jnp.where(degenerate, 1.0, vmax - vmin)
+
+    def up(t):
+        """(T,) per-tile values -> (Z, Y, X) voxel grid."""
+        g = t.reshape(nz, ny, nx)
+        g = jnp.broadcast_to(
+            g[:, None, :, None, :, None], (nz, dz, ny, dy, nx, dx))
+        return g.reshape(nz * dz, ny * dy, nx * dx)
+
+    vmin_v, span_v = up(vmin), up(span)
+    scaled = (jnp.clip(padded, vmin_v, up(vmax)) - vmin_v) / span_v
+    sat = jnp.where(up(degenerate), padded, scaled)
+
+    # per-tile saturated mean gates the erosion (denoise_roi semantics)
+    means = sat.reshape(nz, dz, ny, dy, nx, dx).mean(axis=(1, 3, 5))
+
+    out = jnp.clip(sat, params["clip_min"], params["clip_max"])
+    if params["unsharp_strength"]:
+        from magellanmapper_tpu.ops import filters
+        blurred = out
+        for ax, (d, n_t) in enumerate(((dz, nz), (dy, ny), (dx, nx))):
+            band = jnp.asarray(_blockdiag_band(d, n_t, 8.0, "nearest"))
+            blurred = jnp.tensordot(
+                blurred, band, axes=((ax,), (0,)),
+                precision=jax.lax.Precision.HIGH,
+            ).transpose(filters._restore_axis_perm(3, ax))
+        out = 2.0 * out - params["unsharp_strength"] * blurred
+    if params["erosion_threshold"]:
+        eroded = _tile_eroded(out, (dz, dy, dx))
+        out = jnp.where(
+            up(means.reshape(-1)) > params["erosion_threshold"],
+            eroded, out)
+    return out[:bz, :by, :bx]
+
+
 def _blob_log_impl(
         roi: jax.Array, sigmas: Tuple[float, ...], threshold: float,
         overlap: float, capacity: int,
@@ -187,16 +288,22 @@ def _detect_batch(
     return jax.vmap(one)(batch)
 
 
-def _preproc_one(vol, denoise_shape, preproc_items, max_thresh=None):
+def _preproc_one(vol, denoise_shape, preproc_items, max_thresh=None,
+                 fused_tiles=False):
     """Apply the saturate+denoise chain; ``max_thresh`` (possibly a
     traced scalar) overrides the static ``preproc_items`` entry so
-    per-channel near-max values can ride a batched dispatch as data."""
+    per-channel near-max values can ride a batched dispatch as data.
+    ``fused_tiles`` selects the Pallas-percentile fused tile path (TPU
+    only — its kernels have no vmap batching rule; callers under
+    ``lax.scan``/``shard_map`` are fine)."""
     if preproc_items is None:
         return vol
     params = dict(preproc_items)
     if max_thresh is not None:
         params["max_thresh"] = max_thresh
     if denoise_shape is not None:
+        if fused_tiles and not params.get("tot_var_denoise"):
+            return _preproc_sub_blocks_fused(vol, denoise_shape, params)
         return _preproc_sub_blocks(vol, denoise_shape, params)
     vol = preproc.saturate(
         vol, params["clip_vmin"], params["clip_vmax"],
@@ -226,7 +333,9 @@ def _detect_batch_fused(
     """
 
     def body(_, vol):
-        vol = _preproc_one(vol, denoise_shape, preproc_items)
+        vol = _preproc_one(
+            vol, denoise_shape, preproc_items,
+            fused_tiles=jax.default_backend() not in ("cpu",))
         raw, valid = _blob_log_impl(
             vol, sigmas, threshold, overlap, capacity, fast=fast,
             fused=True)

@@ -19,6 +19,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -189,6 +190,116 @@ def extract_candidates_pallas(
         interpret=interpret,
     )(masked_vals)
     return vals[:g], lanes[:g]
+
+
+# ---------------------------------------------------------------------------
+# per-tile exact percentiles: integer bisection on float-bit keys
+
+
+#: tiles per percentile-kernel grid step
+_PCT_CHUNK = 64
+
+
+def _tile_pct_kernel(keys_ref, ranks_ref, out_ref):
+    """Exact k-th order statistics per tile row via integer bisection.
+
+    ``keys_ref``: (C, Vp) int32 — nonnegative-float bit patterns (bit
+    order == value order for x >= 0), padded with INT32_MAX. For each of
+    the two 1-indexed ranks in ``ranks_ref`` the 31-step bisection finds
+    the smallest key with ``count(<= key) >= k`` (the k-th smallest,
+    exactly), then one extra pass finds its successor order statistic
+    for linear interpolation. Out: (C, 4) int32 keys
+    ``[v_k0, succ0, v_k1, succ1]``.
+    """
+    keys = keys_ref[:]
+    c = keys.shape[0]
+    for j in range(2):
+        k = ranks_ref[0, j]
+        lo0 = jnp.full((c,), -1, jnp.int32)
+        hi0 = jnp.full((c,), 0x7F800001, jnp.int32)   # just past +inf
+
+        def body(it, state):
+            lo, hi = state
+            mid = lo + (hi - lo) // 2
+            cnt = jnp.sum(
+                (keys <= mid[:, None]).astype(jnp.int32), axis=1)
+            take_hi = cnt >= k
+            return (jnp.where(take_hi, lo, mid),
+                    jnp.where(take_hi, mid, hi))
+
+        lo, hi = jax.lax.fori_loop(0, 32, body, (lo0, hi0))
+        succ = jnp.min(
+            jnp.where(keys > hi[:, None], keys, jnp.int32(0x7FFFFFFF)),
+            axis=1)
+        # (k+1)-th order stat = v_k itself when duplicates span rank k+1
+        cnt_k = jnp.sum((keys <= hi[:, None]).astype(jnp.int32), axis=1)
+        out_ref[:, 3 * j] = hi
+        out_ref[:, 3 * j + 1] = jnp.where(cnt_k >= k + 1, hi, succ)
+        out_ref[:, 3 * j + 2] = cnt_k
+
+
+def tile_percentiles_pallas(
+        tiles: jax.Array, q_lo: float, q_hi: float,
+        interpret: bool = False):
+    """``np.percentile(tile, (q_lo, q_hi))`` for every row of a
+    ``(T, V)`` nonnegative-float tile matrix — exact (linear
+    interpolation between exact order statistics), one VMEM-resident
+    pass per tile chunk instead of a per-tile bitonic sort (the sort
+    dominated tiled preprocessing: 311 -> 192 Mvox/s on the round-2
+    block path).
+
+    Values must be >= 0 (nonnegative IEEE bit patterns order like the
+    floats; image intensities here come from unsigned importers and the
+    >= 0-clamped spectral unmix). Returns ``(T, 2)`` float32.
+    """
+    t, v = tiles.shape
+    interpret = interpret or jax.default_backend() == "cpu"
+    pad_v = (-v) % 128
+    keys = jax.lax.bitcast_convert_type(
+        tiles.astype(jnp.float32), jnp.int32)
+    if pad_v:
+        keys = jnp.pad(keys, ((0, 0), (0, pad_v)),
+                       constant_values=0x7FFFFFFF)
+    pad_t = (-t) % _PCT_CHUNK
+    if pad_t:
+        keys = jnp.pad(keys, ((0, pad_t), (0, 0)),
+                       constant_values=0x7FFFFFFF)
+    tp = keys.shape[0]
+
+    out_keys = []
+    ranks = []
+    for q in (q_lo, q_hi):
+        r = q / 100.0 * (v - 1)
+        ranks.append((int(np.floor(r)) + 1, r - np.floor(r)))
+    rank_arr = jnp.asarray(
+        [[ranks[0][0], ranks[1][0]]], jnp.int32)
+
+    out = pl.pallas_call(
+        _tile_pct_kernel,
+        grid=(tp // _PCT_CHUNK,),
+        in_specs=[
+            pl.BlockSpec((_PCT_CHUNK, v + pad_v), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((_PCT_CHUNK, 6), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tp, 6), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20),
+        interpret=interpret,
+    )(keys, rank_arr)[:t]
+
+    vals = jax.lax.bitcast_convert_type(out, jnp.float32)
+    res = []
+    for j, (_, frac) in enumerate(ranks):
+        v0 = vals[:, 3 * j]
+        v1 = vals[:, 3 * j + 1]
+        res.append(jnp.where(
+            jnp.float32(frac) > 0,
+            v0 + jnp.float32(frac) * (v1 - v0), v0))
+    return jnp.stack(res, axis=1)
 
 
 # ---------------------------------------------------------------------------

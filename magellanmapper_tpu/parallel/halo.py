@@ -126,7 +126,8 @@ def make_sharded_detector(
         vol = local[0]
         if preproc_items is not None:
             vol = _preproc_one(
-                vol, denoise_shape, preproc_items, max_thresh=mt[0])
+                vol, denoise_shape, preproc_items, max_thresh=mt[0],
+                fused_tiles=jax.default_backend() not in ("cpu",))
         idx_z = jax.lax.axis_index("sp")
         extended = halo_exchange(vol, halo, axis=0, axis_name="sp")
         off_y = jnp.int32(0)

@@ -241,3 +241,45 @@ class TestPruneAllRemoved:
         seg_rois = np.full(blocks.sub_roi_slices.shape, None, dtype=object)
         assert stack_detect.prune_blobs(
             seg_rois, blocks, (40, 20, 20), [0]) is None
+
+
+class TestFusedTilePreproc:
+    def test_fused_matches_tiled_path(self):
+        """The Pallas-percentile fused preproc (one percentile kernel +
+        block-diagonal unsharp bands + masked-shift erosion) must match
+        the per-tile reference path to float tolerance."""
+        import jax.numpy as jnp
+        from magellanmapper_tpu.cv.stack_detect import (
+            _preproc_sub_blocks, _preproc_sub_blocks_fused)
+        rng = np.random.default_rng(3)
+        vol = (rng.random((16, 24, 24)) * 900).astype(np.float32)
+        # bright spots so erosion gating fires in some tiles
+        vol[4:7, 4:7, 4:7] += 4000
+        params = {
+            "clip_vmin": 5.0, "clip_vmax": 99.5, "max_thresh": 700.0,
+            "clip_min": 0.2, "clip_max": 1.0, "tot_var_denoise": 0.0,
+            "unsharp_strength": 0.3, "erosion_threshold": 0.2,
+        }
+        legacy = np.asarray(_preproc_sub_blocks(
+            jnp.asarray(vol), (8, 8, 8), params))
+        fused = np.asarray(_preproc_sub_blocks_fused(
+            jnp.asarray(vol), (8, 8, 8), params))
+        np.testing.assert_allclose(fused, legacy, rtol=2e-5, atol=2e-5)
+
+    def test_fused_uneven_tiles(self):
+        """Edge tiles (symmetric-padded) must also match."""
+        import jax.numpy as jnp
+        from magellanmapper_tpu.cv.stack_detect import (
+            _preproc_sub_blocks, _preproc_sub_blocks_fused)
+        rng = np.random.default_rng(5)
+        vol = (rng.random((11, 13, 19)) * 100).astype(np.float32)
+        params = {
+            "clip_vmin": 5.0, "clip_vmax": 99.5, "max_thresh": None,
+            "clip_min": 0.0, "clip_max": 1.0, "tot_var_denoise": 0.0,
+            "unsharp_strength": 0.3, "erosion_threshold": 0.0,
+        }
+        legacy = np.asarray(_preproc_sub_blocks(
+            jnp.asarray(vol), (8, 8, 8), params))
+        fused = np.asarray(_preproc_sub_blocks_fused(
+            jnp.asarray(vol), (8, 8, 8), params))
+        np.testing.assert_allclose(fused, legacy, rtol=2e-5, atol=2e-5)
