@@ -3,8 +3,8 @@
 Equivalent of ``magmap/atlas/atlas_refiner.py``: ``truncate_labels :53``,
 ``mirror_planes :88``, ``check_mirrorred :172``, ``find_symmetric_axis
 :203``, ``smooth_labels :759`` (+ ``label_smoothing_metric :937``),
-``extend_edge :440`` (simplified: nearest-labeled-plane propagation
-instead of per-region growing), ``transpose_img :1090``,
+``extend_edge :440`` (per-region recursive edge extension, see
+``_extend_region``), ``transpose_img :1090``,
 ``match_atlas_labels :1244``, ``import_atlas :1457``,
 ``measure_overlap(_labels) :1636/:1728``.
 """

@@ -157,18 +157,39 @@ def _blockdiag_band(d: int, n_tiles: int, sigma: float,
 
 def _tile_eroded(vol: jax.Array,
                  denoise_shape: Tuple[int, int, int]) -> jax.Array:
-    """Per-tile octahedron(1) erosion on the full block via masked
-    shift-min: the symmetric tile padding duplicates edge voxels, so a
-    cross-tile-boundary neighbor always equals the (already included)
-    center — excluding it reproduces per-tile erosion exactly."""
-    out = vol
-    for ax, d in enumerate(denoise_shape):
-        n = vol.shape[ax]
-        idx = jax.lax.broadcasted_iota(jnp.int32, vol.shape, ax)
-        fwd = jnp.where(idx % d == d - 1, vol, jnp.roll(vol, -1, ax))
-        bwd = jnp.where(idx % d == 0, vol, jnp.roll(vol, 1, ax))
-        out = jnp.minimum(out, jnp.minimum(fwd, bwd))
-    return out
+    """Per-tile octahedron(1) erosion on the full block.
+
+    The symmetric tile padding duplicates edge voxels, so a cross-tile
+    neighbor always equals the (already included) center — clamping each
+    shift at its tile edge reproduces per-tile erosion exactly. The z/y
+    shifts ride free axis-split reshapes (slice+concat on a non-minor
+    axis is a plain offset copy); only the two x shifts pay for lane
+    rotation (a ``(Z, Y, nx, dx)`` split would materialize a dx=25-lane
+    minor dim, ~5x padding waste)."""
+    dz, dy, dx = denoise_shape
+    z, y, x = vol.shape
+    nz, ny, nx = z // dz, y // dy, x // dx
+
+    v4 = vol.reshape(nz, dz, y, x)
+    fwd = jnp.concatenate([v4[:, 1:], v4[:, -1:]], axis=1).reshape(
+        z, y, x)
+    bwd = jnp.concatenate([v4[:, :1], v4[:, :-1]], axis=1).reshape(
+        z, y, x)
+    out = jnp.minimum(vol, jnp.minimum(fwd, bwd))
+
+    v4 = vol.reshape(z, ny, dy, x)
+    fwd = jnp.concatenate([v4[:, :, 1:], v4[:, :, -1:]], axis=2).reshape(
+        z, y, x)
+    bwd = jnp.concatenate([v4[:, :, :1], v4[:, :, :-1]], axis=2).reshape(
+        z, y, x)
+    out = jnp.minimum(out, jnp.minimum(fwd, bwd))
+
+    lane = jnp.arange(x, dtype=jnp.int32)
+    fwd = jnp.where((lane % dx == dx - 1)[None, None, :], vol,
+                    jnp.roll(vol, -1, 2))
+    bwd = jnp.where((lane % dx == 0)[None, None, :], vol,
+                    jnp.roll(vol, 1, 2))
+    return jnp.minimum(out, jnp.minimum(fwd, bwd))
 
 
 def _preproc_sub_blocks_fused(
@@ -206,19 +227,20 @@ def _preproc_sub_blocks_fused(
     degenerate = vmin >= vmax
     span = jnp.where(degenerate, 1.0, vmax - vmin)
 
-    def up(t):
-        """(T,) per-tile values -> (Z, Y, X) voxel grid."""
-        g = t.reshape(nz, ny, nx)
-        g = jnp.broadcast_to(
-            g[:, None, :, None, :, None], (nz, dz, ny, dy, nx, dx))
-        return g.reshape(nz * dz, ny * dy, nx * dx)
+    def t6(t):
+        """(T,) per-tile values as a broadcastable 6D-view operand —
+        the axis-split reshape is free and XLA fuses the broadcast into
+        the consuming elementwise op (an explicit upsample materialized
+        several full-block arrays)."""
+        return t.reshape(nz, 1, ny, 1, nx, 1)
 
-    vmin_v, span_v = up(vmin), up(span)
-    scaled = (jnp.clip(padded, vmin_v, up(vmax)) - vmin_v) / span_v
-    sat = jnp.where(up(degenerate), padded, scaled)
+    p6 = padded.reshape(nz, dz, ny, dy, nx, dx)
+    scaled6 = (jnp.clip(p6, t6(vmin), t6(vmax)) - t6(vmin)) / t6(span)
+    sat6 = jnp.where(t6(degenerate), p6, scaled6)
+    sat = sat6.reshape(nz * dz, ny * dy, nx * dx)
 
     # per-tile saturated mean gates the erosion (denoise_roi semantics)
-    means = sat.reshape(nz, dz, ny, dy, nx, dx).mean(axis=(1, 3, 5))
+    means = sat6.mean(axis=(1, 3, 5))
 
     out = jnp.clip(sat, params["clip_min"], params["clip_max"])
     if params["unsharp_strength"]:
@@ -233,9 +255,12 @@ def _preproc_sub_blocks_fused(
         out = 2.0 * out - params["unsharp_strength"] * blurred
     if params["erosion_threshold"]:
         eroded = _tile_eroded(out, (dz, dy, dx))
+        gate6 = (t6(means.reshape(-1))
+                 > params["erosion_threshold"])
         out = jnp.where(
-            up(means.reshape(-1)) > params["erosion_threshold"],
-            eroded, out)
+            gate6, eroded.reshape(nz, dz, ny, dy, nx, dx),
+            out.reshape(nz, dz, ny, dy, nx, dx),
+        ).reshape(nz * dz, ny * dy, nx * dx)
     return out[:bz, :by, :bx]
 
 
@@ -425,6 +450,8 @@ def detect_blobs_blocks(
 
     coords_list = list(np.ndindex(*grid_shape))
     last_coord = np.asarray(grid_shape) - 1
+    total_gather_s = 0.0
+    total_pull_s = 0.0
     time_detect = time.time()
     seg_rois = np.full(grid_shape, None, dtype=object)
     # fused Pallas peak finder needs a 128-aligned x extent, VMEM-fitting
@@ -527,23 +554,58 @@ def detect_blobs_blocks(
             seg_rois[coord] = (
                 segs if prev is None else np.vstack([prev, segs]))
 
-        # one-deep software pipeline: dispatch batch i+1 before pulling
-        # batch i's results so the host gather/unpack overlaps device
-        # compute (JAX dispatch is async)
+        # two-deep software pipeline: host threads gather block batch
+        # i+2 from the (memmapped) volume while batch i+1's H2D/compute
+        # is in flight and batch i computes; the result pull happens
+        # only when two dispatches are already queued (JAX dispatch is
+        # async), so gather, H2D, and detection overlap
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
         batches = [coords_list[i:i + batch_size]
                    for i in range(0, len(coords_list), batch_size)]
-        in_flight = dispatch(batches[0]) if batches else None
+        gather_s = [0.0]
+
+        def timed_gather(bc):
+            t0 = time.time()
+            out = gather_batch(bc)
+            gather_s[0] += time.time() - t0
+            return out
+
         results = []
-        for next_batch in batches[1:] + [None]:
-            batch_coords, starts, raw_b, valid_b = in_flight
-            if next_batch is not None:
-                nxt = dispatch(next_batch)
-            else:
-                nxt = None
-            results.append(
-                (batch_coords, starts, np.asarray(raw_b),
-                 np.asarray(valid_b)))
-            in_flight = nxt
+        pull_s = 0.0
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = {i: pool.submit(timed_gather, batches[i])
+                    for i in range(min(2, len(batches)))}
+            next_gather = min(2, len(batches))
+            in_flight = collections.deque()
+            for i in range(len(batches)):
+                starts, stacked = futs.pop(i).result()
+                raw_b, valid_b = detect_fn(
+                    jnp.asarray(stacked), sigmas,
+                    float(settings["detection_threshold"]),
+                    float(settings["overlap"]), capacity, denoise_shape,
+                    prep,
+                    fast=str(settings["log_dtype"]).lower()
+                    == "bfloat16")
+                in_flight.append((batches[i], starts, raw_b, valid_b))
+                if next_gather < len(batches):
+                    futs[next_gather] = pool.submit(
+                        timed_gather, batches[next_gather])
+                    next_gather += 1
+                if len(in_flight) > 2:
+                    bc, st, rb, vb = in_flight.popleft()
+                    t0 = time.time()
+                    results.append((bc, st, np.asarray(rb),
+                                    np.asarray(vb)))
+                    pull_s += time.time() - t0
+            while in_flight:
+                bc, st, rb, vb = in_flight.popleft()
+                t0 = time.time()
+                results.append((bc, st, np.asarray(rb), np.asarray(vb)))
+                pull_s += time.time() - t0
+        total_gather_s += gather_s[0]
+        total_pull_s += pull_s
 
         retry = []
         fallback = {}
@@ -600,7 +662,13 @@ def detect_blobs_blocks(
     time_prune = time.time() - time_prune
 
     timing = {"Detection": time_detect, "Pruning": time_prune,
-              "Total_stack": time_detect + time_prune}
+              "Total_stack": time_detect + time_prune,
+              # bottleneck decomposition: host gather seconds (overlapped
+              # with device work by the two-deep pipeline) and time spent
+              # blocked on device result pulls (H2D/compute-bound when
+              # this dominates)
+              "Gather_host": total_gather_s,
+              "Pull_wait": total_pull_s}
     if verify_fn is not None and blobs_all is not None:
         timing["verify_stats"] = verify_fn(blobs_all)
     return blobs_all, timing

@@ -340,3 +340,51 @@ class TestClrstatsModels:
         grad = X.T @ (y - mu)
         assert np.max(np.abs(grad)) < 1e-5
         assert 1.0 < beta[1] < 3.5
+
+
+class TestRemainingTabWorkflows:
+    """Controller coverage of the reference Visualization tabs that the
+    full-session test doesn't touch: image adjustment, profiles, the
+    import tab (TIFF -> image5d), and the BrainGlobe tab from a local
+    cache (reference visualizer.py:266 tab set; no X server exists in
+    this environment, so the session controller is the tested surface)."""
+
+    def test_import_adjust_profile_tabs(self, tmp_path, rng):
+        from magellanmapper_tpu.gui.visualizer import Visualization
+        from magellanmapper_tpu.io import tiff
+        src = (rng.random((4, 24, 24)) * 1000).astype(np.uint16)
+        tif_path = str(tmp_path / "import_me.tif")
+        tiff.write_tiff(tif_path, src)
+
+        vis = Visualization()
+        img5d = vis.import_file(tif_path, prefix=str(tmp_path / "imp"))
+        assert img5d.img.shape[1:4] == src.shape
+        # image adjustment tab: windowing state applies and persists
+        adj = vis.adjust_image(vmin=10, vmax=500, alpha=0.8)
+        assert adj["vmin"] == 10 and adj["alpha"] == 0.8
+        # profiles tab: named modifier chain swaps the ROI profile
+        prof = vis.set_roi_profile("lightsheet")
+        assert prof is vis.roi_profile
+
+    def test_brain_globe_tab_local_cache(self, tmp_path, rng):
+        import json
+        from magellanmapper_tpu.gui.visualizer import Visualization
+        from magellanmapper_tpu.io import tiff
+        cache = tmp_path / "allen_test_10um_v1.0"
+        cache.mkdir()
+        ref = (rng.random((4, 8, 8)) * 900).astype(np.uint16)
+        ann = rng.integers(0, 4, (4, 8, 8)).astype(np.uint16)
+        tiff.write_tiff(str(cache / "reference.tiff"), ref)
+        tiff.write_tiff(str(cache / "annotation.tiff"), ann)
+        (cache / "metadata.json").write_text(
+            json.dumps({"resolution": [10.0, 10.0, 10.0]}))
+
+        vis = Visualization()
+        img5d, labels, meta = vis.open_brain_globe(
+            "allen_test", cache_dir=str(tmp_path))
+        np.testing.assert_array_equal(img5d.img[0], ref)
+        np.testing.assert_array_equal(labels, ann)
+        assert meta["resolution"] == [10.0, 10.0, 10.0]
+        # the fetched atlas feeds the annotation tab directly
+        views = vis.open_atlas_editor()
+        assert set(views.canvases) == {"xy", "xz", "yz"}
