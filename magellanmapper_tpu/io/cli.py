@@ -338,6 +338,15 @@ def process_file(rc: RunConfig):
 
     if proc is ProcessTypes.IMPORT_ONLY:
         from magellanmapper_tpu.io import importer
+        ext = os.path.splitext(path)[1].lower()
+        if ext == ".czi":
+            return importer.import_czi(
+                path, out_path=rc.prefix or path,
+                resolutions=rc.resolutions)
+        if ext == ".lif":
+            return importer.import_lif(
+                path, out_path=rc.prefix or path,
+                resolutions=rc.resolutions, series=rc.series)
         return importer.import_tiff(
             path, out_path=rc.prefix or path,
             resolutions=rc.resolutions)

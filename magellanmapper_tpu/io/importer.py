@@ -66,6 +66,33 @@ def import_tiff(
             [list(resolutions)] if resolutions is not None else None))
 
 
+def import_czi(
+        path: str, out_path: Optional[str] = None,
+        resolutions: Optional[Sequence[float]] = None) -> np_io.Image5d:
+    """Import a Zeiss CZI file into a memmapped image5d via the pure-
+    Python ZISRAW reader (``io.czi_lif``) — the JVM/Bioformats path the
+    reference uses (``importer.py:97-156``) is unavailable here."""
+    from magellanmapper_tpu.io import czi_lif
+    arr, meta = czi_lif.read_czi(path)
+    res = resolutions or meta.get("resolutions")
+    return np_io.write_npy(
+        out_path or path, arr[None],
+        resolutions=([list(res)] if res is not None else None))
+
+
+def import_lif(
+        path: str, out_path: Optional[str] = None, series: int = 0,
+        resolutions: Optional[Sequence[float]] = None) -> np_io.Image5d:
+    """Import one series of a Leica LIF file into a memmapped image5d
+    (pure-Python reader, ``io.czi_lif``)."""
+    from magellanmapper_tpu.io import czi_lif
+    arr, meta = czi_lif.read_lif(path, series=series)
+    return np_io.write_npy(
+        out_path or path, arr[None],
+        resolutions=([list(resolutions)]
+                     if resolutions is not None else None))
+
+
 def import_raw(
         path: str, shape: Sequence[int], dtype,
         out_path: Optional[str] = None,
@@ -317,8 +344,10 @@ def assign_metadata(img5d, md: Dict) -> None:
 # | RAW + sidecar metadata         | yes                 | import_raw     |
 # | Plane-per-file directories     | yes                 | import_dir     |
 # | MHD/MHA, NRRD, NIfTI           | yes                 | io.sitk_io     |
-# | CZI, LIF, ND2, OIB/OIF, IMS,   | gated (needs        | start_jvm gate |
-# |   SLD, proprietary OME variants|  javabridge+JVM)    |                |
+# | CZI (uncompressed/zlib)        | yes (pure Python)   | io.czi_lif     |
+# | LIF                            | yes (pure Python)   | io.czi_lif     |
+# | ND2, OIB/OIF, IMS, SLD,        | gated (needs        | start_jvm gate |
+# |   JPEG-XR/zstd CZI, OME exotic |  javabridge+JVM)    |                |
 #
 # The gate raises with guidance instead of silently failing; install
 # javabridge/python-bioformats on a JVM-equipped host to lift it.
@@ -338,9 +367,10 @@ def start_jvm(heap_size: str = "8G") -> None:
     raises with guidance when the Java stack is absent."""
     if not is_javabridge_loaded():
         raise ImportError(
-            "javabridge/python-bioformats are required for proprietary "
-            "microscopy formats; import TIFF/NPY/raw instead or install "
-            "the Java stack")
+            "javabridge/python-bioformats are required for this format; "
+            "CZI/LIF import natively via io.czi_lif (import_czi/"
+            "import_lif), or import TIFF/NPY/raw, or install the Java "
+            "stack")
     import javabridge
     import bioformats
     javabridge.start_vm(class_path=bioformats.JARS,
