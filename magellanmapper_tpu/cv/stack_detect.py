@@ -192,6 +192,66 @@ def _tile_eroded(vol: jax.Array,
     return jnp.minimum(out, jnp.minimum(fwd, bwd))
 
 
+@functools.lru_cache(maxsize=64)
+def _tile_expand_matrix(d: int, n_tiles: int) -> np.ndarray:
+    """0/1 matrix ``E (n_vox, n_tiles)`` with ``E[v, t] = 1`` iff voxel
+    ``v`` lies in tile ``t`` along one axis. ``x @ E`` reduces voxels to
+    per-tile sums and ``grid @ E.T`` broadcasts per-tile values back to
+    voxels — both MXU matmuls, avoiding 6D-view ops whose 25-wide minor
+    dim forces ~5x lane-padding waste (measured: the 6D scale/means
+    formulation cost ~9 ms per 6-block batch; these matmuls are noise).
+    """
+    e = np.zeros((d * n_tiles, n_tiles), np.float32)
+    for t in range(n_tiles):
+        e[t * d:(t + 1) * d, t] = 1.0
+    return e
+
+
+def _tile_upsample(grid: jax.Array, dims) -> jax.Array:
+    """(nz, ny, nx) per-tile values -> (Z, Y, X) voxel grid via three
+    expand matmuls."""
+    out = grid
+    for ax, (d, n_t) in enumerate(dims):
+        e = jnp.asarray(_tile_expand_matrix(d, n_t))
+        # HIGHEST: each output is one 0/1-selected value, so the matmul
+        # must reproduce the f32 inputs bit-exactly (bf16 would round
+        # the percentile bounds and break legacy-path parity)
+        out = jnp.tensordot(out, e, axes=((0,), (1,)),
+                            precision=jax.lax.Precision.HIGHEST)
+        # tensordot moves the expanded axis last; after three passes the
+        # axes have cycled back to (Z, Y, X)
+    return out
+
+
+def _tile_sums(vox: jax.Array, dims) -> jax.Array:
+    """(Z, Y, X) -> (nz, ny, nx) per-tile sums via three reduce
+    matmuls."""
+    out = vox
+    for ax, (d, n_t) in enumerate(dims):
+        e = jnp.asarray(_tile_expand_matrix(d, n_t))
+        out = jnp.tensordot(out, e, axes=((0,), (0,)),
+                            precision=jax.lax.Precision.HIGH)
+    return out
+
+
+def _pad_symmetric(vol: jax.Array, pad) -> jax.Array:
+    """Trailing symmetric pad via per-axis flip+concat of edge slivers.
+
+    ``jnp.pad(mode='symmetric')`` over three axes lowered to one slow
+    fused gather (~8 ms per 6-block batch on v5e); explicit sliver
+    flips concat the same result from cheap slices.
+    """
+    out = vol
+    for ax, p in enumerate(pad):
+        if p == 0:
+            continue
+        n = out.shape[ax]
+        sliver = jax.lax.slice_in_dim(out, n - p, n, axis=ax)
+        out = jnp.concatenate(
+            [out, jnp.flip(sliver, axis=ax)], axis=ax)
+    return out
+
+
 def _preproc_sub_blocks_fused(
         vol: jax.Array, denoise_shape: Tuple[int, ...],
         params: Dict[str, float]) -> jax.Array:
@@ -202,17 +262,19 @@ def _preproc_sub_blocks_fused(
     exact per-tile percentiles come from one Pallas bisection kernel
     (``tile_percentiles_pallas``) instead of ~1300 bitonic sorts, the
     sigma-8 unsharp blur runs as three block-diagonal band matmuls on
-    the full block, and the erosion is a masked shift-min — round 2
-    measured the sort + tile transposes at ~40% of the whole production
-    detection program (311 -> 192 Mvox/s). Requires
-    ``tot_var_denoise == 0`` (callers fall back to the tiled path).
+    the full block, per-tile scalars broadcast through 0/1 expand
+    matmuls (never a 25-lane 6D view), and the erosion is a clamped
+    shift-min — round 2 measured the sort + tile transposes at ~40% of
+    the whole production detection program (311 -> 192 Mvox/s).
+    Requires ``tot_var_denoise == 0`` (callers fall back to the tiled
+    path).
     """
     dz, dy, dx = denoise_shape
     bz, by, bx = vol.shape
     nz, ny, nx = (-(-bz // dz), -(-by // dy), -(-bx // dx))
     pad = (nz * dz - bz, ny * dy - by, nx * dx - bx)
-    padded = jnp.pad(
-        vol.astype(jnp.float32), [(0, p) for p in pad], mode="symmetric")
+    padded = _pad_symmetric(vol.astype(jnp.float32), pad)
+    dims = ((dz, nz), (dy, ny), (dx, nx))
 
     from magellanmapper_tpu.ops import pallas_kernels
     tiles2d = padded.reshape(nz, dz, ny, dy, nx, dx).transpose(
@@ -227,26 +289,24 @@ def _preproc_sub_blocks_fused(
     degenerate = vmin >= vmax
     span = jnp.where(degenerate, 1.0, vmax - vmin)
 
-    def t6(t):
-        """(T,) per-tile values as a broadcastable 6D-view operand —
-        the axis-split reshape is free and XLA fuses the broadcast into
-        the consuming elementwise op (an explicit upsample materialized
-        several full-block arrays)."""
-        return t.reshape(nz, 1, ny, 1, nx, 1)
+    def up(t):
+        return _tile_upsample(t.reshape(nz, ny, nx), dims)
 
-    p6 = padded.reshape(nz, dz, ny, dy, nx, dx)
-    scaled6 = (jnp.clip(p6, t6(vmin), t6(vmax)) - t6(vmin)) / t6(span)
-    sat6 = jnp.where(t6(degenerate), p6, scaled6)
-    sat = sat6.reshape(nz * dz, ny * dy, nx * dx)
+    vmin_v = up(vmin)
+    vmax_v = up(vmax)
+    span_v = up(span)
+    scaled = (jnp.clip(padded, vmin_v, vmax_v) - vmin_v) / span_v
+    sat = jnp.where(up(degenerate.astype(jnp.float32)) > 0.5,
+                    padded, scaled)
 
     # per-tile saturated mean gates the erosion (denoise_roi semantics)
-    means = sat6.mean(axis=(1, 3, 5))
+    means = _tile_sums(sat, dims) / jnp.float32(dz * dy * dx)
 
     out = jnp.clip(sat, params["clip_min"], params["clip_max"])
     if params["unsharp_strength"]:
         from magellanmapper_tpu.ops import filters
         blurred = out
-        for ax, (d, n_t) in enumerate(((dz, nz), (dy, ny), (dx, nx))):
+        for ax, (d, n_t) in enumerate(dims):
             band = jnp.asarray(_blockdiag_band(d, n_t, 8.0, "nearest"))
             blurred = jnp.tensordot(
                 blurred, band, axes=((ax,), (0,)),
@@ -255,12 +315,9 @@ def _preproc_sub_blocks_fused(
         out = 2.0 * out - params["unsharp_strength"] * blurred
     if params["erosion_threshold"]:
         eroded = _tile_eroded(out, (dz, dy, dx))
-        gate6 = (t6(means.reshape(-1))
-                 > params["erosion_threshold"])
-        out = jnp.where(
-            gate6, eroded.reshape(nz, dz, ny, dy, nx, dx),
-            out.reshape(nz, dz, ny, dy, nx, dx),
-        ).reshape(nz * dz, ny * dy, nx * dx)
+        gate = up((means > params["erosion_threshold"]
+                   ).reshape(-1).astype(jnp.float32)) > 0.5
+        out = jnp.where(gate, eroded, out)
     return out[:bz, :by, :bx]
 
 

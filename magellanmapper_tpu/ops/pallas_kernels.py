@@ -23,8 +23,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: tile edge for the (i, j) blob-pair grid
-_TILE = 512
+#: tile edge for the (i, j) blob-pair grid. 1024 quarters the grid
+#: step count at the production capacity (8192 -> 8x8 tiles): each
+#: skipped tile still pays its BlockSpec DMAs + grid overhead, which
+#: dominated at K=8192 with a few hundred valid blobs (~3 ms/volume)
+_TILE = 1024
 
 
 def _prune_kernel(coords_i_ref, r_i_ref, valid_i_ref,
