@@ -23,11 +23,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: tile edge for the (i, j) blob-pair grid. 1024 quarters the grid
-#: step count at the production capacity (8192 -> 8x8 tiles): each
-#: skipped tile still pays its BlockSpec DMAs + grid overhead, which
-#: dominated at K=8192 with a few hundred valid blobs (~3 ms/volume)
-_TILE = 1024
+#: tile edge for the (i, j) blob-pair grid. Measured on v5e at
+#: K=8192: 1024 did not help the sparse case and cost the dense
+#: (near-full-buffer) case ~60% (bigger per-tile d2 temps); 512 stays
+_TILE = 512
 
 
 def _prune_kernel(coords_i_ref, r_i_ref, valid_i_ref,
@@ -327,16 +326,18 @@ def _kernel_max3_plane(p):
     """(S, Y, X) -> 3^3-neighborhood max, constant-0 borders (the
     skimage ``maximum_filter(mode='constant')`` border inside
     ``peak_local_max``; outputs clamp to >= 0, indistinguishable above
-    the positive detection threshold)."""
+    the positive detection threshold).
+
+    Each axis pass is two ``pltpu.roll`` rotations with iota-masked
+    borders — the pad+slice formulation materialized lane-unaligned
+    (n+2)-wide temporaries, which Mosaic pads ~1.5x and shuffles.
+    """
     def ax3(t, ax):
         n = t.shape[ax]
-        pad = [(0, 0)] * 3
-        pad[ax] = (1, 1)
-        padded = jnp.pad(t, pad, constant_values=0.0)
-        lo = jax.lax.slice_in_dim(padded, 0, n, axis=ax)
-        mid = jax.lax.slice_in_dim(padded, 1, n + 1, axis=ax)
-        hi = jax.lax.slice_in_dim(padded, 2, n + 2, axis=ax)
-        return jnp.maximum(jnp.maximum(lo, mid), hi)
+        idx = jax.lax.broadcasted_iota(jnp.int32, t.shape, ax)
+        lo = jnp.where(idx == 0, 0.0, pltpu.roll(t, 1, ax))
+        hi = jnp.where(idx == n - 1, 0.0, pltpu.roll(t, n - 1, ax))
+        return jnp.maximum(jnp.maximum(lo, t), hi)
     return ax3(ax3(ax3(p, 0), 1), 2)
 
 

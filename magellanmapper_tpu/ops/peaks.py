@@ -222,13 +222,37 @@ def prune_overlapping_blobs_auto(
         coords: jax.Array, sigmas: jax.Array, valid: jax.Array,
         overlap_thresh: float, ndim: int = 3) -> jax.Array:
     """Dispatch pruning to the Pallas kernel on TPU backends (tiled VMEM
-    pass, no K x K HBM matrices) and the jnp path elsewhere."""
-    if jax.default_backend() != "cpu":
-        from magellanmapper_tpu.ops import pallas_kernels
+    pass, no K x K HBM matrices) and the jnp path elsewhere.
+
+    Count-tiered: peak buffers are top_k-compacted (every valid row sits
+    in the first ``count`` rows), so when the valid count fits a small
+    leading window the kernel prunes only that window under ``lax.cond``
+    — at the production capacity (8192) the full grid pays ~3 ms of
+    skipped-tile overhead for a few hundred real blobs.
+    """
+    if jax.default_backend() == "cpu":
+        return prune_overlapping_blobs(
+            coords, sigmas, valid, overlap_thresh, ndim)
+    from magellanmapper_tpu.ops import pallas_kernels
+
+    k = coords.shape[0]
+    small = 1024
+    if k <= 2 * small:
         return pallas_kernels.prune_overlap_pallas(
             coords, sigmas, valid, overlap_thresh, ndim)
-    return prune_overlapping_blobs(
-        coords, sigmas, valid, overlap_thresh, ndim)
+
+    def prune_small(_):
+        head = pallas_kernels.prune_overlap_pallas(
+            coords[:small], sigmas[:small], valid[:small],
+            overlap_thresh, ndim)
+        return jnp.concatenate([head, valid[small:]])
+
+    def prune_full(_):
+        return pallas_kernels.prune_overlap_pallas(
+            coords, sigmas, valid, overlap_thresh, ndim)
+
+    count = jnp.sum(valid.astype(jnp.int32))
+    return jax.lax.cond(count <= small, prune_small, prune_full, None)
 
 
 def prune_overlapping_blobs(
