@@ -97,10 +97,12 @@ def _scale_params(params: Dict, factor: float, kind: str) -> Dict:
 
 #: cap on metric sample points per optimizer step. Elastix's
 #: AdvancedMattesMutualInformation uses ~2048 random spatial samples per
-#: iteration (``NumberOfSpatialSamples``); we keep 16x that on a strided
-#: grid. The warp gather is the TPU hot spot (~48 ms for 590k trilinear
-#: samples measured on v5e), so sample count directly sets iteration time.
-_MAX_METRIC_SAMPLES = 1 << 15
+#: iteration (``NumberOfSpatialSamples``); we keep 8x that on a strided
+#: jittered grid. The warp gather is the TPU hot spot (it scales with
+#: both sample count and the gather table's residency — atlas-scale
+#: tables drop the step rate ~2x), so sample count sets iteration time;
+#: 32k -> 16k measured no DSC change on the full-schedule gate.
+_MAX_METRIC_SAMPLES = 1 << 14
 
 
 def _metric_stride(

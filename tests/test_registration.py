@@ -181,7 +181,7 @@ class TestBsplineRecovery:
         assert ncc_after > 0.995
 
     def test_metric_stride_selection(self):
-        assert reg_engine._metric_stride((32, 32, 32)) == (1, 1, 1)
+        assert reg_engine._metric_stride((24, 24, 24)) == (1, 1, 1)
         big = reg_engine._metric_stride((512, 512, 512))
         n = np.prod([-(-512 // s) for s in big])
         assert n <= reg_engine._MAX_METRIC_SAMPLES
