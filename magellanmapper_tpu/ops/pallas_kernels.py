@@ -217,12 +217,23 @@ def _tile_pct_kernel(keys_ref, ranks_ref, out_ref):
     c = keys.shape[0]
     k1 = ranks_ref[0, 0]
     k2 = ranks_ref[0, 1]
+    # start the bisection from each tile's actual [min-1, max] key range
+    # (padding keys are INT32_MAX and real keys are nonnegative, so the
+    # masked max sees only data) and exit once every row's bracket has
+    # closed — image tiles span ~2^24 of key space, not 2^31, so ~8 of
+    # the fixed 32 iterations were wasted
+    lo0 = jnp.min(keys, axis=1) - 1
+    hi0 = jnp.max(
+        jnp.where(keys < 0x7FFFFFFF, keys, -1), axis=1)
     # both percentiles' bisections share each iteration's pass over the
     # keys (the count reductions dominate the kernel; one fused read)
-    lo0 = jnp.full((c,), -1, jnp.int32)
-    hi0 = jnp.full((c,), 0x7F800001, jnp.int32)   # just past +inf
 
-    def body(it, state):
+    def cond(state):
+        lo1, hi1, lo2, hi2 = state
+        return jnp.maximum(
+            jnp.max(hi1 - lo1), jnp.max(hi2 - lo2)) > 1
+
+    def body(state):
         lo1, hi1, lo2, hi2 = state
         mid1 = lo1 + (hi1 - lo1) // 2
         mid2 = lo2 + (hi2 - lo2) // 2
@@ -233,8 +244,8 @@ def _tile_pct_kernel(keys_ref, ranks_ref, out_ref):
         return (jnp.where(t1, lo1, mid1), jnp.where(t1, mid1, hi1),
                 jnp.where(t2, lo2, mid2), jnp.where(t2, mid2, hi2))
 
-    _, hi1, _, hi2 = jax.lax.fori_loop(
-        0, 32, body, (lo0, hi0, lo0, hi0))
+    _, hi1, _, hi2 = jax.lax.while_loop(
+        cond, body, (lo0, hi0, lo0, hi0))
     for j, (k, hi) in enumerate(((k1, hi1), (k2, hi2))):
         succ = jnp.min(
             jnp.where(keys > hi[:, None], keys, jnp.int32(0x7FFFFFFF)),
@@ -322,11 +333,12 @@ def tile_percentiles_pallas(
 # iterations dominated the rest.
 
 
-def _kernel_max3_plane(p):
-    """(S, Y, X) -> 3^3-neighborhood max, constant-0 borders (the
-    skimage ``maximum_filter(mode='constant')`` border inside
-    ``peak_local_max``; outputs clamp to >= 0, indistinguishable above
-    the positive detection threshold).
+def _kernel_max3_planes(p):
+    """(S, ZC, Y, X) -> per-plane 3^3 (s, y, x) neighborhood max,
+    constant-0 borders (the skimage ``maximum_filter(mode='constant')``
+    border inside ``peak_local_max``; outputs clamp to >= 0,
+    indistinguishable above the positive detection threshold). The ZC
+    plane axis is batch-like (no mixing).
 
     Each axis pass is two ``pltpu.roll`` rotations with iota-masked
     borders — the pad+slice formulation materialized lane-unaligned
@@ -338,19 +350,19 @@ def _kernel_max3_plane(p):
         lo = jnp.where(idx == 0, 0.0, pltpu.roll(t, 1, ax))
         hi = jnp.where(idx == n - 1, 0.0, pltpu.roll(t, n - 1, ax))
         return jnp.maximum(jnp.maximum(lo, t), hi)
-    return ax3(ax3(ax3(p, 0), 1), 2)
+    return ax3(ax3(ax3(p, 0), 2), 3)
 
 
 def _peak_harvest_kernel(
         cube_ref, thresh_ref, vals_ref, lanes_ref,
         stage, mring, dma_sems, rounds: int, pad_x: int):
-    """Step z: stream cube plane z+1 in, roll the plane-max ring,
-    peak-test plane z, and harvest candidates.
+    """Step t: stream cube plane pair t+1 in, roll the pair-max ring,
+    peak-test pair t's two planes, and harvest candidates.
 
-    DMA schedule (one 2 MB copy per step, double-buffered): plane z+1's
-    copy was started at step z-1; after the peak test reads plane z its
-    slot is reused to prefetch plane z+2, so every copy overlaps a full
-    step of compute.
+    DMA schedule (one two-plane copy per step, double-buffered): pair
+    t+1's copy was started at step t-1; after the peak test reads pair
+    t its slot is reused to prefetch pair t+2, so every copy overlaps a
+    full step of compute.
 
     Harvest: whole-slab vectorized rounds under ``lax.while_loop`` — no
     per-tile dynamic slicing (round 2's 8-tile fori cost ~8 ms/cube) and
@@ -358,54 +370,63 @@ def _peak_harvest_kernel(
     the loop exits as soon as a round harvests nothing, so the common
     few-peaks-per-plane case pays for ~2 rounds, not ``rounds``.
     """
-    z = pl.program_id(0)
-    nz = pl.num_programs(0)
+    t = pl.program_id(0)                 # plane-PAIR index
+    nt = pl.num_programs(0)
     s_dim, y_dim, x_dim = stage.shape[1], stage.shape[3], stage.shape[4]
 
-    def copy(slot, src_z, sem):
+    def copy(slot, pair, sem):
         return pltpu.make_async_copy(
-            cube_ref.at[:, pl.ds(src_z, 1)], stage.at[slot],
+            cube_ref.at[:, pl.ds(2 * pair, 2)], stage.at[slot],
             dma_sems.at[sem])
 
-    @pl.when(z == 0)
+    @pl.when(t == 0)
     def _():
         cp = copy(0, 0, 0)
         cp.start()
         cp.wait()
-        m0 = _kernel_max3_plane(stage[0, :, 0])
+        m0 = _kernel_max3_planes(stage[0])
         mring[pl.ds(0, 1)] = m0[None]
-        mring[pl.ds(2, 1)] = jnp.zeros_like(m0)[None]   # M(-1) border
+        mring[pl.ds(2, 1)] = jnp.zeros_like(m0)[None]   # M(pair -1)
 
-    @pl.when((z == 0) & (nz > 1))
+    @pl.when((t == 0) & (nt > 1))
     def _():
         copy(1, 1, 1).start()
 
-    @pl.when(z < nz - 1)
+    @pl.when(t < nt - 1)
     def _():
-        slot = (z + 1) % 2
-        copy(slot, z + 1, slot).wait()
-        mnew = _kernel_max3_plane(stage[pl.ds(slot, 1)][0, :, 0])
-        mring[pl.ds((z + 1) % 3, 1)] = mnew[None]
+        slot = (t + 1) % 2
+        copy(slot, t + 1, slot).wait()
+        mnew = _kernel_max3_planes(stage[pl.ds(slot, 1)][0])
+        mring[pl.ds((t + 1) % 3, 1)] = mnew[None]
 
-    @pl.when(z == nz - 1)
+    @pl.when(t == nt - 1)
     def _():
-        mring[pl.ds((z + 1) % 3, 1)] = jnp.zeros(
-            (1, s_dim, y_dim, x_dim), jnp.float32)   # M(nz) border
+        mring[pl.ds((t + 1) % 3, 1)] = jnp.zeros(
+            (1, s_dim, 2, y_dim, x_dim), jnp.float32)   # M(Z) border
 
-    cur = stage[pl.ds(z % 2, 1)][0, :, 0]            # (S, Y, X)
-    # ring max over {z-1, z, z+1} plane-maxima (slot order irrelevant)
-    m3 = jnp.maximum(jnp.maximum(mring[0], mring[1]), mring[2])
+    cur = stage[pl.ds(t % 2, 1)][0]                  # (S, 2, Y, X)
+    # plane 2t sees M planes {2t-1, 2t, 2t+1}; plane 2t+1 sees
+    # {2t, 2t+1, 2t+2} — the pair ring slots (t+2)%3 == (t-1)%3 hold
+    # the previous pair, (t+1)%3 the next
+    m_prev = mring[pl.ds((t + 2) % 3, 1)][0]
+    m_cur = mring[pl.ds(t % 3, 1)][0]
+    m_next = mring[pl.ds((t + 1) % 3, 1)][0]
+    m_mid = jnp.maximum(m_cur[:, 0], m_cur[:, 1])
+    m3 = jnp.stack(
+        [jnp.maximum(m_prev[:, 1], m_mid),
+         jnp.maximum(m_mid, m_next[:, 0])], axis=1)  # (S, 2, Y, X)
     is_peak = (cur == m3) & (cur > thresh_ref[0, 0])
     work = jnp.where(is_peak, cur, -jnp.inf)
     if pad_x:
         work = jnp.pad(
-            work, ((0, 0), (0, 0), (0, pad_x)), constant_values=-jnp.inf)
+            work, ((0, 0), (0, 0), (0, 0), (0, pad_x)),
+            constant_values=-jnp.inf)
     work = work.reshape(-1, 128)                      # (rows, lanes)
 
-    # plane z is consumed; reuse its slot to prefetch plane z+2
-    @pl.when(z + 2 < nz)
+    # pair t is consumed; reuse its slot to prefetch pair t+2
+    @pl.when(t + 2 < nt)
     def _():
-        copy(z % 2, z + 2, z % 2).start()
+        copy(t % 2, t + 2, t % 2).start()
 
     n_rows = work.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 128), 1)
@@ -444,29 +465,36 @@ def peak_candidates_pallas(
         interpret: bool = False):
     """Fused local-maxima + candidate harvest over a (S, Z, Y, X) cube.
 
-    ONE streaming pass: per z step the kernel DMAs a single response
-    plane, computes its (s, y, x) neighborhood max into a rolling
-    3-plane ring (constant-0 z borders), folds the 3^4 peak test, and
-    harvests up to ``rounds`` peak candidates per 128-lane group with a
-    vectorized early-exit rounds loop.
+    ONE streaming pass over plane PAIRS: per step the kernel DMAs two
+    response planes (double-buffered), computes their per-plane
+    (s, y, x) neighborhood maxima into a rolling 3-pair ring
+    (constant-0 z borders), folds the 3^4 peak test for both planes,
+    and harvests up to ``rounds`` peak candidates per 128-lane group
+    with a vectorized early-exit rounds loop. Two planes per grid step
+    halve the per-step fixed costs (grid sequencing, ring reads,
+    harvest setup); odd-Z cubes get one zero plane appended, which is
+    exactly the z-border value.
 
-    Returns ``(vals, lanes)``: per-z candidate values
-    ``(Z, rounds, rows)`` and their lane offsets, where row ``r`` covers
-    flattened slab positions ``[r * 128, (r+1) * 128)`` of the x-padded
-    ``(S, Y, Xp)`` plane. Every peak appears exactly once among the
-    candidates (up to ``rounds`` per lane group), so the peak count
-    equals the number of finite candidate values.
+    Returns ``(vals, lanes)``: per-pair candidate values
+    ``(ceil(Z/2), rounds, rows)`` and their lane offsets, where row
+    ``r`` covers flattened positions ``[r*128, (r+1)*128)`` of the
+    x-padded ``(S, 2, Y, Xp)`` pair slab. Every peak appears exactly
+    once among the candidates (up to ``rounds`` per lane group), so the
+    peak count equals the number of finite candidate values.
     """
     s, z, y, x = cube.shape
     pad_x = (-x) % 128
     xp = x + pad_x
     thresh = jnp.full((1, 1), threshold, jnp.float32)
     cube = cube.astype(jnp.float32)
-    n_rows = s * y * xp // 128
+    if z % 2:
+        cube = jnp.pad(cube, ((0, 0), (0, 1), (0, 0), (0, 0)))
+    nt = cube.shape[1] // 2
+    n_rows = s * 2 * y * xp // 128
     vals, lanes = pl.pallas_call(
         functools.partial(
             _peak_harvest_kernel, rounds=rounds, pad_x=pad_x),
-        grid=(z,),
+        grid=(nt,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # cube in HBM
             pl.BlockSpec((1, 1), lambda i: (0, 0),
@@ -479,12 +507,12 @@ def peak_candidates_pallas(
                          lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((z, rounds, n_rows), jnp.float32),
-            jax.ShapeDtypeStruct((z, rounds, n_rows), jnp.int32),
+            jax.ShapeDtypeStruct((nt, rounds, n_rows), jnp.float32),
+            jax.ShapeDtypeStruct((nt, rounds, n_rows), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, s, 1, y, x), jnp.float32),  # cube plane slots
-            pltpu.VMEM((3, s, y, x), jnp.float32),     # plane-max ring
+            pltpu.VMEM((2, s, 2, y, x), jnp.float32),  # cube pair slots
+            pltpu.VMEM((3, s, 2, y, x), jnp.float32),  # pair-max ring
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -508,17 +536,22 @@ def find_peaks_fused(
     flat_vals = vals.reshape(-1)
     from magellanmapper_tpu.ops import peaks as _peaks
     top_vals, pos = _peaks.select_top_sparse(flat_vals, capacity)
-    # decode (z, round, row) -> (s, z, y, x)
+    # decode (pair, round, row) -> (s, z, y, x); row covers the
+    # flattened (S, 2, Y, Xp/128) pair slab
     _, rounds, n_rows = vals.shape
-    per_z = rounds * n_rows
-    zz = (pos // per_z).astype(jnp.int32)
+    per_pair = rounds * n_rows
+    pair = (pos // per_pair).astype(jnp.int32)
     row = (pos % n_rows).astype(jnp.int32)
     lane = lanes.reshape(-1)[pos]
-    per_s = y * (xp // 128)
+    xg = xp // 128
+    per_s = 2 * y * xg
     ss = row // per_s
     rem = row % per_s
-    yy = rem // (xp // 128)
-    xx = (rem % (xp // 128)) * 128 + lane
+    plane = rem // (y * xg)
+    rem2 = rem % (y * xg)
+    yy = rem2 // xg
+    xx = (rem2 % xg) * 128 + lane
+    zz = 2 * pair + plane
     coords = jnp.stack([ss, zz, yy, xx], axis=-1)
     valid = (jnp.arange(capacity) < count) & jnp.isfinite(top_vals)
     coords = jnp.where(valid[:, None], coords, 0)

@@ -1,6 +1,7 @@
 """Pallas kernel parity tests (interpret mode on CPU)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -114,3 +115,27 @@ class TestDenseFieldPruning:
         assert not np.any(dev & ~kept_seq)
         agreement = np.mean(dev == kept_seq)
         assert agreement >= 0.9, agreement
+
+
+class TestTieredSelect:
+    @pytest.mark.parametrize("n_finite", [0, 1, 255, 256, 257, 1023,
+                                          1024, 1025, 5000])
+    def test_select_top_sparse_tier_boundaries(self, n_finite):
+        """The count-tiered searchsorted compaction must agree with a
+        dense top_k at every tier boundary (small / capacity / dense)."""
+        import jax.numpy as jnp
+        from magellanmapper_tpu.ops import peaks
+        rng = np.random.default_rng(n_finite)
+        n, cap = 1 << 17, 2048
+        vals = np.full(n, -np.inf, np.float32)
+        idx = rng.choice(n, size=n_finite, replace=False)
+        vals[idx] = rng.random(n_finite).astype(np.float32)
+        tv, pos = peaks.select_top_sparse(jnp.asarray(vals), cap)
+        want_v, want_p = jax.lax.top_k(jnp.asarray(vals), cap)
+        tv, pos = np.asarray(tv), np.asarray(pos)
+        want_v = np.asarray(want_v)
+        k = min(n_finite, cap)
+        np.testing.assert_array_equal(tv[:k], want_v[:k])
+        assert not np.any(np.isfinite(tv[k:]))
+        # positions point at the right values
+        np.testing.assert_array_equal(vals[pos[:k]], tv[:k])
