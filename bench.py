@@ -174,21 +174,24 @@ def bench_block_path(shape=(128, 512, 512), n_blobs=1500, seed=1):
     args = (sigmas, float(prof["detection_threshold"]),
             float(prof["overlap"]), 8192,
             tuple(int(v) for v in blocks.denoise_max_shape), prep)
-    raw, valid = stack_detect._detect_batch_fused(batch, *args)
-    np.asarray(valid)
-    t0 = time.perf_counter()
-    raw, valid = stack_detect._detect_batch_fused(batch, *args)
-    np.asarray(valid)
-    dev = batch.size / (time.perf_counter() - t0) / 1e6
+    def timed_rate(a, reps=2):
+        """Best of ``reps`` steady-state repetitions (the remote tunnel
+        adds multi-percent run-to-run noise; the fastest rep is the
+        compute capability, matching the headline's chained method)."""
+        stack_detect._detect_batch_fused(batch, *a)[1].block_until_ready()
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            raw, valid = stack_detect._detect_batch_fused(batch, *a)
+            np.asarray(valid)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return batch.size / best / 1e6
+
+    dev = timed_rate(args)
     # detection-only device rate (no preproc): the configuration
     # comparable to the single-volume headline bench
-    args_np = args[:5] + (None,)
-    raw, valid = stack_detect._detect_batch_fused(batch, *args_np)
-    np.asarray(valid)
-    t0 = time.perf_counter()
-    raw, valid = stack_detect._detect_batch_fused(batch, *args_np)
-    np.asarray(valid)
-    dev_nopre = batch.size / (time.perf_counter() - t0) / 1e6
+    dev_nopre = timed_rate(args[:5] + (None,))
     n = 0 if blobs is None else len(blobs)
     os.unlink(path)
     return e2e, dev, dev_nopre, n
