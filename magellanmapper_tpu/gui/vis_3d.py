@@ -152,3 +152,170 @@ def plot_surface_3d(
         plot_support.save_fig(fig, out_path)
     plt.close(fig)
     return fig, (verts, faces)
+
+
+class Vis3DCanvas:
+    """Interactive 3D camera over a :class:`Vis3D` scene.
+
+    Mpl-event replacement for the reference's Mayavi scene interaction
+    (``magmap/gui/vis_3d.py:21`` — orbit/zoom/pan camera over
+    ``contour3d``/point clouds): left-drag orbits (azimuth/elevation),
+    scroll zooms, arrow keys pan the focal point, ``r`` resets. Events
+    arrive through the Matplotlib canvas so the camera works identically
+    under a windowed backend and under synthetic-event tests (the same
+    pattern as the ROI/atlas editor canvases).
+    """
+
+    #: degrees of orbit per dragged pixel
+    ORBIT_RATE = 0.4
+    #: zoom factor per scroll step
+    ZOOM_STEP = 1.2
+
+    def __init__(self, vis3d: "Vis3D", figsize=(7, 7),
+                 max_points: int = 20000):
+        from matplotlib.figure import Figure
+        from matplotlib.backends.backend_agg import FigureCanvasAgg
+
+        self.vis3d = vis3d
+        self.max_points = max_points
+        self.fig = Figure(figsize=figsize)
+        self.canvas = FigureCanvasAgg(self.fig)
+        self.ax = self.fig.add_subplot(projection="3d")
+        self._drag_start = None
+        self._home = None
+        self.cids = [
+            self.canvas.mpl_connect("button_press_event", self.on_press),
+            self.canvas.mpl_connect(
+                "button_release_event", self.on_release),
+            self.canvas.mpl_connect(
+                "motion_notify_event", self.on_motion),
+            self.canvas.mpl_connect("scroll_event", self.on_scroll),
+            self.canvas.mpl_connect("key_press_event", self.on_key),
+        ]
+        self.draw_scene()
+
+    # -- scene --------------------------------------------------------------
+
+    def draw_scene(self) -> None:
+        """(Re)build the scene: surface meshes when present, else a
+        thresholded voxel point cloud, plus the blob scatter."""
+        from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+        az, el = self.ax.azim, self.ax.elev
+        self.ax.clear()
+        roi = self.vis3d.roi
+        if self.vis3d.surfaces:
+            for verts, faces in self.vis3d.surfaces:
+                if len(faces):
+                    self.ax.add_collection3d(Poly3DCollection(
+                        np.asarray(verts)[np.asarray(faces)][:, :, ::-1],
+                        alpha=0.6, facecolor="tab:orange",
+                        edgecolor="none"))
+        elif roi is not None:
+            flat = np.asarray(roi).reshape(-1)
+            n = min(self.max_points, max(1, flat.size // 50))
+            thresh = np.partition(flat, flat.size - n)[flat.size - n]
+            zz, yy, xx = np.nonzero(np.asarray(roi) >= thresh)
+            vals = np.asarray(roi)[zz, yy, xx]
+            self.ax.scatter(xx, yy, zz, c=vals, s=2, alpha=0.35,
+                            cmap="magma")
+        if self.vis3d.blobs is not None and len(self.vis3d.blobs):
+            b = np.asarray(self.vis3d.blobs)
+            self.ax.scatter(b[:, 2], b[:, 1], b[:, 0],
+                            s=(np.maximum(b[:, 3], 1.0) * 8) ** 2 / 4,
+                            facecolors="none", edgecolors="cyan")
+        if roi is not None:
+            shape = np.asarray(roi).shape
+            self.ax.set_xlim(0, shape[2])
+            self.ax.set_ylim(0, shape[1])
+            self.ax.set_zlim(shape[0], 0)
+        self.ax.view_init(elev=el, azim=az)
+        if self._home is None:
+            self._home = self.camera_state()
+        self.canvas.draw_idle()
+
+    # -- camera -------------------------------------------------------------
+
+    def camera_state(self) -> dict:
+        """Current camera as a dict (orbit angles + axis bounds)."""
+        return {
+            "azim": float(self.ax.azim), "elev": float(self.ax.elev),
+            "xlim": tuple(self.ax.get_xlim()),
+            "ylim": tuple(self.ax.get_ylim()),
+            "zlim": tuple(self.ax.get_zlim()),
+        }
+
+    def orbit(self, d_azim: float, d_elev: float) -> None:
+        self.ax.view_init(
+            elev=float(np.clip(self.ax.elev + d_elev, -90.0, 90.0)),
+            azim=self.ax.azim + d_azim)
+        self.canvas.draw_idle()
+
+    def zoom(self, factor: float) -> None:
+        """Scale the view box about its center (Mayavi dolly)."""
+        for get, set_ in ((self.ax.get_xlim, self.ax.set_xlim),
+                          (self.ax.get_ylim, self.ax.set_ylim),
+                          (self.ax.get_zlim, self.ax.set_zlim)):
+            lo, hi = get()
+            c = (lo + hi) / 2
+            half = (hi - lo) / 2 * factor
+            set_(c - half, c + half)
+        self.canvas.draw_idle()
+
+    def pan(self, dx: float = 0, dy: float = 0, dz: float = 0) -> None:
+        """Shift the focal point in data units."""
+        for d, get, set_ in ((dx, self.ax.get_xlim, self.ax.set_xlim),
+                             (dy, self.ax.get_ylim, self.ax.set_ylim),
+                             (dz, self.ax.get_zlim, self.ax.set_zlim)):
+            if d:
+                lo, hi = get()
+                set_(lo + d, hi + d)
+        self.canvas.draw_idle()
+
+    def reset_camera(self) -> None:
+        home = self._home or {}
+        if "azim" in home:
+            self.ax.view_init(elev=home["elev"], azim=home["azim"])
+            self.ax.set_xlim(*home["xlim"])
+            self.ax.set_ylim(*home["ylim"])
+            self.ax.set_zlim(*home["zlim"])
+        self.canvas.draw_idle()
+
+    # -- event handlers -----------------------------------------------------
+
+    def on_press(self, event) -> None:
+        if event.button == 1:
+            self._drag_start = (event.x, event.y)
+
+    def on_release(self, event) -> None:
+        self._drag_start = None
+
+    def on_motion(self, event) -> None:
+        if self._drag_start is None or event.x is None:
+            return
+        x0, y0 = self._drag_start
+        self.orbit((x0 - event.x) * self.ORBIT_RATE,
+                   (event.y - y0) * self.ORBIT_RATE)
+        self._drag_start = (event.x, event.y)
+
+    def on_scroll(self, event) -> None:
+        self.zoom(1.0 / self.ZOOM_STEP if event.step > 0
+                  else self.ZOOM_STEP)
+
+    def on_key(self, event) -> None:
+        span = abs(self.ax.get_xlim()[1] - self.ax.get_xlim()[0]) * 0.05
+        if event.key == "left":
+            self.pan(dx=-span)
+        elif event.key == "right":
+            self.pan(dx=span)
+        elif event.key == "up":
+            self.pan(dy=span)
+        elif event.key == "down":
+            self.pan(dy=-span)
+        elif event.key == "r":
+            self.reset_camera()
+
+    def save(self, out_path: str) -> str:
+        from magellanmapper_tpu.plot import plot_support
+        plot_support.save_fig(self.fig, out_path)
+        return out_path

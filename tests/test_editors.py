@@ -169,3 +169,71 @@ class TestNamingLoadEnv:
         assert accel["device_count"] >= 1       # CPU devices in tests
         args = load_env.build_launch_args(["--help"])
         assert args[-1] == "--help" and "magellanmapper_tpu.io.cli" in args
+
+
+class TestVis3DCanvas:
+    """Interactive 3D camera (reference Mayavi scene interaction,
+    magmap/gui/vis_3d.py:21) driven through real mpl events."""
+
+    @pytest.fixture
+    def canvas(self, rng):
+        from magellanmapper_tpu.gui.vis_3d import Vis3D, Vis3DCanvas
+        vis = Vis3D(rng.random((8, 16, 16)).astype(np.float32))
+        vis.show_blobs(np.array([[4.0, 8, 8, 2]]))
+        return Vis3DCanvas(vis, figsize=(3, 3), max_points=200)
+
+    @staticmethod
+    def _event(canvas, name, **kw):
+        from matplotlib.backend_bases import (
+            KeyEvent, MouseButton, MouseEvent)
+        if name.startswith("key"):
+            ev = KeyEvent(name, canvas.canvas, kw["key"])
+        else:
+            ev = MouseEvent(
+                name, canvas.canvas, kw.get("x", 0), kw.get("y", 0),
+                button=kw.get("button", MouseButton.LEFT),
+                step=kw.get("step", 0))
+        canvas.canvas.callbacks.process(name, ev)
+
+    def test_drag_orbits_camera(self, canvas):
+        az0, el0 = canvas.ax.azim, canvas.ax.elev
+        self._event(canvas, "button_press_event", x=100, y=100)
+        self._event(canvas, "motion_notify_event", x=140, y=120)
+        self._event(canvas, "button_release_event", x=140, y=120)
+        assert canvas.ax.azim != az0
+        assert canvas.ax.elev != el0
+        # released: further motion must not orbit
+        az1 = canvas.ax.azim
+        self._event(canvas, "motion_notify_event", x=200, y=200)
+        assert canvas.ax.azim == az1
+
+    def test_scroll_zooms_box(self, canvas):
+        x0 = canvas.ax.get_xlim()
+        self._event(canvas, "scroll_event", step=1)
+        x1 = canvas.ax.get_xlim()
+        assert (x1[1] - x1[0]) < (x0[1] - x0[0])   # zoom in shrinks box
+        self._event(canvas, "scroll_event", step=-1)
+        x2 = canvas.ax.get_xlim()
+        assert (x2[1] - x2[0]) > (x1[1] - x1[0])
+
+    def test_pan_and_reset(self, canvas):
+        home = canvas.camera_state()
+        self._event(canvas, "key_press_event", key="right")
+        assert canvas.ax.get_xlim() != home["xlim"]
+        self._event(canvas, "key_press_event", key="up")
+        self._event(canvas, "key_press_event", key="r")
+        state = canvas.camera_state()
+        assert state["xlim"] == pytest.approx(home["xlim"])
+        assert state["azim"] == pytest.approx(home["azim"])
+
+    def test_surface_scene_renders(self, rng, tmp_path):
+        from magellanmapper_tpu.gui.vis_3d import Vis3D, Vis3DCanvas
+        from magellanmapper_tpu.cv import cv_nd
+        vol = np.zeros((10, 12, 12), np.float32)
+        vol[3:7, 4:8, 4:8] = 1.0
+        vis = Vis3D(vol)
+        vis.surfaces.append(cv_nd.surface_net_mesh(vol, 0.5))
+        cv3 = Vis3DCanvas(vis, figsize=(3, 3))
+        out = cv3.save(str(tmp_path / "scene.png"))
+        import os
+        assert os.path.exists(out) and os.path.getsize(out) > 0
