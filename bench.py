@@ -142,9 +142,16 @@ def bench_block_path(shape=(128, 512, 512), n_blobs=1500, seed=1):
     # warm the compile cache with the same shapes, then time end-to-end
     stack_detect.detect_blobs_blocks(vol, prof, res, preprocess=True)
     t0 = time.perf_counter()
-    blobs, _ = stack_detect.detect_blobs_blocks(
+    blobs, timing = stack_detect.detect_blobs_blocks(
         vol, prof, res, preprocess=True)
     e2e = vol.size / (time.perf_counter() - t0) / 1e6
+    # bottleneck decomposition of the e2e run (host gather overlapped by
+    # the two-deep pipeline vs time blocked on device result pulls)
+    e2e_split = {
+        "gather_host_s": round(timing.get("Gather_host", 0.0), 2),
+        "pull_wait_s": round(timing.get("Pull_wait", 0.0), 2),
+        "detect_s": round(timing.get("Detection", 0.0), 2),
+        "prune_s": round(timing.get("Pruning", 0.0), 2)}
 
     # device-only rate on one pre-staged batch of production blocks —
     # identical static args/dtype to the dispatcher's program (batch 6 =
@@ -194,7 +201,7 @@ def bench_block_path(shape=(128, 512, 512), n_blobs=1500, seed=1):
     dev_nopre = timed_rate(args[:5] + (None,))
     n = 0 if blobs is None else len(blobs)
     os.unlink(path)
-    return e2e, dev, dev_nopre, n
+    return e2e, dev, dev_nopre, n, e2e_split
 
 
 def bench_registration_dsc(shape=(160, 240, 200)):
@@ -299,11 +306,13 @@ def main():
     # block path first: the production-path record takes priority over
     # the DSC extra when the tunnel eats the time budget
     blk_e2e = blk_dev = blk_dev_np = blk_blobs = None
+    blk_split = None
     try:
         # warm block-path cost is ~1-2 min (compiles cached from the e2e
         # run's own warmup); run it whenever any budget remains
         if time_left() > 60:
-            blk_e2e, blk_dev, blk_dev_np, blk_blobs = bench_block_path()
+            (blk_e2e, blk_dev, blk_dev_np, blk_blobs,
+             blk_split) = bench_block_path()
             blk_e2e, blk_dev, blk_dev_np = (
                 round(blk_e2e, 2), round(blk_dev, 2), round(blk_dev_np, 2))
     except Exception:
@@ -334,6 +343,7 @@ def main():
                 "(10 sigmas, with/without saturate+denoise preproc; the "
                 "headline runs 8 sigmas, no preproc)"),
             "block_path_blobs": blk_blobs,
+            "block_path_e2e_split": blk_split,
             "registration_iters_per_s": reg_ips,
             "registration_bench": "affine stage, Mattes-MI, (64,96,96)",
             "registration_full_schedule_s": reg_wall,

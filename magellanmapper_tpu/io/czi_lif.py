@@ -114,10 +114,8 @@ def read_czi(path: str) -> Tuple[np.ndarray, Dict]:
                 if sb is not None:
                     subblocks.append(sb)
             elif sid == "ZISRAWMETADATA":
-                f.read(16)
-                xml_size, = struct.unpack("<i", f.read(4)[:4]) \
-                    if False else (used - 16,)
-                meta_xml = f.read(xml_size).decode("utf-8", "replace")
+                f.read(16)          # metadata segment header
+                meta_xml = f.read(used - 16).decode("utf-8", "replace")
             f.seek(pos + 32 + alloc)
 
     if not subblocks:
