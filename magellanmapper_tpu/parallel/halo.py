@@ -101,8 +101,11 @@ def make_sharded_detector(
     per-shard results match the single-shot pipeline exactly when shard
     extents are denoise-tile multiples.
 
-    Returns a function ``step(volume) -> (blobs, valid)`` with
-    ``blobs: (dp, sp*spy*capacity, 4)`` rows ``z,y,x,sigma`` (global).
+    Returns a function ``step(volume, max_thresh=None) -> (blobs,
+    valid)`` with ``blobs: (dp, sp*spy*capacity, 4)`` rows
+    ``z,y,x,sigma`` (global); ``max_thresh`` is an optional per-dp-row
+    float array overriding the static preproc constant (per-channel
+    near-max saturation bounds ride the dispatch as data).
     """
     shard_z, shard_y = shard_shape[0], shard_shape[1]
     spy = mesh.shape.get("spy", 1)
