@@ -533,9 +533,31 @@ def find_peaks_fused(
         cube, threshold, interpret=interpret)
     count = jnp.minimum(
         jnp.sum(jnp.isfinite(vals)), capacity).astype(jnp.int32)
-    flat_vals = vals.reshape(-1)
     from magellanmapper_tpu.ops import peaks as _peaks
-    top_vals, pos = _peaks.select_top_sparse(flat_vals, capacity)
+    # rounds > 1 only fire for 128-lane groups holding several peaks;
+    # when rounds 2+ are empty (the overwhelmingly common case) the
+    # selection's isfinite/cumsum/searchsorted passes run over a 4x
+    # smaller lead slice, with positions remapped to the full index
+    # space; a lax.cond falls back to the full array otherwise
+    nt_, rounds_, n_rows_ = vals.shape
+    lead_rounds = 2
+    if rounds_ <= lead_rounds:
+        top_vals, pos = _peaks.select_top_sparse(
+            vals.reshape(-1), capacity)
+    else:
+        tail_empty = ~jnp.any(jnp.isfinite(vals[:, lead_rounds:]))
+
+        def lead(_):
+            tv, p = _peaks.select_top_sparse(
+                vals[:, :lead_rounds].reshape(-1), capacity)
+            pair_ = p // (lead_rounds * n_rows_)
+            rem_ = p % (lead_rounds * n_rows_)
+            return tv, pair_ * (rounds_ * n_rows_) + rem_
+
+        def full(_):
+            return _peaks.select_top_sparse(vals.reshape(-1), capacity)
+
+        top_vals, pos = jax.lax.cond(tail_empty, lead, full, None)
     # decode (pair, round, row) -> (s, z, y, x); row covers the
     # flattened (S, 2, Y, Xp/128) pair slab
     _, rounds, n_rows = vals.shape
