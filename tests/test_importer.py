@@ -226,3 +226,44 @@ class TestCziLif:
              "--prefix", str(tmp_path / "out")])
         img5d = cli.process_tasks(rc)
         np.testing.assert_array_equal(img5d.img[0], img)
+
+    def test_czi_mosaic_assembly(self, tmp_path):
+        """Multi-subblock (tiled) CZI files assemble by each subblock's
+        per-dimension start offsets."""
+        import struct
+        from magellanmapper_tpu.io import czi_lif
+        rng = np.random.default_rng(7)
+        full = (rng.random((3, 8, 12)) * 60000).astype(np.uint16)
+        tiles = [((0, 0), full[:, :, :6]), ((0, 6), full[:, :, 6:])]
+
+        def segment(sid, payload):
+            alloc = (len(payload) + 31) // 32 * 32
+            return (sid.ljust(16, b"\x00")
+                    + struct.pack("<qq", alloc, len(payload))
+                    + payload.ljust(alloc, b"\x00"))
+
+        def subblock(y0, x0, arr):
+            nz, ny, nx = arr.shape
+            dims = [(b"C", 0, 1), (b"Z", 0, nz), (b"Y", y0, ny),
+                    (b"X", x0, nx)]
+            entry = b"DV" + struct.pack("<i", 1) + b"\x00" * 12 \
+                + struct.pack("<i", 0) + b"\x00" * 6 \
+                + struct.pack("<i", len(dims))
+            for name, s0, size in dims:
+                entry += name.ljust(4, b"\x00") \
+                    + struct.pack("<ii", s0, size) \
+                    + struct.pack("<fi", float(s0), size)
+            data = arr.tobytes()
+            head = struct.pack("<ii", 0, 0) \
+                + struct.pack("<q", len(data)) + entry
+            pad = max(256, len(head)) - len(head)
+            return segment(b"ZISRAWSUBBLOCK",
+                           head + b"\x00" * pad + data)
+
+        path = str(tmp_path / "mosaic.czi")
+        with open(path, "wb") as f:
+            f.write(segment(b"ZISRAWFILE", b"\x00" * 64))
+            for (y0, x0), arr in tiles:
+                f.write(subblock(y0, x0, arr))
+        back, meta = czi_lif.read_czi(path)
+        np.testing.assert_array_equal(back, full)
