@@ -143,8 +143,12 @@ def make_sharded_detector(
 
         extended = extended.astype(jnp.float32)
         cube = filters.log_pyramid(extended, sigmas)
+        # fused=None: each shard runs the streaming Pallas peak kernel
+        # when the backend/extents allow (shard_map traces a per-device
+        # program, so the manual-DMA kernel is legal here, unlike vmap);
+        # CPU-mesh tests and unaligned shards fall back to the XLA path
         coords4, values, count = peaks.find_peaks(
-            cube, threshold, capacity, fused=False)
+            cube, threshold, capacity, fused=None)
         valid = jnp.arange(capacity) < count
         gz = coords4[:, 1] + off_z
         gy = coords4[:, 2] + off_y
