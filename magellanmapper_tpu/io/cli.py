@@ -50,6 +50,7 @@ class RunConfig:
     db_path: Optional[str] = None
     truth_db: Optional[str] = None
     prefix: Optional[str] = None
+    prefix_out: Optional[str] = None
     suffix: Optional[str] = None
     grid_search: Optional[str] = None
     plane: Optional[str] = None
@@ -111,9 +112,15 @@ def build_parser() -> argparse.ArgumentParser:
         prog="mm-tpu",
         description="MagellanMapper-TPU: TPU-native volumetric "
                     "microscopy pipeline")
+    p.add_argument(
+        "--version", action="store_true",
+        help="show version information and exit (reference cli.py:262)")
     p.add_argument("--img", nargs="*", help="image path(s)")
     p.add_argument("--meta", nargs="*", help="metadata path(s)")
     p.add_argument("--prefix", help="output path prefix")
+    p.add_argument(
+        "--prefix_out", help="output path prefix when --prefix modifies "
+        "the input path (reference cli.py:286)")
     p.add_argument("--suffix", help="output path suffix")
     p.add_argument("--channel", nargs="*", type=int, help="channel(s)")
     p.add_argument("--series", type=int, default=0, help="series index")
@@ -176,6 +183,10 @@ def build_parser() -> argparse.ArgumentParser:
 def process_cli_args(argv: Optional[Sequence[str]] = None) -> RunConfig:
     """Parse args into a RunConfig (reference ``process_cli_args :253``)."""
     args = build_parser().parse_args(argv)
+    if args.version:
+        import magellanmapper_tpu
+        print(f"MagellanMapper-TPU {magellanmapper_tpu.__version__}")
+        raise SystemExit(0)
     rc = RunConfig()
     if args.img:
         rc.filenames = list(args.img)
@@ -236,6 +247,7 @@ def process_cli_args(argv: Optional[Sequence[str]] = None) -> RunConfig:
     rc.groups = args.groups
     if args.truth_db:
         rc.truth_db = args.truth_db[-1]
+    rc.prefix_out = args.prefix_out
     rc.df_task = args.df
     rc.plot_2d_task = args.plot_2d
     # cloud tasks (reference cli.py:673-695)
