@@ -74,6 +74,20 @@ class RunConfig:
     notify_url: Optional[str] = None
     notify_msg: Optional[str] = None
     notify_attach: Optional[str] = None
+    #: remaining reference config state (cli.py:300-420): metadata
+    #: paths, --load data keys, display/compat settings
+    meta_paths: Optional[List[str]] = None
+    load_data: Dict[str, str] = field(default_factory=dict)
+    plot_labels: Dict[str, object] = field(default_factory=dict)
+    slice_vals: Optional[List[int]] = None
+    delay: Optional[int] = None
+    cpus: Optional[int] = None
+    show: bool = False
+    theme: Optional[List[str]] = None
+    alphas: Optional[List[float]] = None
+    vmin: Optional[List[float]] = None
+    vmax: Optional[List[float]] = None
+    rgb: bool = False
 
     def get_roi_profile(self, channel: int) -> ROIProfile:
         if self.roi_profiles and channel < len(self.roi_profiles):
@@ -248,6 +262,19 @@ def process_cli_args(argv: Optional[Sequence[str]] = None) -> RunConfig:
     if args.truth_db:
         rc.truth_db = args.truth_db[-1]
     rc.prefix_out = args.prefix_out
+    rc.meta_paths = args.meta
+    rc.load_data = args_to_dict(args.load)
+    rc.plot_labels = args_to_dict(args.plot_labels)
+    if args.slice:
+        rc.slice_vals = [int(v) for v in args.slice.split(",")]
+    rc.delay = args.delay
+    rc.cpus = int(args.cpus) if args.cpus else None
+    rc.show = bool(args.show)
+    rc.theme = args.theme
+    rc.alphas = [float(v) for v in args.alphas] if args.alphas else None
+    rc.vmin = [float(v) for v in args.vmin] if args.vmin else None
+    rc.vmax = [float(v) for v in args.vmax] if args.vmax else None
+    rc.rgb = bool(args.rgb)
     rc.df_task = args.df
     rc.plot_2d_task = args.plot_2d
     # cloud tasks (reference cli.py:673-695)
@@ -416,8 +443,13 @@ def process_file(rc: RunConfig):
         img5d = _load_image(rc)
         from magellanmapper_tpu.io import export_stack
         base = rc.prefix or rc.filenames[0]
+        vol = np.asarray(img5d.img)
+        if rc.slice_vals:
+            sl = slice(*rc.slice_vals)   # reference --slice start,stop[,step]
+            vol = vol[:, sl] if vol.ndim >= 4 else vol[sl]
+        fps = max(1, round(1000 / rc.delay)) if rc.delay else 10
         out = export_stack.animate_imgs(
-            np.asarray(img5d.img), f"{os.path.splitext(base)[0]}.gif",
+            vol, f"{os.path.splitext(base)[0]}.gif", fps=fps,
             channel=rc.channel[0] if rc.channel else None)
         _logger.info("wrote animation %s", out)
         return out
@@ -1030,8 +1062,10 @@ def _plot_2d(rc: RunConfig):
     out_path = rc.prefix or (rc.filenames[0] + ".png")
     if task is plot_2d.Plot2DTypes.ROC_CURVE:
         return plot_2d.plot_roc(df, out_path)
-    x_col = str(rc.labels.get("x_col", df.columns[0]))
-    y_col = str(rc.labels.get("y_col", df.columns[1]))
+    x_col = str(rc.labels.get(
+        "x_col", rc.plot_labels.get("x_col", df.columns[0])))
+    y_col = str(rc.labels.get(
+        "y_col", rc.plot_labels.get("y_col", df.columns[1])))
     if task is plot_2d.Plot2DTypes.BAR_PLOT:
         return plot_2d.plot_bars(df, x_col, y_col, out_path)
     if task is plot_2d.Plot2DTypes.LINE_PLOT:

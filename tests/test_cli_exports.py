@@ -686,3 +686,36 @@ class TestAnimateMp4:
         else:
             assert out.endswith(".gif")
         assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+class TestRemainingFlagState:
+    def test_display_and_load_flags_stored(self):
+        rc = cli.process_cli_args([
+            "--img", "a.npy", "--slice", "2,8", "--delay", "50",
+            "--plot_labels", "x_col=Region", "--vmin", "0.1",
+            "--vmax", "0.9", "--alphas", "0.5", "--rgb", "--show",
+            "--cpus", "4", "--load", "blobs", "--meta", "m.yml",
+            "--theme", "dark"])
+        assert rc.slice_vals == [2, 8]
+        assert rc.delay == 50
+        assert rc.plot_labels == {"x_col": "Region"}
+        assert rc.vmin == [0.1] and rc.vmax == [0.9]
+        assert rc.alphas == [0.5] and rc.rgb and rc.show
+        assert rc.cpus == 4
+        assert rc.load_data == {"blobs": "1"}
+        assert rc.meta_paths == ["m.yml"]
+        assert rc.theme == ["dark"]
+
+    def test_animated_honors_slice_and_delay(self, tmp_path, rng):
+        base, _ = make_volume(tmp_path, shape=(16, 20, 20), n=2)
+        rc = cli.process_cli_args([
+            "--img", base, "--proc", "animated", "--slice", "1,4",
+            "--delay", "100", "--prefix", str(tmp_path / "anim")])
+        out = cli.process_tasks(rc)
+        assert out.endswith(".gif") and os.path.getsize(out) > 0
+
+    def test_version_flag_exits(self):
+        import pytest
+        with pytest.raises(SystemExit) as e:
+            cli.process_cli_args(["--version"])
+        assert e.value.code == 0
