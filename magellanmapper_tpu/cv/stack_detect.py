@@ -621,12 +621,15 @@ def detect_blobs_blocks(
 
         batches = [coords_list[i:i + batch_size]
                    for i in range(0, len(coords_list), batch_size)]
-        gather_s = [0.0]
+        # per-batch durations appended (list.append is atomic) and
+        # summed afterwards: the 2-worker pool runs gathers concurrently,
+        # so a shared-scalar += here would lose updates
+        gather_s: list = []
 
         def timed_gather(bc):
             t0 = time.time()
             out = gather_batch(bc)
-            gather_s[0] += time.time() - t0
+            gather_s.append(time.time() - t0)
             return out
 
         results = []
@@ -661,7 +664,7 @@ def detect_blobs_blocks(
                 t0 = time.time()
                 results.append((bc, st, np.asarray(rb), np.asarray(vb)))
                 pull_s += time.time() - t0
-        total_gather_s += gather_s[0]
+        total_gather_s += sum(gather_s)
         total_pull_s += pull_s
 
         retry = []

@@ -7,9 +7,12 @@ containers are read natively instead:
 
  - **CZI** (ZISRAW): segment stream of 32-byte-headed blocks;
    ``ZISRAWSUBBLOCK`` segments carry a ``DV`` directory entry with
-   per-dimension start/size, followed by XML metadata and pixel data.
-   Uncompressed and zlib-compressed subblocks are supported (JPEG-XR /
-   zstd blocks raise a clear error).
+   per-dimension start/size/stored-size, followed by XML metadata and
+   pixel data. Uncompressed, zlib, and zstd (Zstd0/Zstd1 incl. hi-lo
+   byte unpacking, via ctypes ``libzstd``) subblocks are supported;
+   JPEG-XR blocks raise a clear error. Pyramid subblocks (nonzero
+   pyramid type or stored size < logical size) are skipped so only the
+   level-0 mosaic is assembled.
  - **LIF**: 0x70-tagged binary chunks — one UTF-16 XML header
    describing images/dimensions/channels, then one memory block per
    image with raw pixel data.
@@ -44,6 +47,77 @@ _CZI_PIXEL_TYPES = {
 
 _CZI_COMP_UNCOMPRESSED = 0
 _CZI_COMP_ZLIB = 2          # "LZW" slot unused; 2 = zlib in practice
+_CZI_COMP_JPEGXR = 4
+_CZI_COMP_ZSTD0 = 5         # raw zstd frame
+_CZI_COMP_ZSTD1 = 6         # 1/3-byte header + optional hi-lo packing
+
+_zstd_lib = None
+
+
+def _zstd():
+    """Lazily bind ctypes ``libzstd`` (no python-zstd module or zstd
+    binary exists in this image; the shared library does)."""
+    global _zstd_lib
+    if _zstd_lib is None:
+        import ctypes
+        import ctypes.util
+        name = ctypes.util.find_library("zstd") or "libzstd.so.1"
+        lib = ctypes.CDLL(name)
+        lib.ZSTD_decompress.restype = ctypes.c_size_t
+        lib.ZSTD_decompress.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t]
+        lib.ZSTD_isError.restype = ctypes.c_uint
+        lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+        lib.ZSTD_compressBound.restype = ctypes.c_size_t
+        lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+        lib.ZSTD_compress.restype = ctypes.c_size_t
+        lib.ZSTD_compress.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+            ctypes.c_size_t, ctypes.c_int]
+        _zstd_lib = lib
+    return _zstd_lib
+
+
+def _decompress_zstd(raw: bytes, expected_size: int) -> bytes:
+    import ctypes
+    lib = _zstd()
+    dst = ctypes.create_string_buffer(max(expected_size, 1))
+    n = lib.ZSTD_decompress(dst, expected_size, raw, len(raw))
+    if lib.ZSTD_isError(n):
+        raise ValueError("corrupt zstd subblock in CZI")
+    return dst.raw[:n]
+
+
+def _decode_zstd1(raw: bytes, expected_size: int) -> bytes:
+    """Zstd1 subblocks: a 1- or 3-byte header (size byte; if 3, a
+    chunk-type byte that must be 1 and a flags byte whose bit0 enables
+    hi-lo byte unpack preprocessing), then a zstd frame. With hi-lo
+    packing the decompressed buffer holds all low bytes then all high
+    bytes of the 16-bit samples; re-interleave to native order.
+    """
+    if not raw:
+        raise ValueError("empty Zstd1 subblock")
+    hdr = raw[0]
+    hi_lo = False
+    if hdr == 1:
+        off = 1
+    elif hdr == 3:
+        if raw[1] != 1:
+            raise ValueError(f"unknown Zstd1 chunk type {raw[1]}")
+        hi_lo = bool(raw[2] & 1)
+        off = 3
+    else:
+        raise ValueError(f"bad Zstd1 header size {hdr}")
+    out = _decompress_zstd(raw[off:], expected_size)
+    if hi_lo:
+        half = len(out) // 2
+        planes = np.frombuffer(out, np.uint8)
+        inter = np.empty(half * 2, np.uint8)
+        inter[0::2] = planes[:half]
+        inter[1::2] = planes[half:half * 2]
+        out = inter.tobytes()
+    return out
 
 
 def _read_segment_header(f):
@@ -67,26 +141,41 @@ def _parse_subblock(f) -> Optional[Dict]:
     pixel_type, = struct.unpack("<i", f.read(4))
     f.read(12)                       # file position / file part
     compression, = struct.unpack("<i", f.read(4))
-    f.read(6)                        # pyramid type + spare
+    pyramid_type = f.read(1)[0]
+    f.read(5)                        # spare
     dim_count, = struct.unpack("<i", f.read(4))
     dims = {}
+    downsampled = pyramid_type != 0
     for _ in range(dim_count):
         name = f.read(4).rstrip(b"\x00").decode("ascii")
         s0, size = struct.unpack("<ii", f.read(8))
-        f.read(8)                    # start coordinate + stored size
+        _start_coord, stored = struct.unpack("<fi", f.read(8))
         dims[name] = (s0, size)
+        # pyramid levels > 0 store fewer samples than their logical
+        # extent covers; only level 0 (stored == logical) is assembled
+        if stored and stored < size:
+            downsampled = True
+    if downsampled:
+        return None
     # data starts at max(256, header+direntry+metadata) from subblock
     # segment payload start (ZISRAW spec)
     header_len = f.tell() - start
     data_off = start + max(256, header_len + meta_size)
     f.seek(data_off + attach_size * 0)
     raw = f.read(data_size)
+    dtype = _CZI_PIXEL_TYPES.get(pixel_type)
+    n_bytes = int(np.prod([s for _, s in dims.values()])) * (
+        dtype.itemsize if dtype is not None else 1)
     if compression == _CZI_COMP_ZLIB:
         raw = zlib.decompress(raw)
+    elif compression == _CZI_COMP_ZSTD0:
+        raw = _decompress_zstd(raw, n_bytes)
+    elif compression == _CZI_COMP_ZSTD1:
+        raw = _decode_zstd1(raw, n_bytes)
     elif compression != _CZI_COMP_UNCOMPRESSED:
         raise ValueError(
-            f"unsupported CZI compression id {compression} (JPEG-XR/"
-            "zstd subblocks need a host-side conversion to OME-TIFF)")
+            f"unsupported CZI compression id {compression} (JPEG-XR "
+            "subblocks need a host-side conversion to OME-TIFF)")
     return {"dims": dims, "pixel_type": pixel_type, "data": raw}
 
 
@@ -114,8 +203,12 @@ def read_czi(path: str) -> Tuple[np.ndarray, Dict]:
                 if sb is not None:
                     subblocks.append(sb)
             elif sid == "ZISRAWMETADATA":
-                f.read(16)          # metadata segment header
-                meta_xml = f.read(used - 16).decode("utf-8", "replace")
+                # payload: XmlSize(i4) + AttachmentSize(i4) + 248 spare,
+                # then XmlSize bytes of XML (ZISRAW spec fixed part)
+                hdr = f.read(256)
+                xml_size, = struct.unpack("<i", hdr[:4])
+                xml_size = min(max(xml_size, 0), max(used - 256, 0))
+                meta_xml = f.read(xml_size).decode("utf-8", "replace")
             f.seek(pos + 32 + alloc)
 
     if not subblocks:
@@ -176,13 +269,27 @@ def _czi_scaling(meta_xml: str) -> Dict:
     return {}
 
 
+def _compress_zstd(data: bytes, level: int = 3) -> bytes:
+    """Compress via ctypes ``libzstd`` (writer/test support)."""
+    import ctypes
+    lib = _zstd()
+    cap = lib.ZSTD_compressBound(len(data))
+    dst = ctypes.create_string_buffer(cap)
+    n = lib.ZSTD_compress(dst, cap, data, len(data), level)
+    if lib.ZSTD_isError(n):
+        raise ValueError("zstd compression failed")
+    return dst.raw[:n]
+
+
 def write_czi(path: str, image: np.ndarray,
-              resolutions=None) -> str:
-    """Write a minimal single-scene CZI (uncompressed, one subblock).
+              resolutions=None, compression: str = "none") -> str:
+    """Write a minimal single-scene CZI (one subblock).
 
     Not a full Zeiss writer — just enough structure (file segment,
     metadata XML, one DV subblock) for interchange tests and for
-    :func:`read_czi` round trips.
+    :func:`read_czi` round trips. ``compression`` may be ``none``,
+    ``zlib``, ``zstd0``, ``zstd1`` or ``zstd1hilo`` (Zstd1 with hi-lo
+    byte-plane packing, 16-bit data only).
     """
     img = np.asarray(image)
     if img.ndim == 3:
@@ -207,14 +314,32 @@ def write_czi(path: str, image: np.ndarray,
         + "</Items></Scaling></Metadata></ImageDocument>"
     ).encode()
 
+    raw = np.moveaxis(img, -1, 0).tobytes()    # C-major
+    if compression == "none":
+        comp_id, data = _CZI_COMP_UNCOMPRESSED, raw
+    elif compression == "zlib":
+        comp_id, data = _CZI_COMP_ZLIB, zlib.compress(raw)
+    elif compression == "zstd0":
+        comp_id, data = _CZI_COMP_ZSTD0, _compress_zstd(raw)
+    elif compression == "zstd1":
+        comp_id, data = _CZI_COMP_ZSTD1, b"\x01" + _compress_zstd(raw)
+    elif compression == "zstd1hilo":
+        if img.dtype.itemsize != 2:
+            raise ValueError("hi-lo packing needs 16-bit samples")
+        words = np.frombuffer(raw, np.uint8)
+        packed = np.concatenate([words[0::2], words[1::2]]).tobytes()
+        comp_id, data = (
+            _CZI_COMP_ZSTD1, b"\x03\x01\x01" + _compress_zstd(packed))
+    else:
+        raise ValueError(f"unknown compression {compression!r}")
+
     dims = [(b"C", 0, nc), (b"Z", 0, nz), (b"Y", 0, ny), (b"X", 0, nx)]
     entry = b"DV" + struct.pack("<i", pixel_type) + b"\x00" * 12 \
-        + struct.pack("<i", _CZI_COMP_UNCOMPRESSED) + b"\x00" * 6 \
+        + struct.pack("<i", comp_id) + b"\x00" * 6 \
         + struct.pack("<i", len(dims))
     for name, s0, size in dims:
         entry += name.ljust(4, b"\x00") + struct.pack("<ii", s0, size) \
             + struct.pack("<fi", float(s0), size)
-    data = np.moveaxis(img, -1, 0).tobytes()   # C-major
     sb_head = struct.pack("<ii", 0, 0) + struct.pack("<q", len(data)) \
         + entry
     pad = max(256, len(sb_head)) - len(sb_head)
@@ -222,7 +347,9 @@ def write_czi(path: str, image: np.ndarray,
 
     with open(path, "wb") as f:
         f.write(segment(b"ZISRAWFILE", b"\x00" * 64))
-        f.write(segment(b"ZISRAWMETADATA", b"\x00" * 16 + xml))
+        f.write(segment(
+            b"ZISRAWMETADATA",
+            struct.pack("<ii", len(xml), 0) + b"\x00" * 248 + xml))
         f.write(segment(b"ZISRAWSUBBLOCK", payload))
     return path
 

@@ -247,35 +247,46 @@ def prune_overlapping_blobs_auto(
     """Dispatch pruning to the Pallas kernel on TPU backends (tiled VMEM
     pass, no K x K HBM matrices) and the jnp path elsewhere.
 
-    Count-tiered: peak buffers are top_k-compacted (every valid row sits
-    in the first ``count`` rows), so when the valid count fits a small
-    leading window the kernel prunes only that window under ``lax.cond``
-    — at the production capacity (8192) the full grid pays ~3 ms of
-    skipped-tile overhead for a few hundred real blobs.
+    Count-tiered: peak buffers are normally top_k-compacted (every valid
+    row sits in a leading window), so when NO valid row sits beyond the
+    small window the kernel prunes only that window under ``lax.cond`` —
+    at the production capacity (8192) the full grid pays ~3 ms of
+    skipped-tile overhead for a few hundred real blobs. The tier gate
+    checks row positions, not the count: callers such as the sharded
+    detector (``parallel/halo.py``) mask pad-zone peaks out of ``valid``
+    *before* pruning, which can leave few-but-deep valid rows that a
+    count gate would mis-route past the small tier unpruned.
     """
     if jax.default_backend() == "cpu":
         return prune_overlapping_blobs(
             coords, sigmas, valid, overlap_thresh, ndim)
     from magellanmapper_tpu.ops import pallas_kernels
 
+    return _prune_tiered(
+        pallas_kernels.prune_overlap_pallas, coords, sigmas, valid,
+        overlap_thresh, ndim)
+
+
+def _prune_tiered(kernel_fn, coords, sigmas, valid, overlap_thresh,
+                  ndim, small: int = 1024):
+    """Count-tiered dispatch around ``kernel_fn`` (see
+    :func:`prune_overlapping_blobs_auto`; split out so the tier gate is
+    testable on CPU with the jnp kernel)."""
     k = coords.shape[0]
-    small = 1024
     if k <= 2 * small:
-        return pallas_kernels.prune_overlap_pallas(
-            coords, sigmas, valid, overlap_thresh, ndim)
+        return kernel_fn(coords, sigmas, valid, overlap_thresh, ndim)
 
     def prune_small(_):
-        head = pallas_kernels.prune_overlap_pallas(
+        head = kernel_fn(
             coords[:small], sigmas[:small], valid[:small],
             overlap_thresh, ndim)
         return jnp.concatenate([head, valid[small:]])
 
     def prune_full(_):
-        return pallas_kernels.prune_overlap_pallas(
-            coords, sigmas, valid, overlap_thresh, ndim)
+        return kernel_fn(coords, sigmas, valid, overlap_thresh, ndim)
 
-    count = jnp.sum(valid.astype(jnp.int32))
-    return jax.lax.cond(count <= small, prune_small, prune_full, None)
+    all_in_window = ~jnp.any(valid[small:])
+    return jax.lax.cond(all_in_window, prune_small, prune_full, None)
 
 
 def prune_overlapping_blobs(
