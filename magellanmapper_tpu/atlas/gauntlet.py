@@ -1,0 +1,224 @@
+"""Realistic registration validation gauntlet (synthetic, ground-truthed).
+
+The reference's real workload registers an averaged atlas onto a *different
+specimen*: a deformably-different brain with a different intensity profile
+(``/root/reference/magmap/atlas/register.py:647,884-893`` — atlas and
+annotation images moved onto a sample image, Mattes-MI across the modality
+gap, labels carried with order-0 interpolation). A mono-modal affine
+self-resample exercises none of that, so this module builds a pair with a
+KNOWN ground truth covering each hard part:
+
+ - a smooth free-form (cubic B-spline FFD) deformation composed ON TOP of
+   an affine — the component an affine stage cannot recover;
+ - a nonlinear monotone intensity remap, a multiplicative low-frequency
+   bias field, and additive Gaussian noise on the fixed ("specimen")
+   image — the atlas-to-specimen modality gap MI exists for;
+ - a multi-label annotation volume partitioning the anatomy, so
+   label-transfer quality (per-region Dice vs the ground-truth warp of
+   the labels) is measured the way atlas users consume registration
+   (reference label transfer: ``register.py:616-638`` Transformix
+   order-0).
+
+Everything is generated from seeds; the ground-truth transform uses the
+same FFD/affine machinery as the engine (``atlas.transform``), so the
+recovered fixed-to-moving mapping is directly comparable.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from magellanmapper_tpu.atlas import transform
+
+
+def make_anatomy(
+        shape: Sequence[int], n_labels: int = 24, n_blobs: int = 240,
+        seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Synthetic "atlas": ellipsoid brain w/ blobby texture + label map.
+
+    Returns ``(intensity, labels)``; labels are ``0`` outside the
+    anatomy and ``1..n_labels`` inside (a nearest-seed partition, so
+    regions are contiguous, irregular, and tile the whole foreground the
+    way an ontology annotation does).
+    """
+    rng = np.random.default_rng(seed)
+    shape = tuple(int(s) for s in shape)
+    zz, yy, xx = np.indices(shape).astype(np.float32)
+    center = [(s - 1) / 2 for s in shape]
+    # ellipsoid with a lumpy radius so the boundary is not analytic
+    nz = (zz - center[0]) / (shape[0] * 0.38)
+    ny = (yy - center[1]) / (shape[1] * 0.40)
+    nx = (xx - center[2]) / (shape[2] * 0.36)
+    r2 = nz ** 2 + ny ** 2 + nx ** 2
+    lump = (0.12 * np.sin(zz / 17.0) * np.cos(yy / 23.0)
+            + 0.10 * np.sin(xx / 19.0 + 1.1))
+    mask = r2 < (1.0 + lump)
+
+    intensity = np.full(shape, 0.0, np.float32)
+    intensity[mask] = 0.35
+    # internal blobby texture (cell-dense nuclei the detector would see)
+    coords = np.column_stack(
+        [rng.integers(8, s - 8, n_blobs) for s in shape])
+    bz, by, bx = np.indices((15, 15, 15)).astype(np.float32) - 7
+    for (cz, cy, cx), r in zip(coords, rng.uniform(2.5, 5.0, n_blobs)):
+        sig = r / np.sqrt(2)
+        stamp = np.exp(-(bz**2 + by**2 + bx**2) / (2 * sig**2))
+        intensity[cz-7:cz+8, cy-7:cy+8, cx-7:cx+8] += 0.6 * stamp
+    # smooth regional gradient so large-scale structure exists too
+    intensity += mask * (0.15 * np.sin(zz / 40.0) * np.cos(xx / 55.0))
+    intensity *= mask
+    intensity = np.clip(intensity, 0, None)
+    intensity /= max(intensity.max(), 1e-6)
+
+    # nearest-seed partition of the foreground -> contiguous regions
+    seeds = np.column_stack([
+        rng.uniform(0.15 * s, 0.85 * s, n_labels) for s in shape])
+    fg = np.argwhere(mask)
+    from scipy.spatial import cKDTree
+    _, idx = cKDTree(seeds).query(fg, k=1)
+    labels = np.zeros(shape, np.int32)
+    labels[tuple(fg.T)] = idx.astype(np.int32) + 1
+    return intensity, labels
+
+
+def make_ground_truth(
+        shape: Sequence[int], seed: int = 1,
+        ffd_spacing: float = 64.0, ffd_ctrl_sigma: float = 14.0,
+        rot_deg: float = 4.0, scale_jitter: float = 0.06,
+        shift: Sequence[float] = (4.0, -6.0, 5.0),
+        remove_affine_component: bool = True) -> Dict:
+    """Known smooth transform: FFD (cubic B-spline lattice) then affine.
+
+    Composition order matches the engine's (``transform.transform_coords``
+    bspline branch: coords + FFD displacement, then the pre-affine), so
+    ``resample(base, {"grid": grid}, "bspline", shape, spacing,
+    pre_affine=affine)`` both *generates* the fixed image and defines the
+    mapping registration must recover. ``ffd_ctrl_sigma`` is the
+    per-control-point displacement draw in voxels; the realized field is
+    a basis-weighted average, so measure ``disp_stats`` for the actual
+    magnitude.
+
+    With ``remove_affine_component`` (default) the best-fit global affine
+    of the random FFD field is subtracted AT THE CONTROL POINTS — cubic
+    B-splines reproduce linear fields exactly, so what remains is purely
+    non-affine deformation. Without this a coarse-lattice random field is
+    largely absorbable by the affine registration stage (a spacing-64
+    lattice over a ~200-voxel extent has only ~3 control periods/axis),
+    which silently converts a "deformable" gauntlet into an affine one.
+    """
+    rng = np.random.default_rng(seed)
+    shape = tuple(int(s) for s in shape)
+    spacing = (float(ffd_spacing),) * 3
+    gshape = transform.bspline_grid_shape(shape, spacing)
+    grid = rng.normal(0.0, ffd_ctrl_sigma, (3,) + gshape).astype(np.float32)
+
+    if remove_affine_component:
+        # control j of the engine's basis anchors at (j - 1) * spacing
+        # (transform.bspline_displacement_at); fit disp ~ A @ x + b over
+        # the in-volume controls and subtract that affine field's exact
+        # control values (linear reproduction) from the lattice
+        axes = [np.arange(g, dtype=np.float64) - 1.0 for g in gshape]
+        zz_c, yy_c, xx_c = np.meshgrid(
+            axes[0] * spacing[0], axes[1] * spacing[1],
+            axes[2] * spacing[2], indexing="ij")
+        pts = np.stack([zz_c, yy_c, xx_c], axis=-1).reshape(-1, 3)
+        inside = np.all((pts >= 0) & (pts <= np.asarray(shape) - 1), axis=1)
+        X = np.column_stack([pts, np.ones(len(pts))])
+        disp_c = grid.reshape(3, -1).T.astype(np.float64)
+        coef, *_ = np.linalg.lstsq(X[inside], disp_c[inside], rcond=None)
+        grid = (disp_c - X @ coef).T.reshape(grid.shape).astype(np.float32)
+
+    th = np.deg2rad(rot_deg)
+    rot = np.array([[1, 0, 0],
+                    [0, np.cos(th), -np.sin(th)],
+                    [0, np.sin(th), np.cos(th)]], np.float32)
+    scale = np.diag(1.0 + rng.uniform(
+        -scale_jitter, scale_jitter, 3)).astype(np.float32)
+    a = rot @ scale
+    affine = {"W": jnp.asarray(a - np.eye(3, dtype=np.float32)),
+              "t": jnp.asarray(np.asarray(shift, np.float32))}
+
+    disp = np.asarray(transform.bspline_displacement(
+        jnp.asarray(grid), shape, spacing, stride=(4, 4, 4)))
+    mag = np.sqrt((disp ** 2).sum(axis=0))
+    return {
+        "grid": jnp.asarray(grid), "spacing": spacing, "affine": affine,
+        "disp_stats": {"mean_vox": float(mag.mean()),
+                       "p95_vox": float(np.percentile(mag, 95)),
+                       "max_vox": float(mag.max())}}
+
+
+def apply_modality_gap(
+        img: np.ndarray, seed: int = 2, gamma: float = 2.0,
+        bias_strength: float = 0.3, noise_sigma: float = 0.03
+) -> np.ndarray:
+    """Make the fixed image look like a different modality/specimen.
+
+    Nonlinear monotone remap (gamma + soft knee), multiplicative smooth
+    bias field (coarse random field upsampled, the MRI/light-sheet
+    illumination artifact Mattes-MI tolerates and SSD does not), and
+    additive Gaussian noise.
+    """
+    from scipy.ndimage import zoom
+    rng = np.random.default_rng(seed)
+    x = np.clip(np.asarray(img, np.float32), 0, 1)
+    remapped = x ** gamma / (x ** gamma + 0.25 ** gamma)
+    coarse = rng.normal(0.0, 1.0, (4, 4, 4))
+    bias = zoom(coarse, [s / 4 for s in img.shape], order=3)
+    bias = 1.0 + bias_strength * bias / max(np.abs(bias).max(), 1e-6)
+    noisy = remapped * bias + rng.normal(0, noise_sigma, img.shape)
+    return np.clip(noisy, 0, None).astype(np.float32)
+
+
+def build_pair(shape: Sequence[int] = (160, 240, 200), seed: int = 0,
+               **gt_kwargs) -> Dict:
+    """Full gauntlet pair: moving atlas + deformed multi-modal fixed.
+
+    Returns a dict with ``moving`` (clean atlas intensity), ``labels``
+    (atlas annotation), ``fixed`` (GT-warped + modality-gapped specimen),
+    ``labels_fixed_gt`` (annotation carried through the GT warp with
+    order-0, the label-transfer oracle), and ``gt`` (the transform).
+    """
+    moving, labels = make_anatomy(shape, seed=seed)
+    gt = make_ground_truth(shape, seed=seed + 1, **gt_kwargs)
+    params = {"grid": gt["grid"]}
+    warped = np.asarray(transform.resample(
+        jnp.asarray(moving), params, "bspline", shape, gt["spacing"],
+        pre_affine=gt["affine"], order=1))
+    labels_fixed_gt = np.asarray(transform.resample(
+        jnp.asarray(labels.astype(np.float32)), params, "bspline", shape,
+        gt["spacing"], pre_affine=gt["affine"], order=0)).astype(np.int32)
+    fixed = apply_modality_gap(warped, seed=seed + 2)
+    return {"moving": moving, "labels": labels, "fixed": fixed,
+            "labels_fixed_gt": labels_fixed_gt, "gt": gt}
+
+
+def label_transfer_dsc(
+        labels_pred: np.ndarray, labels_gt: np.ndarray,
+        ignore_background: bool = True) -> Dict:
+    """Per-label Dice of a transferred annotation vs the GT-warped one.
+
+    The per-region quality metric atlas users actually consume
+    (regional volumes/stats are per-label sums); reports the median and
+    the per-label vector. Labels absent from both volumes are skipped.
+    """
+    ids = np.union1d(np.unique(labels_gt), np.unique(labels_pred))
+    if ignore_background:
+        ids = ids[ids != 0]
+    dscs = {}
+    for lid in ids:
+        a = labels_pred == lid
+        b = labels_gt == lid
+        denom = a.sum() + b.sum()
+        if denom == 0:
+            continue
+        dscs[int(lid)] = float(2.0 * np.logical_and(a, b).sum() / denom)
+    vals = np.asarray(list(dscs.values()))
+    return {"median": float(np.median(vals)) if len(vals) else 0.0,
+            "mean": float(vals.mean()) if len(vals) else 0.0,
+            "min": float(vals.min()) if len(vals) else 0.0,
+            "per_label": dscs}

@@ -466,8 +466,8 @@ def register_duo(
         moving_mask: Optional[np.ndarray] = None,
         fix_pts: Optional[np.ndarray] = None,
         mov_pts: Optional[np.ndarray] = None,
-        checkpoint_dir: Optional[str] = None) -> Tuple[np.ndarray,
-                                                       RegResult]:
+        checkpoint_dir: Optional[str] = None,
+        record_stage_dsc: bool = False) -> Tuple[np.ndarray, RegResult]:
     """Register ``moving`` onto ``fixed`` through the profile's stages.
 
     Reference surface ``register.register_duo`` (``register.py:423``):
@@ -478,7 +478,11 @@ def register_duo(
     when a stage sets ``erode_mask``). ``fix_pts``/``mov_pts`` feed the
     corresponding-points metric on stages with ``point_based`` set
     (reference reads ``fix_pts.txt``/``mov_pts.txt``,
-    ``register.py:583-602``).
+    ``register.py:583-602``). With ``record_stage_dsc`` the result's
+    metrics carry ``dsc_stage_<kind>`` — the foreground-overlap DSC
+    after each completed stage (one extra full-res resample per stage),
+    so per-stage improvement is observable (the reference logs the
+    same DSC per registered image, ``register.py:1001-1016``).
     """
     stages_cfg = [
         ("translation", profile["reg_translation"]),
@@ -494,6 +498,7 @@ def register_duo(
         ckpt = RegistrationCheckpoint(checkpoint_dir)
 
     done: List[Tuple[str, Dict]] = []
+    stage_dsc: Dict[str, float] = {}
     init_affine = None
     pre_affine = None
     bspline_spacing = None
@@ -546,10 +551,16 @@ def register_duo(
         done.append((kind, {k: np.asarray(v) for k, v in params.items()}))
         if ckpt:
             ckpt.save_stage(kind, done[-1][1])
+        if record_stage_dsc:
+            partial = RegResult(list(done), fixed.shape, bspline_spacing)
+            stage_dsc[kind] = metrics.measure_overlap(
+                fixed, partial.transform_img(moving, order=1))
 
     result = RegResult(done, fixed.shape, bspline_spacing)
     moved = result.transform_img(moving, order=1)
     result.metrics["dsc_fixed_moved"] = metrics.measure_overlap(fixed, moved)
+    for kind, dsc in stage_dsc.items():
+        result.metrics[f"dsc_stage_{kind}"] = dsc
     return moved, result
 
 

@@ -342,6 +342,178 @@ class TestClrstatsModels:
         assert 1.0 < beta[1] < 3.5
 
 
+class TestClrstatsKModelFamily:
+    """The remaining reference kModel entries (clrstats/R/clrstats.R:21):
+    logit.ord, paired ttest/wilcoxon, fligner, shapiro, basic, diff.mean,
+    plus the gaussian-family GEE for continuous measures — each on
+    synthetic data with a known effect."""
+
+    @staticmethod
+    def _paired_frame(seed=0, n_samples=10, shift=1.0, sample_sd=5.0):
+        """Large between-sample variance + consistent within-sample
+        shift: only a PAIRED test can see the effect."""
+        rng = np.random.default_rng(seed)
+        rows = []
+        for s in range(n_samples):
+            base = rng.normal(0.0, sample_sd)
+            for region, sh in ((1, shift), (2, 0.0)):
+                rows.append({"Sample": s, "Condition": "pre",
+                             "Region": region,
+                             "Volume": base + rng.normal(0, 0.2)})
+                rows.append({"Sample": s, "Condition": "post",
+                             "Region": region,
+                             "Volume": base + sh + rng.normal(0, 0.2)})
+        return pd.DataFrame(rows)
+
+    def test_all_kmodel_names_dispatch(self):
+        """Every reference kModel name must run end-to-end."""
+        assert len(clrstats.KMODEL) == 12
+        df = self._paired_frame(n_samples=12)
+        # logit.ord wants >=2 ordered levels; paired frame has 2
+        for model in clrstats.KMODEL:
+            out = clrstats.meas_group_stats(
+                df, "Volume", conds=("post", "pre"), model=model)
+            assert len(out) >= 1, model
+            assert "P" in out.columns and "Effect" in out.columns, model
+
+    @pytest.mark.parametrize(
+        "model", ["ttest.paired", "wilcoxon.paired"])
+    def test_paired_tests_see_within_sample_shift(self, model):
+        df = self._paired_frame(shift=1.0, sample_sd=5.0)
+        out = clrstats.meas_group_stats(
+            df, "Volume", conds=("pre", "post"), model=model
+        ).set_index("Region")
+        assert out.loc[1, "P"] < 0.01
+        assert out.loc[2, "P"] > 0.05
+        assert out.loc[1, "EffectRaw"] == pytest.approx(1.0, abs=0.3)
+        # the unpaired test must MISS the effect (sample variance 5x)
+        unpaired = "ttest" if model == "ttest.paired" else "wilcoxon"
+        p_unpaired = clrstats.meas_group_stats(
+            df, "Volume", conds=("pre", "post"), model=unpaired
+        ).set_index("Region").loc[1, "P"]
+        assert p_unpaired > out.loc[1, "P"]
+
+    def test_fligner_variance_difference(self):
+        rng = np.random.default_rng(3)
+        rows = []
+        for region, sd_ko in ((1, 4.0), (2, 1.0)):
+            for cond, sd in (("wt", 1.0), ("ko", sd_ko)):
+                for _ in range(30):
+                    rows.append({"Region": region, "Condition": cond,
+                                 "Volume": rng.normal(10.0, sd)})
+        out = clrstats.meas_group_stats(
+            pd.DataFrame(rows), "Volume", conds=("wt", "ko"),
+            model="fligner").set_index("Region")
+        assert out.loc[1, "P"] < 0.01      # 4x SD difference
+        assert out.loc[2, "P"] > 0.05      # equal variances
+
+    def test_shapiro_normality(self):
+        rng = np.random.default_rng(4)
+        rows = ([{"Region": 1, "Condition": "wt",
+                  "Volume": v} for v in rng.normal(0, 1, 40)]
+                + [{"Region": 2, "Condition": "wt",
+                    "Volume": v} for v in rng.exponential(1.0, 40)])
+        out = clrstats.meas_group_stats(
+            pd.DataFrame(rows), "Volume", conds=("wt", "wt"),
+            model="shapiro").set_index("Region")
+        assert out.loc[1, "P"] > 0.05          # normal draws
+        assert out.loc[2, "P"] < 0.01          # exponential draws
+        assert 0.0 < out.loc[2, "EffectStd"] < out.loc[1, "EffectStd"]
+
+    def test_basic_and_diff_mean(self):
+        rng = np.random.default_rng(5)
+        rows = []
+        for cond, mean in (("wt", 10.0), ("ko", 13.0)):
+            for _ in range(20):
+                rows.append({"Region": 1, "Condition": cond,
+                             "Volume": rng.normal(mean, 1.0)})
+        df = pd.DataFrame(rows)
+        basic = clrstats.meas_group_stats(
+            df, "Volume", conds=("wt", "ko"), model="basic")
+        row = basic.iloc[0]
+        assert row["CILow"] < row["MeanBase"] < row["CIHigh"]
+        assert row["N"] == 40
+        dm = clrstats.meas_group_stats(
+            df, "Volume", conds=("wt", "ko"), model="diff.mean").iloc[0]
+        assert dm["Effect"] == pytest.approx(3.0, abs=0.7)
+        assert np.isnan(dm["P"])
+
+    def test_logit_ord_monotone_trend(self):
+        """Three ordered genotype levels with a monotone volume trend:
+        the proportional-odds slope must be significantly positive in
+        the trending region and null in the flat one."""
+        rng = np.random.default_rng(6)
+        rows = []
+        for geno, mean in (("0", 0.0), ("0.5", 1.0), ("1", 2.0)):
+            for _ in range(20):
+                rows.append({"Region": 1, "Condition": geno,
+                             "Volume": rng.normal(mean, 1.0)})
+                rows.append({"Region": 2, "Condition": geno,
+                             "Volume": rng.normal(0.0, 1.0)})
+        out = clrstats.meas_group_stats(
+            pd.DataFrame(rows), "Volume", conds=("0", "1"),
+            model="logit.ord").set_index("Region")
+        assert out.loc[1, "P"] < 1e-3
+        assert out.loc[1, "Effect"] > 0
+        assert out.loc[2, "P"] > 0.05
+
+    def test_ordinal_logit_matches_binary_logit(self):
+        """With exactly two levels the proportional-odds model IS
+        logistic regression — slopes must agree."""
+        rng = np.random.default_rng(7)
+        x = np.concatenate([rng.normal(0, 1, 150), rng.normal(1.5, 1, 150)])
+        y = np.concatenate([np.zeros(150, int), np.ones(150, int)])
+        beta_ord, _, cov_ord = clrstats._fit_ordinal_logit(
+            x[:, None], y, 2)
+        X = np.column_stack([np.ones_like(x), x])
+        beta_bin, cov_bin = clrstats._fit_logit_irls(X, y.astype(float))
+        assert beta_ord[0] == pytest.approx(beta_bin[1], rel=1e-3)
+        assert np.sqrt(cov_ord[0, 0]) == pytest.approx(
+            np.sqrt(cov_bin[1, 1]), rel=0.02)
+
+    def test_gee_gaussian_continuous_measure(self):
+        """Gaussian-family GEE on a continuous measure: finds a real
+        group effect, and duplicated clustered rows must not shrink its
+        sandwich p the way they shrink an independence fit."""
+        rng = np.random.default_rng(8)
+        rows = []
+        for s in range(16):
+            cond = "wt" if s < 8 else "ko"
+            sample_eff = rng.normal(0, 0.5)
+            for _ in range(3):
+                rows.append({
+                    "Sample": s, "Condition": cond, "Region": 1,
+                    "Volume": (2.0 if cond == "ko" else 0.0)
+                    + sample_eff + rng.normal(0, 0.5)})
+        df = pd.DataFrame(rows)
+        out = clrstats.meas_group_stats(
+            df, "Volume", conds=("wt", "ko"), model="gee",
+            gee_family="gaussian").set_index("Region")
+        assert out.loc[1, "P"] < 0.01
+        assert out.loc[1, "Effect"] == pytest.approx(2.0, abs=0.8)
+        df_dup = pd.concat([df, df], ignore_index=True)
+        p_dup = clrstats.meas_group_stats(
+            df_dup, "Volume", conds=("wt", "ko"), model="gee",
+            gee_family="gaussian").set_index("Region").loc[1, "P"]
+        p_lin_dup = clrstats.meas_group_stats(
+            df_dup, "Volume", conds=("wt", "ko"),
+            model="linregr").set_index("Region").loc[1, "P"]
+        assert p_dup > p_lin_dup
+
+    def test_ttest_cohens_d(self):
+        rng = np.random.default_rng(9)
+        rows = []
+        for cond, mean in (("wt", 0.0), ("ko", 1.0)):
+            for _ in range(40):
+                rows.append({"Region": 1, "Condition": cond,
+                             "Volume": rng.normal(mean, 1.0)})
+        out = clrstats.meas_group_stats(
+            pd.DataFrame(rows), "Volume", conds=("wt", "ko"),
+            model="ttest").iloc[0]
+        # unit separation at unit SD -> d ~ 1
+        assert out["EffectStd"] == pytest.approx(1.0, abs=0.35)
+
+
 class TestRemainingTabWorkflows:
     """Controller coverage of the reference Visualization tabs that the
     full-session test doesn't touch: image adjustment, profiles, the
