@@ -57,3 +57,91 @@ def test_no_missing_public_names():
         for mod, names in sorted(ref_names.items())
         for name in sorted(names) if name not in ours]
     assert not missing, missing
+
+
+#: deliberate relocations: reference module (path relative to magmap/)
+#: -> repo modules checked IN ADDITION to the default positional map
+#: ``magmap/<pkg>/<stem>.py`` -> ``magellanmapper_tpu.<pkg>.<stem>``.
+#: Every entry documents a real architectural move:
+_REMAP = {
+    # brain_globe: single package module instead of MVC triple
+    "brain_globe/bg_controller.py": ["brain_globe"],
+    "brain_globe/bg_model.py": ["brain_globe"],
+    # blob containers split out of the detector into cv/blobs.py
+    "cv/detector.py": ["cv.blobs"],
+    # GUI helper classes consolidated: threads into gui/threads.py,
+    # small widgets into gui/widgets.py, handler+tab enums into the
+    # visualizer controller
+    "gui/atlas_editor.py": ["gui.widgets"],
+    "gui/atlas_threads.py": ["gui.threads"],
+    "gui/event_handlers.py": ["gui.threads"],
+    "gui/image_viewer.py": ["gui.widgets"],
+    "gui/import_threads.py": ["gui.threads"],
+    "gui/pixel_display.py": ["gui.widgets"],
+    "gui/roi_editor.py": ["gui.mpl_canvas", "gui.widgets"],
+    "gui/vis_handler.py": ["gui.visualizer"],
+    # importer metadata helpers live beside the npy metadata machinery
+    "io/importer.py": ["io.np_io"],
+    # libmag is a generic utility bag -> utils/
+    "io/libmag.py": ["utils.libmag"],
+    # profile vocabulary shared between the two profile modules
+    "settings/atlas_prof.py": ["settings.profiles"],
+    "settings/profiles.py": ["settings.atlas_prof"],
+    # plot-type enum lives with the plotting code
+    "settings/config.py": ["plot.plot_2d"],
+}
+
+#: names exempt from per-module placement: the reference gives many
+#: modules their own ``main()`` CLI shim; this repo centralizes entry
+#: points in io/cli.py + gui/app.py
+_GLOBAL_NAMES = {"main"}
+
+
+@pytest.mark.skipif(not REF_ROOT.is_dir(), reason="reference absent")
+def test_per_module_name_parity():
+    """Each reference module's public names must resolve on the
+    CORRESPONDING repo module(s) (round-3 VERDICT item 6): a stray
+    same-named symbol in an unrelated module is no longer coverage.
+    Deliberate relocations are enumerated in ``_REMAP``."""
+    ref_mods = {}
+    for p in REF_ROOT.rglob("*.py"):
+        if "tests" in p.parts:
+            continue
+        try:
+            tree = ast.parse(p.read_text(errors="ignore"))
+        except SyntaxError:
+            continue
+        names = [n.name for n in tree.body
+                 if isinstance(n, (ast.FunctionDef, ast.ClassDef))
+                 and not n.name.startswith("_")]
+        if names:
+            ref_mods[str(p.relative_to(REF_ROOT))] = set(names)
+
+    def targets(rel: str):
+        parts = pathlib.Path(rel).parts
+        stem = pathlib.Path(rel).stem
+        pkg = ".".join(parts[:-1])
+        default = f"magellanmapper_tpu.{pkg}.{stem}" if pkg \
+            else f"magellanmapper_tpu.{stem}"
+        extra = [f"magellanmapper_tpu.{m}" for m in _REMAP.get(rel, [])]
+        return [default] + extra
+
+    missing = []
+    for rel, names in sorted(ref_mods.items()):
+        mods = []
+        for tgt in targets(rel):
+            try:
+                mods.append(importlib.import_module(tgt))
+            except ImportError:
+                continue
+        if not mods:
+            missing.append(f"{rel}: no corresponding repo module "
+                           f"(tried {targets(rel)})")
+            continue
+        for name in sorted(names):
+            if name in _GLOBAL_NAMES:
+                continue
+            if not any(hasattr(m, name) for m in mods):
+                missing.append(
+                    f"{rel}.{name} not on {[m.__name__ for m in mods]}")
+    assert not missing, "\n".join(missing)
