@@ -37,13 +37,24 @@ from magellanmapper_tpu.atlas import transform
 
 def make_anatomy(
         shape: Sequence[int], n_labels: int = 24, n_blobs: int = 240,
-        seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+        seed: int = 0, region_contrast: float = 0.6
+) -> Tuple[np.ndarray, np.ndarray]:
     """Synthetic "atlas": ellipsoid brain w/ blobby texture + label map.
 
     Returns ``(intensity, labels)``; labels are ``0`` outside the
     anatomy and ``1..n_labels`` inside (a nearest-seed partition, so
     regions are contiguous, irregular, and tile the whole foreground the
     way an ontology annotation does).
+
+    Each region carries its own base intensity (``region_contrast``
+    scales the per-region spread) the way real autofluorescence atlases
+    do — cortex/white-matter/ventricle brightness differ, and those
+    internal edges are exactly what intensity registration locks onto.
+    Without them the interior is homogeneous and ANY diffeomorphism of
+    the interior matches intensities equally well, so the recovered
+    field is unconstrained where label transfer is judged (measured:
+    warp error ~= GT displacement with flat interiors, even at dyadic
+    grid spacings where representation is exact).
     """
     rng = np.random.default_rng(seed)
     shape = tuple(int(s) for s in shape)
@@ -58,8 +69,20 @@ def make_anatomy(
             + 0.10 * np.sin(xx / 19.0 + 1.1))
     mask = r2 < (1.0 + lump)
 
-    intensity = np.full(shape, 0.0, np.float32)
-    intensity[mask] = 0.35
+    # nearest-seed partition of the foreground -> contiguous regions
+    seeds = np.column_stack([
+        rng.uniform(0.15 * s, 0.85 * s, n_labels) for s in shape])
+    fg = np.argwhere(mask)
+    from scipy.spatial import cKDTree
+    _, idx = cKDTree(seeds).query(fg, k=1)
+    labels = np.zeros(shape, np.int32)
+    labels[tuple(fg.T)] = idx.astype(np.int32) + 1
+
+    # per-region base level (region_contrast=0 reproduces the flat 0.35)
+    levels = 0.35 + region_contrast * (
+        rng.uniform(0.0, 1.0, n_labels + 1) - 0.35)
+    levels[0] = 0.0
+    intensity = levels[labels].astype(np.float32)
     # internal blobby texture (cell-dense nuclei the detector would see)
     coords = np.column_stack(
         [rng.integers(8, s - 8, n_blobs) for s in shape])
@@ -73,15 +96,6 @@ def make_anatomy(
     intensity *= mask
     intensity = np.clip(intensity, 0, None)
     intensity /= max(intensity.max(), 1e-6)
-
-    # nearest-seed partition of the foreground -> contiguous regions
-    seeds = np.column_stack([
-        rng.uniform(0.15 * s, 0.85 * s, n_labels) for s in shape])
-    fg = np.argwhere(mask)
-    from scipy.spatial import cKDTree
-    _, idx = cKDTree(seeds).query(fg, k=1)
-    labels = np.zeros(shape, np.int32)
-    labels[tuple(fg.T)] = idx.astype(np.int32) + 1
     return intensity, labels
 
 
@@ -175,7 +189,7 @@ def apply_modality_gap(
 
 
 def build_pair(shape: Sequence[int] = (160, 240, 200), seed: int = 0,
-               **gt_kwargs) -> Dict:
+               region_contrast: float = 0.6, **gt_kwargs) -> Dict:
     """Full gauntlet pair: moving atlas + deformed multi-modal fixed.
 
     Returns a dict with ``moving`` (clean atlas intensity), ``labels``
@@ -183,15 +197,24 @@ def build_pair(shape: Sequence[int] = (160, 240, 200), seed: int = 0,
     ``labels_fixed_gt`` (annotation carried through the GT warp with
     order-0, the label-transfer oracle), and ``gt`` (the transform).
     """
-    moving, labels = make_anatomy(shape, seed=seed)
+    import jax
+
+    moving, labels = make_anatomy(
+        shape, seed=seed, region_contrast=region_contrast)
     gt = make_ground_truth(shape, seed=seed + 1, **gt_kwargs)
     params = {"grid": gt["grid"]}
-    warped = np.asarray(transform.resample(
-        jnp.asarray(moving), params, "bspline", shape, gt["spacing"],
-        pre_affine=gt["affine"], order=1))
-    labels_fixed_gt = np.asarray(transform.resample(
-        jnp.asarray(labels.astype(np.float32)), params, "bspline", shape,
-        gt["spacing"], pre_affine=gt["affine"], order=0)).astype(np.int32)
+    # fixture generation is host work: over a remote-TPU link the two
+    # full-res warps cost minutes of dispatch/compile; the CPU backend
+    # does them in seconds
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        warped = np.asarray(transform.resample(
+            jnp.asarray(moving), params, "bspline", shape, gt["spacing"],
+            pre_affine=gt["affine"], order=1))
+        labels_fixed_gt = np.asarray(transform.resample(
+            jnp.asarray(labels.astype(np.float32)), params, "bspline",
+            shape, gt["spacing"], pre_affine=gt["affine"],
+            order=0)).astype(np.int32)
     fixed = apply_modality_gap(warped, seed=seed + 2)
     return {"moving": moving, "labels": labels, "fixed": fixed,
             "labels_fixed_gt": labels_fixed_gt, "gt": gt}

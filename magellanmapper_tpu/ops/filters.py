@@ -261,12 +261,13 @@ def log_pyramid(
     bx = ein("zyx,sxu->szyu", vol, b2x)       # K2x f
     u0 = ein("szyx,syu->szux", a, b0y)        # G0y A
     u2 = ein("szyx,syu->szux", a, b2y)        # K2y A
+    w = ein("szyx,syu->szux", bx, b0y)        # G0y B
+    # linearity: G0z K2y A + G0z G0y B = G0z (K2y A + G0y B) — one
+    # z-band einsum instead of two (z passes are 2*S*N*nz FLOPs each)
     t1 = ein("szyx,szu->suyx", u0, b2z)       # K2z G0y A
-    t2 = ein("szyx,szu->suyx", u2, b0z)       # G0z K2y A
-    t3 = ein("szyx,szu->suyx",
-             ein("szyx,syu->szux", bx, b0y), b0z)   # G0z G0y B
+    t23 = ein("szyx,szu->suyx", u2 + w, b0z)  # G0z (K2y A + G0y B)
     scale = jnp.asarray(sigmas, vol.dtype) ** 2
-    return -(t1 + t2 + t3) * scale[:, None, None, None]
+    return -(t1 + t23) * scale[:, None, None, None]
 
 
 def erosion(vol: jax.Array, footprint: np.ndarray) -> jax.Array:

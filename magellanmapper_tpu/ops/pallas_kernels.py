@@ -270,12 +270,25 @@ def tile_percentiles_pallas(
     Values must be >= 0 (nonnegative IEEE bit patterns order like the
     floats; image intensities here come from unsigned importers and the
     >= 0-clamped spectral unmix). Returns ``(T, 2)`` float32.
+
+    Unsigned-integer tiles (the uint16 microscopy production case) skip
+    the float-bit mapping and bisect in VALUE domain: the bracket spans
+    the tile's actual integer range (<= 2^16, often ~2^10 for
+    background tiles) instead of the ~2^24 float-bit key span, so the
+    count-reduction loop — the whole kernel's cost, VPU-compare-bound
+    at 48 ms per 6-block production batch — runs ~10-16 iterations
+    instead of ~24. Results are identical (integer order statistics
+    convert to f32 exactly).
     """
     t, v = tiles.shape
     interpret = interpret or jax.default_backend() == "cpu"
     pad_v = (-v) % 128
-    keys = jax.lax.bitcast_convert_type(
-        tiles.astype(jnp.float32), jnp.int32)
+    integral = tiles.dtype in (jnp.uint8, jnp.uint16)
+    if integral:
+        keys = tiles.astype(jnp.int32)
+    else:
+        keys = jax.lax.bitcast_convert_type(
+            tiles.astype(jnp.float32), jnp.int32)
     if pad_v:
         keys = jnp.pad(keys, ((0, 0), (0, pad_v)),
                        constant_values=0x7FFFFFFF)
@@ -310,7 +323,8 @@ def tile_percentiles_pallas(
         interpret=interpret,
     )(keys, rank_arr)[:t]
 
-    vals = jax.lax.bitcast_convert_type(out, jnp.float32)
+    vals = (out.astype(jnp.float32) if integral
+            else jax.lax.bitcast_convert_type(out, jnp.float32))
     res = []
     for j, (_, frac) in enumerate(ranks):
         v0 = vals[:, 3 * j]

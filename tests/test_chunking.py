@@ -266,6 +266,39 @@ class TestFusedTilePreproc:
             jnp.asarray(vol), (8, 8, 8), params))
         np.testing.assert_allclose(fused, legacy, rtol=2e-5, atol=2e-5)
 
+    def test_pad_symmetric_wider_than_axis(self):
+        """Blocks thinner than the denoise tile pad by more than their
+        own extent; the sliver path must reproduce numpy 'symmetric'
+        repeated reflection instead of slicing at a negative start."""
+        import jax.numpy as jnp
+        from magellanmapper_tpu.cv.stack_detect import _pad_symmetric
+        rng = np.random.default_rng(7)
+        for shape, pad in [((2, 5, 3), (22, 3, 9)), ((1, 1, 4), (7, 5, 0)),
+                           ((3, 8, 2), (0, 0, 11))]:
+            vol = rng.random(shape).astype(np.float32)
+            got = np.asarray(_pad_symmetric(jnp.asarray(vol), pad))
+            want = np.pad(vol, [(0, p) for p in pad], mode="symmetric")
+            np.testing.assert_array_equal(got, want)
+
+    def test_fused_thin_block(self):
+        """A z-extent smaller than the denoise tile (thin stack / ragged
+        block) must run and match the tiled path."""
+        import jax.numpy as jnp
+        from magellanmapper_tpu.cv.stack_detect import (
+            _preproc_sub_blocks, _preproc_sub_blocks_fused)
+        rng = np.random.default_rng(11)
+        vol = (rng.random((2, 24, 24)) * 500).astype(np.float32)
+        params = {
+            "clip_vmin": 5.0, "clip_vmax": 99.5, "max_thresh": None,
+            "clip_min": 0.0, "clip_max": 1.0, "tot_var_denoise": 0.0,
+            "unsharp_strength": 0.3, "erosion_threshold": 0.0,
+        }
+        legacy = np.asarray(_preproc_sub_blocks(
+            jnp.asarray(vol), (8, 8, 8), params))
+        fused = np.asarray(_preproc_sub_blocks_fused(
+            jnp.asarray(vol), (8, 8, 8), params))
+        np.testing.assert_allclose(fused, legacy, rtol=2e-5, atol=2e-5)
+
     def test_fused_uneven_tiles(self):
         """Edge tiles (symmetric-padded) must also match."""
         import jax.numpy as jnp
