@@ -185,6 +185,7 @@ def bench_block_path(shape=(128, 512, 512), n_blobs=1500, seed=1):
     # the two-deep pipeline vs time blocked on device result pulls)
     e2e_split = {
         "gather_host_s": round(timing.get("Gather_host", 0.0), 2),
+        "stage_h2d_s": round(timing.get("Stage_h2d", 0.0), 2),
         "pull_wait_s": round(timing.get("Pull_wait", 0.0), 2),
         "detect_s": round(timing.get("Detection", 0.0), 2),
         "prune_s": round(timing.get("Pruning", 0.0), 2)}
@@ -217,27 +218,62 @@ def bench_block_path(shape=(128, 512, 512), n_blobs=1500, seed=1):
     args = (sigmas, float(prof["detection_threshold"]),
             float(prof["overlap"]), 8192,
             tuple(int(v) for v in blocks.denoise_max_shape), prep)
-    def timed_rate(a, reps=2):
-        """Best of ``reps`` steady-state repetitions (the remote tunnel
-        adds multi-percent run-to-run noise; the fastest rep is the
-        compute capability, matching the headline's chained method)."""
-        stack_detect._detect_batch_fused(batch, *a)[1].block_until_ready()
+    def timed_rate(a, b=batch, queue=6, reps=3):
+        """Steady-state rate with ``queue`` dispatches in flight, one
+        host pull at the end — exactly how ``detect_blobs_blocks``
+        drives the device (batches stream through the two-deep pipeline
+        without per-batch syncs). A per-batch pull would charge the
+        tunnel's ~33 ms fixed RTT to every 150 ms batch (~20% of the
+        figure); queued dispatches amortize it the way production does.
+        Best of ``reps`` (the shared tunnel adds run-to-run noise)."""
+        np.asarray(stack_detect._detect_batch_fused(b, *a)[1])
         best = None
         for _ in range(reps):
             t0 = time.perf_counter()
-            raw, valid = stack_detect._detect_batch_fused(batch, *a)
-            np.asarray(valid)
-            dt = time.perf_counter() - t0
+            outs = [stack_detect._detect_batch_fused(b, *a)[1]
+                    for _ in range(queue)]
+            np.asarray(outs[-1])
+            np.asarray(outs[0])
+            dt = (time.perf_counter() - t0) / queue
             best = dt if best is None else min(best, dt)
-        return batch.size / best / 1e6
+        return b.size / best / 1e6
 
     dev = timed_rate(args)
     # detection-only device rate (no preproc): the configuration
     # comparable to the single-volume headline bench
     dev_nopre = timed_rate(args[:5] + (None,))
+
+    # candidate-density sweep (round-3 VERDICT item 3): the harvest /
+    # sparse-selection stages do data-dependent work, so the device rate
+    # depends on how many voxels pass the detection threshold. Sweep
+    # ~0.1x/1x/10x the production bench's blob density with the SAME
+    # compiled program to bound the cliff.
+    density_sweep = {}
+    base_per_block = int(
+        n_blobs * np.prod(bshape) / float(np.prod(shape)))
+    zz13, yy13, xx13 = np.indices((13, 13, 13)).astype(np.float32) - 6
+    for mult, tag in ((0.1, "0.1x"), (1.0, "1x"), (10.0, "10x")):
+        nb = max(1, int(base_per_block * mult))
+        dv = (rng.random(tuple(int(v) for v in bshape))
+              * 800).astype(np.float32)
+        dcoords = np.column_stack(
+            [rng.integers(7, s - 7, nb) for s in bshape])
+        for (cz, cy, cx), r in zip(dcoords, rng.uniform(3, 5.5, nb)):
+            sig = r / np.sqrt(3)
+            dv[cz-6:cz+7, cy-6:cy+7, cx-6:cx+7] += np.exp(
+                -(zz13**2 + yy13**2 + xx13**2) / (2 * sig**2)) * 40000
+        db = jnp.asarray(np.stack([dv.astype(np.uint16)] * 6))
+        db.block_until_ready()
+        density_sweep[tag] = {
+            "blobs_per_block": nb,
+            "mvox_s": round(timed_rate(args, b=db, reps=2), 1),
+            "mvox_s_nopreproc": round(
+                timed_rate(args[:5] + (None,), b=db, reps=2), 1)}
+        del db
+
     n = 0 if blobs is None else len(blobs)
     os.unlink(path)
-    return e2e, dev, dev_nopre, n, e2e_split
+    return e2e, dev, dev_nopre, n, e2e_split, density_sweep
 
 
 def bench_registration_dsc(shape=(160, 240, 200)):
@@ -281,6 +317,119 @@ def bench_registration_dsc(shape=(160, 240, 200)):
     moved, result = reg_engine.register_duo(fixed, moving, prof)
     wall = time.perf_counter() - t0
     return wall, float(result.metrics["dsc_fixed_moved"])
+
+
+def bench_reg_gauntlet(shape=(160, 240, 200)):
+    """Realistic registration gauntlet (round-3 VERDICT item 1).
+
+    Atlas-scale pair with a smooth FFD deformation ON TOP of an affine,
+    a nonlinear intensity remap + bias field + noise on the fixed image
+    (the atlas<->specimen modality gap Mattes-MI exists for,
+    ``/root/reference/magmap/atlas/register.py:647,884-893``), and a
+    multi-label annotation carried through the GT warp. Gates: overlap
+    DSC >= 0.95, median label-transfer DSC >= 0.90, and the B-spline
+    stage improving DSC by >= 0.05 over the affine stage.
+    """
+    from magellanmapper_tpu.atlas import gauntlet
+
+    cache = os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), ".bench_cache")
+    pair = gauntlet.build_pair(shape=shape, cache_dir=cache)
+    t0 = time.perf_counter()
+    result = gauntlet.run_gauntlet(pair)
+    wall = time.perf_counter() - t0
+    return {
+        "wall_s": round(wall, 1),
+        "dsc": round(result["dsc"], 4),
+        "label_dsc_median": round(result["label_dsc_median"], 4),
+        "label_dsc_min": round(result["label_dsc_min"], 4),
+        "bspline_dsc_gain": round(result["bspline_dsc_gain"], 4),
+        "warp_err_vox": round(result["warp_err_vox"], 2),
+        "gt_disp_vox": round(result["gt_disp_vox"], 2),
+        "passes": bool(result["passes"]),
+    }
+
+
+def bench_groupwise(shape=(160, 240, 200), k=4):
+    """Atlas-scale joint groupwise registration (round-3 VERDICT item 7).
+
+    ``k`` synthetic subjects — one shared anatomy, each carried through
+    its own smooth FFD + affine ground-truth deformation with per-
+    subject intensity jitter — register jointly under the 4D variance
+    metric with the reference's ``groupwise`` profile settings (B-spline
+    grid 130 vx, ``atlas_prof.py:287``). Reports wall-clock and the mean
+    pairwise Otsu-overlap DSC across subjects before/after.
+    """
+    import itertools
+
+    from magellanmapper_tpu.atlas import gauntlet, metrics, register
+    from magellanmapper_tpu.settings.atlas_prof import AtlasProfile
+
+    cache = os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    cache_path = os.path.join(
+        cache, "groupwise_%s_k%d.npz" % (
+            "_".join(str(int(s)) for s in shape), k))
+    if os.path.exists(cache_path):
+        subjects = list(np.load(cache_path)["subjects"])
+    else:
+        import jax
+        import jax.numpy as jnp
+        from magellanmapper_tpu.atlas import transform
+        template, _ = gauntlet.make_anatomy(shape, seed=7)
+        rng = np.random.default_rng(7)
+        subjects = []
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            for i in range(k):
+                gt = gauntlet.make_ground_truth(
+                    shape, seed=20 + i, ffd_ctrl_sigma=13.0,
+                    rot_deg=float(rng.uniform(-4, 4)),
+                    shift=rng.uniform(-5, 5, 3))
+                warped = np.asarray(transform.resample(
+                    jnp.asarray(template), {"grid": gt["grid"]},
+                    "bspline", shape, gt["spacing"],
+                    pre_affine=gt["affine"], order=1))
+                # per-subject brightness/gamma jitter (specimen-to-
+                # specimen intensity variation)
+                g = float(rng.uniform(0.85, 1.2))
+                subjects.append(np.clip(warped, 0, None) ** g
+                                * float(rng.uniform(0.8, 1.2)))
+        np.savez(cache_path, subjects=np.stack(subjects))
+
+    prof = AtlasProfile()
+    prof.add_profiles("groupwise")
+    t0 = time.perf_counter()
+    mean_img, results = register.register_group(subjects, prof)
+    wall = time.perf_counter() - t0
+
+    def pairwise_dsc(vols):
+        vals = [metrics.measure_overlap(a, b)
+                for a, b in itertools.combinations(vols, 2)]
+        return float(np.mean(vals))
+
+    # moved subjects: apply each recovered transform
+    from magellanmapper_tpu.atlas import transform as tf
+    import jax.numpy as jnp
+    moved = []
+    for sub, p in zip(subjects, results):
+        kind = "bspline" if "grid" in p else "affine"
+        extra = {}
+        if kind == "bspline":
+            extra = {"spacing": p["spacing"],
+                     "pre_affine": {"W": jnp.asarray(p["W"]),
+                                    "t": jnp.asarray(p["t"])}}
+            params = {"grid": jnp.asarray(p["grid"])}
+        else:
+            params = {"W": jnp.asarray(p["W"]), "t": jnp.asarray(p["t"])}
+        moved.append(np.asarray(tf.resample(
+            jnp.asarray(sub), params, kind, sub.shape, **extra)))
+    return {
+        "wall_s": round(wall, 1), "k": k, "shape": list(shape),
+        "pairwise_dsc_before": round(pairwise_dsc(subjects), 4),
+        "pairwise_dsc_after": round(pairwise_dsc(moved), 4),
+        "grid_space_voxels": 130}
 
 
 def bench_registration(shape=(64, 96, 96), iters=192):
@@ -346,13 +495,13 @@ def main():
     # block path first: the production-path record takes priority over
     # the DSC extra when the tunnel eats the time budget
     blk_e2e = blk_dev = blk_dev_np = blk_blobs = None
-    blk_split = None
+    blk_split = blk_density = None
     try:
         # warm block-path cost is ~1-2 min (compiles cached from the e2e
         # run's own warmup); run it whenever any budget remains
         if time_left() > 60:
             (blk_e2e, blk_dev, blk_dev_np, blk_blobs,
-             blk_split) = bench_block_path()
+             blk_split, blk_density) = bench_block_path()
             blk_e2e, blk_dev, blk_dev_np = (
                 round(blk_e2e, 2), round(blk_dev, 2), round(blk_dev_np, 2))
     except Exception:
@@ -362,6 +511,21 @@ def main():
         if time_left() > 180:
             reg_wall, reg_dsc = bench_registration_dsc()
             reg_wall, reg_dsc = round(reg_wall, 2), round(reg_dsc, 4)
+    except Exception:
+        pass
+    gauntlet = None
+    try:
+        # realistic deformable + cross-modality validation (compiles
+        # cached alongside the full-schedule bench shapes)
+        if time_left() > 240:
+            gauntlet = bench_reg_gauntlet()
+    except Exception:
+        pass
+    groupwise = None
+    try:
+        # atlas-scale joint groupwise (4 subjects, grid 130 + schedule)
+        if time_left() > 180:
+            groupwise = bench_groupwise()
     except Exception:
         pass
 
@@ -377,13 +541,26 @@ def main():
             "block_path_device_mvox_s": blk_dev,
             "block_path_device_nopreproc_mvox_s": blk_dev_np,
             "block_path_note": (
-                "e2e on (128,512,512) uint16 memmap incl. gather+H2D over "
-                "the dev tunnel (~50-100 MB/s link, H2D-bound here); "
-                "device rates = same batched program on pre-staged blocks "
-                "(10 sigmas, with/without saturate+denoise preproc; the "
-                "headline runs 8 sigmas, no preproc)"),
+                "e2e on (128,512,512) uint16 memmap: the volume stages "
+                "to HBM once (resident path) and blocks are carved "
+                "on-device, so the ~50-100 MB/s dev-tunnel link is "
+                "crossed by each voxel exactly once; device rates = "
+                "same program on pre-staged blocks (10 sigmas, "
+                "with/without saturate+denoise preproc; the headline "
+                "runs 8 sigmas, no preproc). Preproc ON can beat OFF: "
+                "harvest/selection cost scales with threshold-crossing "
+                "candidates, and denoise zeroes background noise "
+                "candidates — see density_sweep, where no-preproc wins "
+                "only at 10x blob density (few noise candidates "
+                "relative to real peaks)"),
             "block_path_blobs": blk_blobs,
             "block_path_e2e_split": blk_split,
+            "density_sweep": blk_density,
+            "density_sweep_note": (
+                "device Mvox/s on 6-block batches at 0.1x/1x/10x the "
+                "1x-bench blob density (uniform noise background in "
+                "all cases) — bounds the harvest path's "
+                "candidate-density dependence"),
             "device_read_bw_gbps": dev_bw,
             "device_gemm_tflops": dev_tf,
             "device_note": (
@@ -398,7 +575,19 @@ def main():
                 "TRUE Elastix defaults: translation 2048 / affine 1024 / "
                 "bspline 512 iters x 4 resolutions (full max_iter per "
                 "level), grid 50 vx, Mattes-MI, (160,240,200) pair, "
-                "constant-shape smoothing pyramid")},
+                "constant-shape smoothing pyramid"),
+            "reg_gauntlet": gauntlet,
+            "reg_gauntlet_note": (
+                "deformable + cross-modality validation pair "
+                "(160,240,200): smooth FFD (affine component removed) "
+                "on top of an affine, gamma+bias+noise modality gap, "
+                "24-region annotation; gates dsc>=0.95, label-transfer "
+                "median>=0.90, bspline stage gain>=0.05"),
+            "groupwise": groupwise,
+            "groupwise_note": (
+                "joint 4D-variance groupwise, 4 atlas-scale subjects, "
+                "B-spline grid 130 vx + the reference groupwise "
+                "profile's grid-spacing schedule")},
     }))
 
 

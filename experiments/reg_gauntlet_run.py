@@ -26,8 +26,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--shape", type=int, nargs=3, default=[160, 240, 200])
     ap.add_argument("--iters-scale", type=float, default=1.0)
-    ap.add_argument("--ctrl-sigma", type=float, default=14.0)
-    ap.add_argument("--ffd-spacing", type=float, default=64.0)
+    ap.add_argument("--ctrl-sigma", type=float, default=26.0)
+    ap.add_argument("--ffd-spacing", type=float, default=100.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()

@@ -26,6 +26,7 @@ recovered fixed-to-moving mapping is directly comparable.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
@@ -101,7 +102,7 @@ def make_anatomy(
 
 def make_ground_truth(
         shape: Sequence[int], seed: int = 1,
-        ffd_spacing: float = 64.0, ffd_ctrl_sigma: float = 14.0,
+        ffd_spacing: float = 100.0, ffd_ctrl_sigma: float = 26.0,
         rot_deg: float = 4.0, scale_jitter: float = 0.06,
         shift: Sequence[float] = (4.0, -6.0, 5.0),
         remove_affine_component: bool = True) -> Dict:
@@ -114,7 +115,12 @@ def make_ground_truth(
     mapping registration must recover. ``ffd_ctrl_sigma`` is the
     per-control-point displacement draw in voxels; the realized field is
     a basis-weighted average, so measure ``disp_stats`` for the actual
-    magnitude.
+    magnitude. The defaults (sigma 26 at spacing 100) realize a ~16-vox
+    mean foreground displacement on a (160,240,200) volume — the
+    specimen-vs-atlas scale of deformation the reference's workload
+    carries, and large enough that the affine stage cannot absorb it
+    (at the old sigma-14/spacing-64 defaults the affine residual left
+    the B-spline stage <0.05 DSC of work, under the gauntlet gate).
 
     With ``remove_affine_component`` (default) the best-fit global affine
     of the random FFD field is subtracted AT THE CONTROL POINTS — cubic
@@ -189,15 +195,43 @@ def apply_modality_gap(
 
 
 def build_pair(shape: Sequence[int] = (160, 240, 200), seed: int = 0,
-               region_contrast: float = 0.6, **gt_kwargs) -> Dict:
+               region_contrast: float = 0.6,
+               cache_dir: Optional[str] = None, **gt_kwargs) -> Dict:
     """Full gauntlet pair: moving atlas + deformed multi-modal fixed.
 
     Returns a dict with ``moving`` (clean atlas intensity), ``labels``
     (atlas annotation), ``fixed`` (GT-warped + modality-gapped specimen),
     ``labels_fixed_gt`` (annotation carried through the GT warp with
     order-0, the label-transfer oracle), and ``gt`` (the transform).
+
+    ``cache_dir`` caches the built arrays on disk keyed by every
+    parameter (the fixture is pure host work, ~2 min at atlas scale on
+    the single shared core; bench reruns skip it).
     """
     import jax
+
+    cache_path = None
+    if cache_dir is not None:
+        key = "_".join(
+            [str(int(s)) for s in shape]
+            + [f"s{seed}", f"rc{region_contrast}"]
+            + [f"{k}={v}" for k, v in sorted(gt_kwargs.items())])
+        cache_path = os.path.join(cache_dir, f"gauntlet_{key}.npz")
+        if os.path.exists(cache_path):
+            z = np.load(cache_path)
+            gt = {"grid": jnp.asarray(z["grid"]),
+                  "spacing": tuple(float(v) for v in z["spacing"]),
+                  "affine": {"W": jnp.asarray(z["aff_W"]),
+                             "t": jnp.asarray(z["aff_t"])},
+                  "disp_stats": {
+                      k: float(v) for k, v in zip(
+                          ("mean_vox", "p95_vox", "max_vox"),
+                          z["disp_stats"])}}
+            return {"moving": z["moving"],
+                    "labels": z["labels"].astype(np.int32),
+                    "fixed": z["fixed"],
+                    "labels_fixed_gt":
+                        z["labels_fixed_gt"].astype(np.int32), "gt": gt}
 
     moving, labels = make_anatomy(
         shape, seed=seed, region_contrast=region_contrast)
@@ -216,8 +250,103 @@ def build_pair(shape: Sequence[int] = (160, 240, 200), seed: int = 0,
             shape, gt["spacing"], pre_affine=gt["affine"],
             order=0)).astype(np.int32)
     fixed = apply_modality_gap(warped, seed=seed + 2)
+    if cache_path is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        # uncompressed: zlib over ~500 MB costs minutes on the single
+        # shared core, more than the build it is meant to save
+        np.savez(
+            cache_path, moving=moving,
+            labels=labels.astype(np.int16), fixed=fixed,
+            labels_fixed_gt=labels_fixed_gt.astype(np.int16),
+            grid=np.asarray(gt["grid"]),
+            spacing=np.asarray(gt["spacing"], np.float64),
+            aff_W=np.asarray(gt["affine"]["W"]),
+            aff_t=np.asarray(gt["affine"]["t"]),
+            disp_stats=np.asarray(
+                [gt["disp_stats"]["mean_vox"], gt["disp_stats"]["p95_vox"],
+                 gt["disp_stats"]["max_vox"]], np.float64))
     return {"moving": moving, "labels": labels, "fixed": fixed,
             "labels_fixed_gt": labels_fixed_gt, "gt": gt}
+
+
+def run_gauntlet(pair: Dict, iters_scale: float = 1.0) -> Dict:
+    """Register the gauntlet pair and score it against the ground truth.
+
+    Runs the TRUE Elastix-default schedule (translation 2048 / affine
+    1024 / bspline 512 iterations x 4 smoothing-pyramid resolutions,
+    grid 50 voxels — ``/root/reference/magmap/settings/atlas_prof.py:
+    53-69``) with per-stage DSC recording, then measures what atlas
+    users actually consume:
+
+     - ``dsc``: fixed/moved Otsu-overlap DSC (gate >= 0.95);
+     - ``label_dsc_median``/``label_dsc_min``: per-region Dice of the
+       order-0 transferred annotation vs the GT-warped one (median gate
+       >= 0.90);
+     - ``bspline_dsc_gain``: DSC the B-spline stage adds over the
+       affine stage (gate >= 0.05 — proves the deformable stage does
+       real work, not +0.011 on an affine-only pair);
+     - ``warp_err_vox``: mean ``|T_rec(x) - T_gt(x)|`` over foreground
+       voxels vs the GT mean displacement ``gt_disp_vox``.
+    """
+    import time as _time
+
+    from magellanmapper_tpu.atlas import reg_engine
+    from magellanmapper_tpu.settings.atlas_prof import (
+        AtlasProfile, make_reg_param_map)
+
+    shape = pair["moving"].shape
+    gt = pair["gt"]
+    prof = AtlasProfile()
+    prof["reg_translation"] = make_reg_param_map(
+        "translation", 2048, num_resolutions=4, pyramid_mode="smoothing")
+    prof["reg_affine"] = make_reg_param_map(
+        "affine", 1024, num_resolutions=4, pyramid_mode="smoothing")
+    prof["reg_bspline"] = make_reg_param_map(
+        "bspline", 512, grid_space_voxels=50, num_resolutions=4,
+        pyramid_mode="smoothing")
+    t0 = _time.perf_counter()
+    moved, result = reg_engine.register_duo(
+        pair["fixed"], pair["moving"], prof,
+        iters_scale=iters_scale, record_stage_dsc=True)
+    wall = _time.perf_counter() - t0
+
+    labels_pred = result.transform_img(
+        pair["labels"].astype(np.float32), order=0).astype(np.int32)
+    lt = label_transfer_dsc(labels_pred, pair["labels_fixed_gt"])
+
+    # warp error: |T_rec - T_gt| sampled on a stride-4 grid, restricted
+    # to foreground (the transform is unconstrained in background)
+    kind, params, pre = result._final()
+    stride = (4, 4, 4)
+    c_rec = transform.transform_coords(
+        {k: jnp.asarray(v) for k, v in params.items()}, kind, shape,
+        result.bspline_spacing,
+        {k: jnp.asarray(v) for k, v in pre.items()} if pre else None,
+        stride)
+    c_gt = transform.transform_coords(
+        {"grid": gt["grid"]}, "bspline", shape, gt["spacing"],
+        gt["affine"], stride)
+    err = np.asarray(jnp.sqrt(jnp.sum((c_rec - c_gt) ** 2, axis=0)))
+    fg = pair["labels_fixed_gt"][::4, ::4, ::4][
+        :err.shape[0], :err.shape[1], :err.shape[2]] > 0
+    err_fg = err[fg] if fg.any() else err.reshape(-1)
+
+    st = {k.replace("dsc_stage_", ""): float(v)
+          for k, v in result.metrics.items()
+          if k.startswith("dsc_stage_")}
+    dsc = float(result.metrics["dsc_fixed_moved"])
+    gain = st.get("bspline", 0.0) - st.get("affine", 0.0)
+    out = {
+        "wall_s": wall, "dsc": dsc, "stage_dsc": st,
+        "bspline_dsc_gain": gain,
+        "label_dsc_median": lt["median"], "label_dsc_min": lt["min"],
+        "warp_err_vox": float(err_fg.mean()),
+        "warp_err_p95_vox": float(np.percentile(err_fg, 95)),
+        "gt_disp_vox": float(gt["disp_stats"]["mean_vox"]),
+        "passes": bool(dsc >= 0.95 and lt["median"] >= 0.90
+                       and gain >= 0.05),
+    }
+    return out
 
 
 def label_transfer_dsc(

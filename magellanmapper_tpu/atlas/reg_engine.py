@@ -620,7 +620,9 @@ def register_groupwise(
         imgs: Sequence[np.ndarray], max_iter: int = 256,
         num_resolutions: int = 3,
         bspline_iter: int = 0,
-        grid_space_voxels: float = 130.0) -> Tuple[np.ndarray, list]:
+        grid_space_voxels: float = 130.0,
+        grid_spacing_schedule: Optional[Sequence[float]] = None
+) -> Tuple[np.ndarray, list]:
     """Joint groupwise registration (4D variance metric).
 
     All images' parameters optimize together against the group variance
@@ -629,7 +631,13 @@ def register_groupwise(
     per-image B-spline FFD lattices (control spacing
     ``grid_space_voxels``, the reference groupwise profile's coarse 130
     vx default, ``atlas_prof.py:287``) then refine jointly, composed
-    with each image's affine. Returns ``(mean_image, per_image_params)``.
+    with each image's affine. ``grid_spacing_schedule`` (the groupwise
+    profile's 12-element coarse-to-fine multipliers,
+    ``atlas_prof.py:287``) runs the FFD refinement as a sequence of
+    levels — spacing = base x multiplier per level, each level's lattice
+    re-sampled onto the next (Elastix ``GridSpacingSchedule``
+    semantics) — with the iterations split evenly across levels.
+    Returns ``(mean_image, per_image_params)``.
     """
     shapes = np.asarray([im.shape for im in imgs])
     target = shapes.min(axis=0)
@@ -659,16 +667,34 @@ def register_groupwise(
 
     spacing = None
     if bspline_iter:
-        # joint FFD refinement at the finest level, affine-composed
-        spacing = (float(grid_space_voxels),) * 3
-        gshape = transform.bspline_grid_shape(tuple(target), spacing)
-        params = dict(params)
-        params["grid"] = jnp.zeros((k, 3) + gshape)
+        # joint FFD refinement at the finest level, affine-composed;
+        # a grid-spacing schedule walks spacing coarse->fine with
+        # cross-level lattice re-sampling (per-dim triplets)
+        sched = [(1.0, 1.0, 1.0)]
+        if grid_spacing_schedule:
+            s = [float(v) for v in grid_spacing_schedule]
+            sched = ([tuple(s[i:i + 3]) for i in range(0, len(s), 3)]
+                     if len(s) % 3 == 0 and len(s) > 3
+                     else [(v,) * 3 for v in s])
         lrs_b = (("W", 0.003), ("grid", 0.5), ("t", 0.3))
         stride = _metric_stride(tuple(target))
-        params, loss = _optimize_group_level(
-            vols, params, int(bspline_iter), lrs_b, stride,
-            spacing=spacing)
+        params = dict(params)
+        level_iters = max(1, int(bspline_iter) // len(sched))
+        prev_spacing = None
+        for mult in sched:
+            spacing = tuple(
+                float(grid_space_voxels) * m for m in mult)
+            gshape = transform.bspline_grid_shape(tuple(target), spacing)
+            if "grid" not in params:
+                params["grid"] = jnp.zeros((k, 3) + gshape)
+            elif tuple(params["grid"].shape[2:]) != gshape:
+                params["grid"] = jax.vmap(
+                    lambda g: transform.resample_grid(
+                        g, prev_spacing, gshape, spacing))(params["grid"])
+            params, loss = _optimize_group_level(
+                vols, params, level_iters, lrs_b, stride,
+                spacing=spacing)
+            prev_spacing = spacing
     _logger.info("groupwise registration done, loss %.6f", float(loss))
 
     if "grid" in params:

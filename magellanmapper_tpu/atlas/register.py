@@ -316,7 +316,9 @@ def register_group(
         gsv = float(bs.get("grid_space_voxels") or 130) if bs else 130.0
         return reg_engine.register_groupwise(
             imgs, max_iter=max_iter, bspline_iter=bspline_iter,
-            grid_space_voxels=gsv)
+            grid_space_voxels=gsv,
+            grid_spacing_schedule=bs.get("grid_spacing_schedule")
+            if bs else None)
     shapes = np.asarray([im.shape for im in imgs])
     target_shape = shapes.min(axis=0)
     vols = [np.asarray(im[:target_shape[0], :target_shape[1],

@@ -39,6 +39,12 @@ _logger = logging.getLogger(__name__)
 
 #: HBM budget for one batched detection dispatch (bytes).
 _BATCH_BYTES_BUDGET = 3 << 30
+#: volumes up to this many bytes are staged to HBM ONCE and blocks are
+#: carved on-device (dynamic_slice inside the jitted scan) — the gather
+#: path re-ships every block's overlap and pads ragged blocks to the
+#: uniform window, ~2.2x the volume's own bytes over the H2D link on the
+#: (128,512,512) e2e bench; larger volumes fall back to block gather
+_RESIDENT_BYTES_BUDGET = 1 << 30
 #: per-axis cap on device block edge (keeps the LoG cube in HBM comfortably;
 #: the reference's 500px default targeted CPU pool workers instead).
 _DEVICE_BLOCK_CAP = 256
@@ -437,6 +443,42 @@ def _detect_batch_fused(
     return raws, valids
 
 
+@functools.partial(
+    jax.jit, static_argnames=(
+        "block_shape", "sigmas", "threshold", "overlap", "capacity",
+        "denoise_shape", "preproc_items", "fast", "fused"))
+def _detect_batch_resident(
+        vol: jax.Array, starts: jax.Array, block_shape: Tuple[int, ...],
+        sigmas: Tuple[float, ...], threshold: float, overlap: float,
+        capacity: int, denoise_shape: Optional[Tuple[int, ...]],
+        preproc_items: Optional[Tuple[Tuple[str, float], ...]],
+        fast: bool = False, fused: bool = True):
+    """Block pipeline over a device-RESIDENT volume.
+
+    ``vol`` is the whole (Z, Y, X) stack already in HBM (native dtype);
+    ``starts`` is a (B, 3) int32 array of pre-clamped window origins.
+    Each block is carved with ``dynamic_slice`` inside the scan, so the
+    host ships the volume's bytes exactly once — the gather path
+    re-transfers every overlap strip and pads ragged edge blocks to the
+    uniform window before H2D, which costs ~2.2x the volume's bytes on
+    the dev tunnel's ~50-100 MB/s link (the e2e bottleneck,
+    BENCH_r03's 48% device idle).
+    """
+
+    def body(_, st):
+        blk = jax.lax.dynamic_slice(
+            vol, (st[0], st[1], st[2]), block_shape)
+        blk = _preproc_one(
+            blk, denoise_shape, preproc_items, fused_tiles=fused)
+        raw, valid = _blob_log_impl(
+            blk, sigmas, threshold, overlap, capacity, fast=fast,
+            fused=fused)
+        return None, (raw, valid)
+
+    _, (raws, valids) = jax.lax.scan(body, None, starts)
+    return raws, valids
+
+
 def _window_for_block(
         shape: Sequence[int], start: np.ndarray,
         block_shape: np.ndarray) -> np.ndarray:
@@ -519,6 +561,7 @@ def detect_blobs_blocks(
     last_coord = np.asarray(grid_shape) - 1
     total_gather_s = 0.0
     total_pull_s = 0.0
+    total_stage_s = 0.0
     time_detect = time.time()
     seg_rois = np.full(grid_shape, None, dtype=object)
     # fused Pallas peak finder needs a 128-aligned x extent, VMEM-fitting
@@ -551,11 +594,27 @@ def detect_blobs_blocks(
             )
 
         small_volume = np.any(np.asarray(shape) < block_shape)
+        # resident staging: ship the channel once, carve blocks on-device
+        resident = (
+            not small_volume
+            and chan_img.size * chan_img.itemsize
+            <= _RESIDENT_BYTES_BUDGET)
+        vol_dev = None
+        stage_s = 0.0
+        if resident:
+            t0 = time.time()
+            vol_dev = jnp.asarray(chan_img)
+            vol_dev.block_until_ready()
+            stage_s = time.time() - t0
+            total_stage_s += stage_s
+
         def gather_batch(batch_coords):
             starts = [
                 _window_for_block(
                     shape, blocks.sub_rois_offsets[coord], block_shape)
                 for coord in batch_coords]
+            if resident:
+                return starts, None
             if small_volume:
                 # volume smaller than a block: reflect-pad (matches the
                 # reference's scipy 'reflect' boundary at block edges)
@@ -588,13 +647,25 @@ def detect_blobs_blocks(
                     np.asarray(starts), block_shape)
             return starts, stacked
 
-        def dispatch(batch_coords, cap=capacity):
-            starts, stacked = gather_batch(batch_coords)
-            raw_b, valid_b = detect_fn(
+        fast_flag = str(settings["log_dtype"]).lower() == "bfloat16"
+
+        def dispatch_device(starts, stacked, cap):
+            if stacked is None:
+                return _detect_batch_resident(
+                    vol_dev, jnp.asarray(np.asarray(starts, np.int32)),
+                    tuple(int(v) for v in block_shape), sigmas,
+                    float(settings["detection_threshold"]),
+                    float(settings["overlap"]), cap, denoise_shape,
+                    prep, fast=fast_flag, fused=use_fused)
+            return detect_fn(
                 jnp.asarray(stacked), sigmas,
                 float(settings["detection_threshold"]),
                 float(settings["overlap"]), cap, denoise_shape, prep,
-                fast=str(settings["log_dtype"]).lower() == "bfloat16")
+                fast=fast_flag)
+
+        def dispatch(batch_coords, cap=capacity):
+            starts, stacked = gather_batch(batch_coords)
+            raw_b, valid_b = dispatch_device(starts, stacked, cap)
             return batch_coords, starts, raw_b, valid_b
 
         def store_block(coord, wstart, raw):
@@ -651,13 +722,8 @@ def detect_blobs_blocks(
             in_flight = collections.deque()
             for i in range(len(batches)):
                 starts, stacked = futs.pop(i).result()
-                raw_b, valid_b = detect_fn(
-                    jnp.asarray(stacked), sigmas,
-                    float(settings["detection_threshold"]),
-                    float(settings["overlap"]), capacity, denoise_shape,
-                    prep,
-                    fast=str(settings["log_dtype"]).lower()
-                    == "bfloat16")
+                raw_b, valid_b = dispatch_device(
+                    starts, stacked, capacity)
                 in_flight.append((batches[i], starts, raw_b, valid_b))
                 if next_gather < len(batches):
                     futs[next_gather] = pool.submit(
@@ -738,7 +804,10 @@ def detect_blobs_blocks(
               # blocked on device result pulls (H2D/compute-bound when
               # this dominates)
               "Gather_host": total_gather_s,
-              "Pull_wait": total_pull_s}
+              "Pull_wait": total_pull_s,
+              # whole-volume H2D staging (resident path only; the
+              # volume's bytes cross the link exactly once)
+              "Stage_h2d": total_stage_s}
     if verify_fn is not None and blobs_all is not None:
         timing["verify_stats"] = verify_fn(blobs_all)
     return blobs_all, timing

@@ -404,6 +404,47 @@ class TestGroupwiseBspline:
         var_bs = group_var(per_img, bspline=True)
         assert var_bs < var_aff
 
+    def test_grid_spacing_schedule_relattices(self):
+        """A grid-spacing schedule must run coarse->fine (final lattice
+        at base spacing) and still tighten the group (reference
+        groupwise profile, atlas_prof.py:287)."""
+        base = blobby_volume(seed=22, shape=(32, 32, 32))
+        rng = np.random.default_rng(5)
+        spacing = (12.0,) * 3
+        gshape = transform.bspline_grid_shape((32, 32, 32), spacing)
+        imgs = [base]
+        for i in range(2):
+            warp = {"grid": jnp.asarray(rng.normal(
+                scale=1.2, size=(3,) + gshape).astype(np.float32))}
+            imgs.append(np.asarray(transform.resample(
+                jnp.asarray(base), warp, "bspline", (32, 32, 32),
+                spacing)))
+        mean_bs, per_img = reg_engine.register_groupwise(
+            imgs, max_iter=64, num_resolutions=2,
+            bspline_iter=96, grid_space_voxels=12,
+            grid_spacing_schedule=[2.0, 2.0, 2.0, 1.0, 1.0, 1.0])
+        # final lattice is at base spacing (multiplier 1.0)
+        assert per_img[0]["spacing"] == (12.0, 12.0, 12.0)
+        assert tuple(per_img[0]["grid"].shape[1:]) == gshape
+        _, per_aff = reg_engine.register_groupwise(
+            imgs, max_iter=64, num_resolutions=2)
+
+        def group_var(plist, bspline):
+            moved = []
+            for im, p in zip(imgs, plist):
+                kind = "bspline" if bspline else "affine"
+                params = ({"grid": jnp.asarray(p["grid"])} if bspline
+                          else {"W": jnp.asarray(p["W"]),
+                                "t": jnp.asarray(p["t"])})
+                pre = {"W": jnp.asarray(p["W"]),
+                       "t": jnp.asarray(p["t"])} if bspline else None
+                moved.append(np.asarray(transform.resample(
+                    jnp.asarray(im), params, kind, (32, 32, 32),
+                    p.get("spacing"), pre_affine=pre)))
+            return float(np.var(np.stack(moved), axis=0).mean())
+
+        assert group_var(per_img, True) < group_var(per_aff, False)
+
 
 class TestSmoothingPyramid:
     def test_smoothing_mode_registers_with_one_program_per_stage(self):
