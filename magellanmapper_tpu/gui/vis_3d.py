@@ -9,7 +9,7 @@ surface view), and isotropic visual scaling (``isotropic_vis``).
 from __future__ import annotations
 
 import logging
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -172,15 +172,30 @@ class Vis3DCanvas:
     ZOOM_STEP = 1.2
 
     def __init__(self, vis3d: "Vis3D", figsize=(7, 7),
-                 max_points: int = 20000):
+                 max_points: int = 20000, render_mode: str = "mpl",
+                 render_hw: Tuple[int, int] = (384, 384),
+                 iso_level: Optional[float] = None):
+        """``render_mode``: ``"mpl"`` (mesh/point-cloud scene on a 3D
+        axes), ``"volume"`` (TPU direct volume ray-casting,
+        ``ops.render3d.render_volume`` — the Mayavi ``volume`` mode), or
+        ``"isosurface"`` (shaded first-crossing ray-casting with a depth
+        buffer that occlusion-tests the blob overlay — ``contour3d``).
+        The raycast modes re-render on every orbit/zoom through ONE
+        cached jit program (angles/zoom are traced scalars)."""
         from matplotlib.figure import Figure
         from matplotlib.backends.backend_agg import FigureCanvasAgg
 
         self.vis3d = vis3d
         self.max_points = max_points
+        self.render_mode = render_mode
+        self.render_hw = tuple(render_hw)
+        self.iso_level = iso_level
+        self._azim, self._elev, self._zoom = -60.0, 30.0, 1.0
+        self._depth = None
         self.fig = Figure(figsize=figsize)
         self.canvas = FigureCanvasAgg(self.fig)
-        self.ax = self.fig.add_subplot(projection="3d")
+        self.ax = self.fig.add_subplot(
+            **({} if render_mode != "mpl" else {"projection": "3d"}))
         self._drag_start = None
         self._home = None
         self.cids = [
@@ -201,6 +216,9 @@ class Vis3DCanvas:
         thresholded voxel point cloud, plus the blob scatter."""
         from mpl_toolkits.mplot3d.art3d import Poly3DCollection
 
+        if self.render_mode != "mpl":
+            self._draw_raycast()
+            return
         az, el = self.ax.azim, self.ax.elev
         self.ax.clear()
         roi = self.vis3d.roi
@@ -234,10 +252,60 @@ class Vis3DCanvas:
             self._home = self.camera_state()
         self.canvas.draw_idle()
 
+    def _draw_raycast(self) -> None:
+        """Render the scene through the TPU ray-caster at the current
+        orbit pose and blit it onto the 2D axes."""
+        import jax.numpy as jnp
+        from magellanmapper_tpu.ops import render3d
+
+        roi = self.vis3d.roi
+        self.ax.clear()
+        if roi is None:
+            self.canvas.draw_idle()
+            return
+        vol = jnp.asarray(np.asarray(roi, np.float32))
+        # shear-warp (MXU band-matmul) renderers: ~100x the gather
+        # ray-casters' TPU frame rate, so orbiting stays interactive
+        if self.render_mode == "isosurface":
+            if self.iso_level is None:
+                from magellanmapper_tpu.ops import preproc
+                self.iso_level = float(preproc.otsu_threshold(vol))
+            rgb, depth = render3d.render_isosurface_sw(
+                vol, self.iso_level, self._azim, self._elev,
+                out_hw=self.render_hw, zoom=self._zoom)
+            self._depth = np.asarray(depth)
+            img = np.asarray(rgb)
+        else:
+            vmax = float(np.max(roi))
+            img = np.asarray(render3d.render_volume_sw(
+                vol, self._azim, self._elev, vmin=0.1 * vmax,
+                vmax=vmax, out_hw=self.render_hw, zoom=self._zoom,
+                opacity=0.08))
+            self._depth = None
+        self.ax.imshow(img)
+        self.ax.set_axis_off()
+        if self.vis3d.blobs is not None and len(self.vis3d.blobs):
+            depth = (self._depth if self._depth is not None
+                     else np.full(self.render_hw, np.inf, np.float32))
+            pts = render3d.render_blobs_overlay(
+                depth, np.asarray(self.vis3d.blobs), np.asarray(roi).shape,
+                self._azim, self._elev, out_hw=self.render_hw,
+                zoom=self._zoom)
+            vis = pts[pts[:, 2] > 0]
+            if len(vis):
+                self.ax.scatter(vis[:, 1], vis[:, 0], s=30,
+                                facecolors="none", edgecolors="cyan")
+        if self._home is None:
+            self._home = self.camera_state()
+        self.canvas.draw_idle()
+
     # -- camera -------------------------------------------------------------
 
     def camera_state(self) -> dict:
         """Current camera as a dict (orbit angles + axis bounds)."""
+        if self.render_mode != "mpl":
+            return {"azim": self._azim, "elev": self._elev,
+                    "zoom": self._zoom, "mode": self.render_mode}
         return {
             "azim": float(self.ax.azim), "elev": float(self.ax.elev),
             "xlim": tuple(self.ax.get_xlim()),
@@ -246,6 +314,11 @@ class Vis3DCanvas:
         }
 
     def orbit(self, d_azim: float, d_elev: float) -> None:
+        if self.render_mode != "mpl":
+            self._azim += d_azim
+            self._elev = float(np.clip(self._elev + d_elev, -89.9, 89.9))
+            self._draw_raycast()
+            return
         self.ax.view_init(
             elev=float(np.clip(self.ax.elev + d_elev, -90.0, 90.0)),
             azim=self.ax.azim + d_azim)
@@ -253,6 +326,12 @@ class Vis3DCanvas:
 
     def zoom(self, factor: float) -> None:
         """Scale the view box about its center (Mayavi dolly)."""
+        if self.render_mode != "mpl":
+            # mpl factor < 1 shrinks the view box = zoom IN; the
+            # ray-caster's zoom scales the film plane the other way
+            self._zoom /= factor
+            self._draw_raycast()
+            return
         for get, set_ in ((self.ax.get_xlim, self.ax.set_xlim),
                           (self.ax.get_ylim, self.ax.set_ylim),
                           (self.ax.get_zlim, self.ax.set_zlim)):
@@ -264,9 +343,11 @@ class Vis3DCanvas:
 
     def pan(self, dx: float = 0, dy: float = 0, dz: float = 0) -> None:
         """Shift the focal point in data units."""
-        for d, get, set_ in ((dx, self.ax.get_xlim, self.ax.set_xlim),
-                             (dy, self.ax.get_ylim, self.ax.set_ylim),
-                             (dz, self.ax.get_zlim, self.ax.set_zlim)):
+        axes = ((dx, self.ax.get_xlim, self.ax.set_xlim),
+                (dy, self.ax.get_ylim, self.ax.set_ylim))
+        if self.render_mode == "mpl":
+            axes = axes + ((dz, self.ax.get_zlim, self.ax.set_zlim),)
+        for d, get, set_ in axes:
             if d:
                 lo, hi = get()
                 set_(lo + d, hi + d)
@@ -274,6 +355,12 @@ class Vis3DCanvas:
 
     def reset_camera(self) -> None:
         home = self._home or {}
+        if self.render_mode != "mpl":
+            if "azim" in home:
+                self._azim, self._elev = home["azim"], home["elev"]
+                self._zoom = home.get("zoom", 1.0)
+            self._draw_raycast()
+            return
         if "azim" in home:
             self.ax.view_init(elev=home["elev"], azim=home["azim"])
             self.ax.set_xlim(*home["xlim"])

@@ -202,38 +202,40 @@ def extract_candidates_pallas(
 _PCT_CHUNK = 64
 
 
-def _tile_pct_kernel(keys_ref, ranks_ref, out_ref):
+def _tile_pct_kernel(keys_ref, ranks_ref, out_ref, *, n_iter: int):
     """Exact k-th order statistics per tile row via integer bisection.
 
     ``keys_ref``: (C, Vp) int32 — nonnegative-float bit patterns (bit
-    order == value order for x >= 0), padded with INT32_MAX. For each of
-    the two 1-indexed ranks in ``ranks_ref`` the 31-step bisection finds
-    the smallest key with ``count(<= key) >= k`` (the k-th smallest,
-    exactly), then one extra pass finds its successor order statistic
-    for linear interpolation. Out: (C, 4) int32 keys
-    ``[v_k0, succ0, v_k1, succ1]``.
+    order == value order for x >= 0) or raw integer values, padded with
+    INT32_MAX. For each of the two 1-indexed ranks in ``ranks_ref`` the
+    bisection finds the smallest key with ``count(<= key) >= k`` (the
+    k-th smallest, exactly), then one extra pass finds its successor
+    order statistic for linear interpolation. Out: (C, 6) int32
+    ``[v_k0, succ0, cnt0, v_k1, succ1, cnt1]``.
+
+    The loop runs a STATIC ``n_iter`` count (17 covers any uint16 value
+    span, 31 any nonnegative float-bit span): a dynamic
+    "all brackets closed" exit needs a cross-chunk max reduction + a
+    scalar-unit decision EVERY iteration, which measured ~3 ms/iteration
+    of stall while the fori body itself is bandwidth-free (a 1-vs-16
+    iteration probe timed identically). Once a row's bracket reaches
+    width <= 1 the remaining iterations are algebraic no-ops (mid == lo
+    and the invariant cnt(lo) < k keeps the state fixed), so extra
+    iterations cost only their vector ops, not correctness.
     """
     keys = keys_ref[:]
-    c = keys.shape[0]
     k1 = ranks_ref[0, 0]
     k2 = ranks_ref[0, 1]
     # start the bisection from each tile's actual [min-1, max] key range
     # (padding keys are INT32_MAX and real keys are nonnegative, so the
-    # masked max sees only data) and exit once every row's bracket has
-    # closed — image tiles span ~2^24 of key space, not 2^31, so ~8 of
-    # the fixed 32 iterations were wasted
+    # masked max sees only data)
     lo0 = jnp.min(keys, axis=1) - 1
     hi0 = jnp.max(
         jnp.where(keys < 0x7FFFFFFF, keys, -1), axis=1)
     # both percentiles' bisections share each iteration's pass over the
     # keys (the count reductions dominate the kernel; one fused read)
 
-    def cond(state):
-        lo1, hi1, lo2, hi2 = state
-        return jnp.maximum(
-            jnp.max(hi1 - lo1), jnp.max(hi2 - lo2)) > 1
-
-    def body(state):
+    def body(_, state):
         lo1, hi1, lo2, hi2 = state
         mid1 = lo1 + (hi1 - lo1) // 2
         mid2 = lo2 + (hi2 - lo2) // 2
@@ -244,8 +246,8 @@ def _tile_pct_kernel(keys_ref, ranks_ref, out_ref):
         return (jnp.where(t1, lo1, mid1), jnp.where(t1, mid1, hi1),
                 jnp.where(t2, lo2, mid2), jnp.where(t2, mid2, hi2))
 
-    _, hi1, _, hi2 = jax.lax.while_loop(
-        cond, body, (lo0, hi0, lo0, hi0))
+    _, hi1, _, hi2 = jax.lax.fori_loop(
+        0, n_iter, body, (lo0, hi0, lo0, hi0))
     for j, (k, hi) in enumerate(((k1, hi1), (k2, hi2))):
         succ = jnp.min(
             jnp.where(keys > hi[:, None], keys, jnp.int32(0x7FFFFFFF)),
@@ -272,12 +274,10 @@ def tile_percentiles_pallas(
     >= 0-clamped spectral unmix). Returns ``(T, 2)`` float32.
 
     Unsigned-integer tiles (the uint16 microscopy production case) skip
-    the float-bit mapping and bisect in VALUE domain: the bracket spans
-    the tile's actual integer range (<= 2^16, often ~2^10 for
-    background tiles) instead of the ~2^24 float-bit key span, so the
-    count-reduction loop — the whole kernel's cost, VPU-compare-bound
-    at 48 ms per 6-block production batch — runs ~10-16 iterations
-    instead of ~24. Results are identical (integer order statistics
+    the float-bit mapping and bisect in VALUE domain: a STATIC 17
+    iterations covers any 2^16 value span vs 31 for the float-bit key
+    span (static counts matter more than fewer dynamic ones — see the
+    kernel docstring). Results are identical (integer order statistics
     convert to f32 exactly).
     """
     t, v = tiles.shape
@@ -307,7 +307,8 @@ def tile_percentiles_pallas(
         [[ranks[0][0], ranks[1][0]]], jnp.int32)
 
     out = pl.pallas_call(
-        _tile_pct_kernel,
+        functools.partial(
+            _tile_pct_kernel, n_iter=17 if integral else 31),
         grid=(tp // _PCT_CHUNK,),
         in_specs=[
             pl.BlockSpec((_PCT_CHUNK, v + pad_v), lambda i: (i, 0),

@@ -95,6 +95,23 @@ class TestStackDetect:
             blobs[:, :3], centers, (3, 3, 3))
         assert n_match >= 0.9 * len(centers)
 
+    def test_gather_path_matches_resident(self, monkeypatch):
+        """Volumes over the residency budget fall back to block gather;
+        both staging modes must produce identical blobs (the resident
+        path shadows gather in every small-volume test otherwise)."""
+        vol, _ = _nuclei_volume(19, (50, 70, 70), 40)
+        prof = self._profile()
+        res = (1.0, 1.0, 1.0)
+        resident, _ = stack_detect.detect_blobs_blocks(
+            vol, prof, res, preprocess=False)
+        monkeypatch.setattr(stack_detect, "_RESIDENT_BYTES_BUDGET", 0)
+        gathered, _ = stack_detect.detect_blobs_blocks(
+            vol, prof, res, preprocess=False)
+        assert resident is not None and gathered is not None
+        np.testing.assert_allclose(
+            np.sort(resident, axis=0), np.sort(gathered, axis=0),
+            rtol=1e-5, atol=1e-5)
+
     def test_no_duplicates_after_pruning(self):
         vol, _ = _nuclei_volume(13, (50, 70, 70), 40)
         blobs, _ = stack_detect.detect_blobs_blocks(

@@ -1,0 +1,203 @@
+"""TPU-native 3D renderer: analytic ground-truth pins.
+
+A sphere volume has a closed-form silhouette and depth map under the
+orthographic orbit camera, so volume rendering, isosurface ray-casting,
+shading, and blob projection are all checked against geometry rather
+than golden images (reference scene semantics: ``magmap/gui/vis_3d.py``
+``mlab.volume`` / ``mlab.contour3d`` / ``mlab.points3d``).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from magellanmapper_tpu.ops import render3d
+
+
+SHAPE = (48, 48, 48)
+R = 14.0
+
+
+@pytest.fixture(scope="module")
+def sphere_vol():
+    zz, yy, xx = np.indices(SHAPE).astype(np.float32)
+    c = (np.asarray(SHAPE, np.float32) - 1) / 2
+    r = np.sqrt((zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2)
+    # smooth edge so gradients exist for shading
+    return np.clip(1.0 - (r - R) / 3.0, 0.0, 1.0).astype(np.float32)
+
+
+class TestVolumeRender:
+    def test_silhouette_radius_and_center_brightness(self, sphere_vol):
+        img = np.asarray(render3d.render_volume(
+            jnp.asarray(sphere_vol), 30.0, 20.0, vmin=0.2, vmax=1.0,
+            out_hw=(96, 96), n_steps=96, opacity=0.15))
+        assert img.shape == (96, 96, 3)
+        lum = img.mean(axis=-1)
+        # center pixel integrates the longest chord -> brightest region
+        assert lum[48, 48] > 0.3
+        assert lum[48, 48] >= lum[48, 8]
+        # silhouette: bright pixels confined to the projected disc
+        # radius (orthographic: r_pix = r_vox * (H-1) / span)
+        span = 2 * np.linalg.norm(SHAPE) / 2
+        r_pix = (R + 3.0) * 95 / span
+        ys, xs = np.nonzero(lum > 0.05)
+        d = np.sqrt((ys - 47.5) ** 2 + (xs - 47.5) ** 2)
+        assert d.max() <= r_pix + 2.0
+        # rotation invariance of a sphere: a different azimuth renders
+        # the same image to tolerance
+        img2 = np.asarray(render3d.render_volume(
+            jnp.asarray(sphere_vol), 120.0, -15.0, vmin=0.2, vmax=1.0,
+            out_hw=(96, 96), n_steps=96, opacity=0.15))
+        assert abs(img2.mean() - img.mean()) < 0.02
+
+    def test_background_color_fills_misses(self, sphere_vol):
+        img = np.asarray(render3d.render_volume(
+            jnp.asarray(sphere_vol), 0.0, 0.0, vmin=0.2, vmax=1.0,
+            out_hw=(64, 64), n_steps=64, opacity=0.2,
+            bg=(0.0, 0.25, 0.5)))
+        corner = img[1, 1]
+        np.testing.assert_allclose(corner, [0.0, 0.25, 0.5], atol=1e-3)
+
+    def test_shaded_mode_runs(self, sphere_vol):
+        img = np.asarray(render3d.render_volume(
+            jnp.asarray(sphere_vol), 40.0, 30.0, vmin=0.2, vmax=1.0,
+            out_hw=(48, 48), n_steps=48, opacity=0.2, shaded=True))
+        assert np.isfinite(img).all() and img.max() > 0.05
+
+
+class TestIsosurface:
+    def test_depth_matches_analytic_sphere(self, sphere_vol):
+        rgb, depth = render3d.render_isosurface(
+            jnp.asarray(sphere_vol), 0.5, 25.0, 15.0,
+            out_hw=(96, 96), n_steps=192)
+        rgb, depth = np.asarray(rgb), np.asarray(depth)
+        hit = np.isfinite(depth)
+        assert hit.any()
+        # level 0.5 sits at r = R + 1.5; the camera starts each ray at
+        # distance `radius` from the center, so the central pixel's
+        # analytic depth is radius - (R + 1.5)
+        radius = np.linalg.norm(SHAPE) / 2
+        want = radius - (R + 1.5)
+        assert abs(depth[48, 48] - want) < 1.0
+        # depth increases toward the limb (sphere curves away)
+        assert depth[48, 48] < depth[hit].max() - 2.0
+        # facing the headlight, the center is lit brighter than the limb
+        lum = rgb.mean(axis=-1)
+        ys, xs = np.nonzero(hit)
+        d = np.sqrt((ys - 47.5) ** 2 + (xs - 47.5) ** 2)
+        limb = lum[ys[d > d.max() - 2], xs[d > d.max() - 2]].mean()
+        assert lum[48, 48] > limb
+
+    def test_light_direction_moves_highlight(self, sphere_vol):
+        _, depth = render3d.render_isosurface(
+            jnp.asarray(sphere_vol), 0.5, 0.0, 0.0, out_hw=(64, 64),
+            n_steps=128)
+        rgb_l, _ = render3d.render_isosurface(
+            jnp.asarray(sphere_vol), 0.5, 0.0, 0.0, out_hw=(64, 64),
+            n_steps=128, light_dir=(0.0, -1.0, -1.0))
+        rgb_r, _ = render3d.render_isosurface(
+            jnp.asarray(sphere_vol), 0.5, 0.0, 0.0, out_hw=(64, 64),
+            n_steps=128, light_dir=(0.0, 1.0, -1.0))
+        rgb_l, rgb_r = np.asarray(rgb_l), np.asarray(rgb_r)
+        left = rgb_l[:, :28].mean()
+        right_side = rgb_l[:, 36:].mean()
+        # light from -y: the -y side of the sphere is brighter; and the
+        # mirrored light flips the asymmetry
+        hit = np.isfinite(np.asarray(depth))
+        assert (rgb_l[:, :28].mean() - rgb_l[:, 36:].mean()) * \
+            (rgb_r[:, :28].mean() - rgb_r[:, 36:].mean()) < 0
+
+    def test_miss_rays_are_background_and_inf(self, sphere_vol):
+        rgb, depth = render3d.render_isosurface(
+            jnp.asarray(sphere_vol), 0.5, 10.0, 10.0, out_hw=(64, 64),
+            n_steps=64, bg=(0.1, 0.0, 0.0))
+        rgb, depth = np.asarray(rgb), np.asarray(depth)
+        assert np.isinf(depth[0, 0])
+        np.testing.assert_allclose(rgb[0, 0], [0.1, 0.0, 0.0], atol=1e-4)
+
+
+class TestShearWarp:
+    """MXU shear-warp renders must match the gather ray-casters on the
+    analytic sphere (one-bilinear-sample-per-slice quality trade ->
+    loose tolerances, structural agreement)."""
+
+    @pytest.mark.parametrize("azim,elev", [
+        (30.0, 20.0), (120.0, -35.0), (80.0, 75.0), (200.0, 5.0)])
+    def test_volume_matches_gather(self, sphere_vol, azim, elev):
+        kw = dict(vmin=0.2, vmax=1.0, out_hw=(96, 96), opacity=0.15)
+        ref = np.asarray(render3d.render_volume(
+            jnp.asarray(sphere_vol), azim, elev, n_steps=96, **kw))
+        got = np.asarray(render3d.render_volume_sw(
+            jnp.asarray(sphere_vol), azim, elev, **kw))
+        assert got.shape == ref.shape
+        # same silhouette and brightness structure
+        assert abs(got.mean() - ref.mean()) < 0.05
+        m_ref = ref.mean(-1) > 0.05
+        m_got = got.mean(-1) > 0.05
+        iou = (m_ref & m_got).sum() / max((m_ref | m_got).sum(), 1)
+        assert iou > 0.85
+
+    def test_volume_background(self, sphere_vol):
+        img = np.asarray(render3d.render_volume_sw(
+            jnp.asarray(sphere_vol), 10.0, 10.0, vmin=0.2, vmax=1.0,
+            out_hw=(64, 64), opacity=0.2, bg=(0.0, 0.25, 0.5)))
+        np.testing.assert_allclose(img[1, 1], [0.0, 0.25, 0.5],
+                                   atol=2e-2)
+
+    @pytest.mark.parametrize("azim,elev", [
+        (25.0, 15.0), (140.0, -40.0), (75.0, 70.0)])
+    def test_isosurface_depth_matches_gather(self, sphere_vol, azim,
+                                             elev):
+        rgb_r, dep_r = render3d.render_isosurface(
+            jnp.asarray(sphere_vol), 0.5, azim, elev, out_hw=(96, 96),
+            n_steps=192)
+        rgb_s, dep_s = render3d.render_isosurface_sw(
+            jnp.asarray(sphere_vol), 0.5, azim, elev, out_hw=(96, 96))
+        dep_r, dep_s = np.asarray(dep_r), np.asarray(dep_s)
+        hit_r, hit_s = np.isfinite(dep_r), np.isfinite(dep_s)
+        iou = (hit_r & hit_s).sum() / max((hit_r | hit_s).sum(), 1)
+        assert iou > 0.85
+        both = hit_r & hit_s
+        # depth agrees to ~a voxel over the shared hit area
+        err = np.abs(dep_r[both] - dep_s[both])
+        assert np.median(err) < 1.5
+        # shading agrees where both hit
+        dl = np.abs(np.asarray(rgb_r)[both] - np.asarray(rgb_s)[both])
+        assert np.median(dl) < 0.15
+
+    def test_center_depth_analytic(self, sphere_vol):
+        _, dep = render3d.render_isosurface_sw(
+            jnp.asarray(sphere_vol), 0.5, 25.0, 15.0, out_hw=(96, 96))
+        dep = np.asarray(dep)
+        radius = np.linalg.norm(SHAPE) / 2
+        want = radius - (R + 1.5)
+        assert abs(dep[48, 48] - want) < 1.5
+
+
+class TestBlobOverlay:
+    def test_center_blob_projects_to_image_center(self, sphere_vol):
+        _, depth = render3d.render_isosurface(
+            jnp.asarray(sphere_vol), 0.5, 33.0, 12.0, out_hw=(64, 64),
+            n_steps=96)
+        c = (np.asarray(SHAPE, np.float32) - 1) / 2
+        pts = render3d.render_blobs_overlay(
+            depth, np.asarray([list(c) + [3.0]]), SHAPE, 33.0, 12.0,
+            out_hw=(64, 64))
+        assert pts.shape == (1, 3)
+        assert abs(pts[0, 0] - 31.5) < 1.0 and abs(pts[0, 1] - 31.5) < 1.0
+        # the center sits BEHIND the front surface -> occluded
+        assert pts[0, 2] == 0.0
+
+    def test_front_blob_visible(self, sphere_vol):
+        azim, elev = 0.0, 0.0
+        _, depth = render3d.render_isosurface(
+            jnp.asarray(sphere_vol), 0.5, azim, elev, out_hw=(64, 64),
+            n_steps=96)
+        view = np.asarray(render3d.camera_basis(azim, elev)[0])
+        c = (np.asarray(SHAPE, np.float32) - 1) / 2
+        front = c - view * (R + 4.0)  # just outside the surface
+        pts = render3d.render_blobs_overlay(
+            depth, front[None], SHAPE, azim, elev, out_hw=(64, 64))
+        assert pts[0, 2] == 1.0
