@@ -266,6 +266,19 @@ def _lerp_bands(n_in: int, n_out: int, scale, shifts):
             * w1[..., None])
 
 
+def _camera_basis_np(azim_deg: float, elev_deg: float):
+    """Pure-numpy :func:`camera_basis` for host-side static decisions
+    (no device round-trip per frame)."""
+    az, el = np.deg2rad(azim_deg), np.deg2rad(elev_deg)
+    view = -np.asarray([np.sin(el), np.cos(el) * np.sin(az),
+                        np.cos(el) * np.cos(az)])
+    right = np.cross(view, [1.0, 0.0, 0.0])
+    nrm = np.linalg.norm(right)
+    right = (right / nrm if nrm > 1e-5
+             else np.asarray([0.0, 0.0, 1.0]))
+    return view, right, np.cross(right, view)
+
+
 def _principal_setup(shape, azim_deg: float, elev_deg: float):
     """Host-side static choices: principal axis permutation + flip.
 
@@ -274,11 +287,36 @@ def _principal_setup(shape, azim_deg: float, elev_deg: float):
     are Python statics (three-ish compiled variants, cached), while the
     angles stay traced inside each variant.
     """
-    view = np.asarray(camera_basis(float(azim_deg), float(elev_deg))[0])
+    view = _camera_basis_np(float(azim_deg), float(elev_deg))[0]
     p = int(np.argmax(np.abs(view)))
     perm = (p,) + tuple(i for i in range(3) if i != p)
     flip = bool(view[p] < 0)
     return perm, flip
+
+
+def _film_variant_np(shape, perm, flip, azim_deg: float,
+                     elev_deg: float) -> bool:
+    """Host-side ``transpose_film`` decision (numpy twin of the
+    :func:`_film_affine` probe — avoids a device pull per frame)."""
+    view, right, up = _camera_basis_np(azim_deg, elev_deg)
+    extent = np.asarray(shape, np.float64)
+    center = (extent - 1) / 2.0
+    radius = np.linalg.norm(extent) / 2.0
+
+    def probe(r, c):
+        o = center - view * radius - up * r + right * c
+        op = np.asarray([o[perm[0]], o[perm[1]], o[perm[2]]])
+        vp = np.asarray([view[perm[0]], view[perm[1]], view[perm[2]]])
+        if flip:
+            op[0] = shape[perm[0]] - 1 - op[0]
+            vp[0] = -vp[0]
+        t0 = -op[0] / vp[0]
+        return np.asarray([op[1] + vp[1] * t0, op[2] + vp[2] * t0])
+
+    p00 = probe(0.0, 0.0)
+    dxdr = (probe(1.0, 0.0) - p00)[1]
+    dxdc = (probe(0.0, 1.0) - p00)[1]
+    return bool(abs(dxdc) < 0.5 * abs(dxdr))
 
 
 def _shear_volume(vol_p, d1, d2):
@@ -377,10 +415,11 @@ def _film_warp(img, g, h0, out_hw, transpose_film: bool):
 
 @functools.partial(
     jax.jit, static_argnames=("perm", "flip", "transpose_film",
-                              "out_hw"))
+                              "out_hw", "mode"))
 def _render_volume_sw_impl(
         vol, azim_deg, elev_deg, vmin, vmax, zoom, opacity, gamma,
-        color, bg, perm, flip, transpose_film, out_hw):
+        color, bg, perm, flip, transpose_film, out_hw,
+        mode: str = "composite"):
     vol_p = jnp.transpose(vol.astype(jnp.float32), perm)
     if flip:
         vol_p = jnp.flip(vol_p, axis=0)
@@ -392,14 +431,23 @@ def _render_volume_sw_impl(
     sheared = _shear_volume(vol_p, d1, d2)
 
     span = jnp.maximum(vmax - vmin, 1e-6)
-    a = jnp.clip((sheared - vmin) / span, 0.0, 1.0) ** gamma * opacity
-    # path-length opacity correction: one slice step crosses L voxels
-    length = jnp.sqrt(1.0 + d1 ** 2 + d2 ** 2)
-    a = 1.0 - (1.0 - jnp.clip(a, 0.0, 0.999)) ** length
-    trans = jnp.cumprod(1.0 - a, axis=0)
-    trans_in = jnp.concatenate(
-        [jnp.ones_like(trans[:1]), trans[:-1]], axis=0)
-    lum = jnp.sum(trans_in * a, axis=0)
+    if mode == "mip":
+        # arbitrary-angle maximum intensity projection (the Mayavi MIP
+        # volume mode / axis-aligned plot_max_intensity_projections,
+        # generalized to any orbit pose): max along the sheared axis
+        lum = jnp.clip(
+            (jnp.max(sheared, axis=0) - vmin) / span, 0.0, 1.0) ** gamma
+        trans = jnp.stack([1.0 - lum])
+    else:
+        a = (jnp.clip((sheared - vmin) / span, 0.0, 1.0) ** gamma
+             * opacity)
+        # path-length opacity correction: one slice crosses L voxels
+        length = jnp.sqrt(1.0 + d1 ** 2 + d2 ** 2)
+        a = 1.0 - (1.0 - jnp.clip(a, 0.0, 0.999)) ** length
+        trans = jnp.cumprod(1.0 - a, axis=0)
+        trans_in = jnp.concatenate(
+            [jnp.ones_like(trans[:1]), trans[:-1]], axis=0)
+        lum = jnp.sum(trans_in * a, axis=0)
     inter = lum[..., None] * jnp.asarray(color, jnp.float32)
     # carry total transmittance + a coverage plane: film pixels whose
     # rays never touch the intermediate grid warp to coverage 0 and must
@@ -424,28 +472,28 @@ def render_volume_sw(
         vol: jax.Array, azim_deg: float, elev_deg: float,
         vmin=0.0, vmax=1.0, out_hw: Tuple[int, int] = (512, 512),
         zoom=1.0, opacity=0.05, gamma=1.0, color=(1.0, 1.0, 1.0),
-        bg=(0.0, 0.0, 0.0)) -> jax.Array:
+        bg=(0.0, 0.0, 0.0), mode: str = "composite") -> jax.Array:
     """Shear-warp direct volume rendering (MXU path).
 
     Same semantics as :func:`render_volume` (emission-absorption,
     window/gamma transfer function, orthographic orbit camera) at
     ~100x the TPU frame rate: all resampling runs as band matmuls, the
     composite as an axis cumprod, with one bilinear sample per slice
-    (the classic shear-warp quality trade). Angles must be concrete
-    Python floats — the principal-axis permutation is a static choice
-    (at most a handful of variants compile; orbiting stays cached).
+    (the classic shear-warp quality trade). ``mode="mip"`` replaces the
+    composite with an arbitrary-angle maximum intensity projection.
+    Angles must be concrete Python floats — the principal-axis
+    permutation is a static choice (at most a handful of variants
+    compile; orbiting stays cached).
     """
     perm, flip = _principal_setup(vol.shape, azim_deg, elev_deg)
-    g = np.asarray(_film_affine(
-        vol.shape, perm, flip, float(azim_deg), float(elev_deg),
-        out_hw, float(zoom))[0])
-    transpose_film = bool(abs(g[1, 1]) < 0.5 * abs(g[1, 0]))
+    transpose_film = _film_variant_np(
+        vol.shape, perm, flip, float(azim_deg), float(elev_deg))
     return _render_volume_sw_impl(
         vol, jnp.float32(azim_deg), jnp.float32(elev_deg),
         jnp.float32(vmin), jnp.float32(vmax), jnp.float32(zoom),
         jnp.float32(opacity), jnp.float32(gamma),
         jnp.asarray(color, jnp.float32), jnp.asarray(bg, jnp.float32),
-        perm, flip, transpose_film, tuple(out_hw))
+        perm, flip, transpose_film, tuple(out_hw), mode)
 
 
 @functools.partial(
@@ -555,10 +603,8 @@ def render_isosurface_sw(
     Python floats (static principal-axis variant).
     """
     perm, flip = _principal_setup(vol.shape, azim_deg, elev_deg)
-    g = np.asarray(_film_affine(
-        vol.shape, perm, flip, float(azim_deg), float(elev_deg),
-        out_hw, float(zoom))[0])
-    transpose_film = bool(abs(g[1, 1]) < 0.5 * abs(g[1, 0]))
+    transpose_film = _film_variant_np(
+        vol.shape, perm, flip, float(azim_deg), float(elev_deg))
     ld = (jnp.zeros(3, jnp.float32) if light_dir is None
           else jnp.asarray(light_dir, jnp.float32))
     return _render_iso_sw_impl(

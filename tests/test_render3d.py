@@ -167,6 +167,20 @@ class TestShearWarp:
         dl = np.abs(np.asarray(rgb_r)[both] - np.asarray(rgb_s)[both])
         assert np.median(dl) < 0.15
 
+    def test_mip_mode(self, sphere_vol):
+        """Arbitrary-angle MIP: center of the sphere projects the global
+        max; MIP is everywhere >= the emission composite's luminance."""
+        img = np.asarray(render3d.render_volume_sw(
+            jnp.asarray(sphere_vol), 33.0, 21.0, vmin=0.0, vmax=1.0,
+            out_hw=(96, 96), mode="mip"))
+        lum = img.mean(axis=-1)
+        assert lum.max() > 0.97  # sphere interior hits 1.0
+        assert abs(lum[48, 48] - 1.0) < 0.03
+        comp = np.asarray(render3d.render_volume_sw(
+            jnp.asarray(sphere_vol), 33.0, 21.0, vmin=0.0, vmax=1.0,
+            out_hw=(96, 96), opacity=0.02)).mean(axis=-1)
+        assert (lum + 1e-3 >= comp * 0.9).mean() > 0.95
+
     def test_center_depth_analytic(self, sphere_vol):
         _, dep = render3d.render_isosurface_sw(
             jnp.asarray(sphere_vol), 0.5, 25.0, 15.0, out_hw=(96, 96))
