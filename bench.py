@@ -14,6 +14,7 @@ TPU Mvox/s over measured single-CPU Mvox/s on the same workload.
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -481,65 +482,115 @@ def main():
     def time_left():
         return deadline_s - (time.perf_counter() - t_start)
 
+    def log(msg):
+        print(f"[bench +{time.perf_counter() - t_start:.0f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    # progressively-filled results + a watchdog: a hung device pull (the
+    # remote tunnel has outage windows where even trivial ops block
+    # forever) must still produce the one JSON line with whatever
+    # completed, not silence
+    r = {"tpu_mvox": None, "n_blobs": None, "cpu_mvox": None,
+         "dev_bw": None, "dev_tf": None, "reg_ips": None,
+         "blk_e2e": None, "blk_dev": None, "blk_dev_np": None,
+         "blk_blobs": None, "blk_split": None, "blk_density": None,
+         "reg_wall": None, "reg_dsc": None, "gauntlet": None,
+         "groupwise": None}
+    emitted = threading.Event()
+
+    def emit():
+        if emitted.is_set():
+            return
+        emitted.set()
+        tpu_mvox = r["tpu_mvox"]
+        cpu_mvox = r["cpu_mvox"]
+        vsb = (round(tpu_mvox / cpu_mvox, 2)
+               if tpu_mvox and cpu_mvox else None)
+        print(json.dumps({
+            "metric": "blob_detection_throughput",
+            "value": round(tpu_mvox, 2) if tpu_mvox else None,
+            "unit": "Mvox/s",
+            "vs_baseline": vsb,
+            "extra": _extra(r, shape, sigmas)}), flush=True)
+
+    def watchdog():
+        # hard stop well past the soft deadline: emit and exit
+        time.sleep(deadline_s + 240)
+        if not emitted.is_set():
+            log("WATCHDOG: device appears hung; emitting partial result")
+            emit()
+            os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
     try:
-        dev_bw, dev_tf = bench_device_capability()
+        log("device capability probe")
+        r["dev_bw"], r["dev_tf"] = bench_device_capability()
     except Exception:
-        dev_bw = dev_tf = None
+        pass
     vol = make_volume(shape)
-    tpu_mvox, n_blobs = bench_tpu(vol, sigmas, threshold, overlap, capacity)
-    cpu_mvox = bench_cpu_baseline(vol, sigmas, threshold, overlap)
     try:
-        reg_ips = round(bench_registration(), 1)
+        log("headline detection")
+        r["tpu_mvox"], r["n_blobs"] = bench_tpu(
+            vol, sigmas, threshold, overlap, capacity)
+        log("cpu baseline")
+        r["cpu_mvox"] = bench_cpu_baseline(vol, sigmas, threshold, overlap)
     except Exception:
-        reg_ips = None
+        pass
+    try:
+        log("registration iters/s")
+        r["reg_ips"] = round(bench_registration(), 1)
+    except Exception:
+        pass
     # block path first: the production-path record takes priority over
     # the DSC extra when the tunnel eats the time budget
-    blk_e2e = blk_dev = blk_dev_np = blk_blobs = None
-    blk_split = blk_density = None
     try:
         # warm block-path cost is ~1-2 min (compiles cached from the e2e
         # run's own warmup); run it whenever any budget remains
         if time_left() > 60:
-            (blk_e2e, blk_dev, blk_dev_np, blk_blobs,
-             blk_split, blk_density) = bench_block_path()
-            blk_e2e, blk_dev, blk_dev_np = (
+            log("block path + density sweep")
+            (blk_e2e, blk_dev, blk_dev_np, r["blk_blobs"],
+             r["blk_split"], r["blk_density"]) = bench_block_path()
+            r["blk_e2e"], r["blk_dev"], r["blk_dev_np"] = (
                 round(blk_e2e, 2), round(blk_dev, 2), round(blk_dev_np, 2))
     except Exception:
         pass
-    reg_wall = reg_dsc = None
     try:
         if time_left() > 180:
+            log("registration full schedule")
             reg_wall, reg_dsc = bench_registration_dsc()
-            reg_wall, reg_dsc = round(reg_wall, 2), round(reg_dsc, 4)
+            r["reg_wall"], r["reg_dsc"] = (
+                round(reg_wall, 2), round(reg_dsc, 4))
     except Exception:
         pass
-    gauntlet = None
     try:
         # realistic deformable + cross-modality validation (compiles
         # cached alongside the full-schedule bench shapes)
         if time_left() > 240:
-            gauntlet = bench_reg_gauntlet()
+            log("registration gauntlet")
+            r["gauntlet"] = bench_reg_gauntlet()
     except Exception:
         pass
-    groupwise = None
     try:
         # atlas-scale joint groupwise (4 subjects, grid 130 + schedule)
         if time_left() > 180:
-            groupwise = bench_groupwise()
+            log("groupwise")
+            r["groupwise"] = bench_groupwise()
     except Exception:
         pass
+    log("done")
+    emit()
 
-    print(json.dumps({
-        "metric": "blob_detection_throughput",
-        "value": round(tpu_mvox, 2),
-        "unit": "Mvox/s",
-        "vs_baseline": round(tpu_mvox / cpu_mvox, 2),
-        "extra": {
+
+def _extra(r, shape, sigmas):
+    return {
             "volume": list(shape), "num_sigma": len(sigmas),
-            "blobs": n_blobs, "cpu_baseline_mvox_s": round(cpu_mvox, 3),
-            "block_path_e2e_mvox_s": blk_e2e,
-            "block_path_device_mvox_s": blk_dev,
-            "block_path_device_nopreproc_mvox_s": blk_dev_np,
+            "blobs": r["n_blobs"],
+            "cpu_baseline_mvox_s": (
+                round(r["cpu_mvox"], 3) if r["cpu_mvox"] else None),
+            "block_path_e2e_mvox_s": r["blk_e2e"],
+            "block_path_device_mvox_s": r["blk_dev"],
+            "block_path_device_nopreproc_mvox_s": r["blk_dev_np"],
             "block_path_note": (
                 "e2e on (128,512,512) uint16 memmap: the volume stages "
                 "to HBM once (resident path) and blocks are carved "
@@ -553,42 +604,41 @@ def main():
                 "candidates — see density_sweep, where no-preproc wins "
                 "only at 10x blob density (few noise candidates "
                 "relative to real peaks)"),
-            "block_path_blobs": blk_blobs,
-            "block_path_e2e_split": blk_split,
-            "density_sweep": blk_density,
+            "block_path_blobs": r["blk_blobs"],
+            "block_path_e2e_split": r["blk_split"],
+            "density_sweep": r["blk_density"],
             "density_sweep_note": (
                 "device Mvox/s on 6-block batches at 0.1x/1x/10x the "
                 "1x-bench blob density (uniform noise background in "
                 "all cases) — bounds the harvest path's "
                 "candidate-density dependence"),
-            "device_read_bw_gbps": dev_bw,
-            "device_gemm_tflops": dev_tf,
+            "device_read_bw_gbps": r["dev_bw"],
+            "device_gemm_tflops": r["dev_tf"],
             "device_note": (
                 "measured ceilings of this axon v5e slice (datasheet "
                 "v5e: 819 GB/s, 197 bf16 TFLOP/s) — workload numbers "
                 "above run against THESE, not datasheet, ceilings"),
-            "registration_iters_per_s": reg_ips,
+            "registration_iters_per_s": r["reg_ips"],
             "registration_bench": "affine stage, Mattes-MI, (64,96,96)",
-            "registration_full_schedule_s": reg_wall,
-            "registration_full_schedule_dsc": reg_dsc,
+            "registration_full_schedule_s": r["reg_wall"],
+            "registration_full_schedule_dsc": r["reg_dsc"],
             "registration_full_schedule": (
                 "TRUE Elastix defaults: translation 2048 / affine 1024 / "
                 "bspline 512 iters x 4 resolutions (full max_iter per "
                 "level), grid 50 vx, Mattes-MI, (160,240,200) pair, "
                 "constant-shape smoothing pyramid"),
-            "reg_gauntlet": gauntlet,
+            "reg_gauntlet": r["gauntlet"],
             "reg_gauntlet_note": (
                 "deformable + cross-modality validation pair "
                 "(160,240,200): smooth FFD (affine component removed) "
                 "on top of an affine, gamma+bias+noise modality gap, "
                 "24-region annotation; gates dsc>=0.95, label-transfer "
                 "median>=0.90, bspline stage gain>=0.05"),
-            "groupwise": groupwise,
+            "groupwise": r["groupwise"],
             "groupwise_note": (
                 "joint 4D-variance groupwise, 4 atlas-scale subjects, "
                 "B-spline grid 130 vx + the reference groupwise "
-                "profile's grid-spacing schedule")},
-    }))
+                "profile's grid-spacing schedule")}
 
 
 if __name__ == "__main__":
