@@ -176,12 +176,13 @@ class Vis3DCanvas:
                  render_hw: Tuple[int, int] = (384, 384),
                  iso_level: Optional[float] = None):
         """``render_mode``: ``"mpl"`` (mesh/point-cloud scene on a 3D
-        axes), ``"volume"`` (TPU direct volume ray-casting,
-        ``ops.render3d.render_volume`` — the Mayavi ``volume`` mode), or
-        ``"isosurface"`` (shaded first-crossing ray-casting with a depth
-        buffer that occlusion-tests the blob overlay — ``contour3d``).
-        The raycast modes re-render on every orbit/zoom through ONE
-        cached jit program (angles/zoom are traced scalars)."""
+        axes), ``"volume"`` (TPU shear-warp emission-absorption
+        rendering — the Mayavi ``volume`` mode), ``"mip"``
+        (arbitrary-angle maximum intensity projection), or
+        ``"isosurface"`` (shaded first-crossing with a depth buffer
+        that occlusion-tests the blob overlay — ``contour3d``). The
+        TPU modes re-render on every orbit/zoom through cached jit
+        programs (angles/zoom are traced scalars)."""
         from matplotlib.figure import Figure
         from matplotlib.backends.backend_agg import FigureCanvasAgg
 
@@ -280,7 +281,9 @@ class Vis3DCanvas:
             img = np.asarray(render3d.render_volume_sw(
                 vol, self._azim, self._elev, vmin=0.1 * vmax,
                 vmax=vmax, out_hw=self.render_hw, zoom=self._zoom,
-                opacity=0.08))
+                opacity=0.08,
+                mode="mip" if self.render_mode == "mip"
+                else "composite"))
             self._depth = None
         self.ax.imshow(img)
         self.ax.set_axis_off()

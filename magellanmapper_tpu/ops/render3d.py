@@ -413,6 +413,28 @@ def _film_warp(img, g, h0, out_hw, transpose_film: bool):
     return jnp.swapaxes(out, 0, 1) if transpose_film else out
 
 
+def _tf_emission(sn, w, color):
+    """Composite per-voxel transfer-function color WITHOUT a LUT gather.
+
+    ``sn`` (Z', H', W') normalized intensity, ``w`` the per-voxel
+    compositing weight (transmittance x alpha). A single ``color``
+    (3,) reproduces flat emission ``(sum w) * color``. A (K, 3) anchor
+    stack evaluates a piecewise-linear colormap exactly: emission
+    c(sn) is linear over anchors, so
+    ``sum_z w c(sn) = sum_k (sum_z w hat_k(sn)) c_k`` — K weighted
+    reductions instead of a per-voxel table lookup (TPU gathers are the
+    slow path; arithmetic is free).
+    """
+    if color.ndim == 1:
+        return jnp.sum(w, axis=0)[..., None] * color
+    k = color.shape[0]
+    out = 0.0
+    for j in range(k):
+        hat = jnp.clip(1.0 - jnp.abs(sn * (k - 1) - j), 0.0, 1.0)
+        out = out + jnp.sum(w * hat, axis=0)[..., None] * color[j]
+    return out
+
+
 @functools.partial(
     jax.jit, static_argnames=("perm", "flip", "transpose_film",
                               "out_hw", "mode"))
@@ -431,6 +453,7 @@ def _render_volume_sw_impl(
     sheared = _shear_volume(vol_p, d1, d2)
 
     span = jnp.maximum(vmax - vmin, 1e-6)
+    color = jnp.asarray(color, jnp.float32)
     if mode == "mip":
         # arbitrary-angle maximum intensity projection (the Mayavi MIP
         # volume mode / axis-aligned plot_max_intensity_projections,
@@ -438,9 +461,10 @@ def _render_volume_sw_impl(
         lum = jnp.clip(
             (jnp.max(sheared, axis=0) - vmin) / span, 0.0, 1.0) ** gamma
         trans = jnp.stack([1.0 - lum])
+        inter = _tf_emission(lum[None], lum[None], color)
     else:
-        a = (jnp.clip((sheared - vmin) / span, 0.0, 1.0) ** gamma
-             * opacity)
+        sn = jnp.clip((sheared - vmin) / span, 0.0, 1.0) ** gamma
+        a = sn * opacity
         # path-length opacity correction: one slice crosses L voxels
         length = jnp.sqrt(1.0 + d1 ** 2 + d2 ** 2)
         a = 1.0 - (1.0 - jnp.clip(a, 0.0, 0.999)) ** length
@@ -448,7 +472,7 @@ def _render_volume_sw_impl(
         trans_in = jnp.concatenate(
             [jnp.ones_like(trans[:1]), trans[:-1]], axis=0)
         lum = jnp.sum(trans_in * a, axis=0)
-    inter = lum[..., None] * jnp.asarray(color, jnp.float32)
+        inter = _tf_emission(sn, trans_in * a, color)
     # carry total transmittance + a coverage plane: film pixels whose
     # rays never touch the intermediate grid warp to coverage 0 and must
     # read as fully transmissive (pure background), matching the gather
@@ -481,9 +505,12 @@ def render_volume_sw(
     composite as an axis cumprod, with one bilinear sample per slice
     (the classic shear-warp quality trade). ``mode="mip"`` replaces the
     composite with an arbitrary-angle maximum intensity projection.
-    Angles must be concrete Python floats — the principal-axis
-    permutation is a static choice (at most a handful of variants
-    compile; orbiting stays cached).
+    ``color`` is a flat (3,) emission color or a (K, 3) stack of
+    colormap anchors — a piecewise-linear transfer function evaluated
+    exactly through K weighted reductions (no LUT gathers). Angles must
+    be concrete Python floats — the principal-axis permutation is a
+    static choice (at most a handful of variants compile; orbiting
+    stays cached).
     """
     perm, flip = _principal_setup(vol.shape, azim_deg, elev_deg)
     transpose_film = _film_variant_np(

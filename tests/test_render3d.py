@@ -181,6 +181,31 @@ class TestShearWarp:
             out_hw=(96, 96), opacity=0.02)).mean(axis=-1)
         assert (lum + 1e-3 >= comp * 0.9).mean() > 0.95
 
+    def test_colormap_anchors(self, sphere_vol):
+        """(K, 3) anchor colors evaluate a piecewise-linear transfer
+        function: a pure-red->pure-blue ramp renders the dim sphere rim
+        red-dominant and the bright interior blue-dominant; flat white
+        anchors reproduce the single-color render exactly."""
+        anchors = np.asarray([[1, 0, 0], [0, 0, 1]], np.float32)
+        img = np.asarray(render3d.render_volume_sw(
+            jnp.asarray(sphere_vol), 30.0, 20.0, vmin=0.0, vmax=1.0,
+            out_hw=(96, 96), opacity=0.3, color=anchors))
+        lum = img.sum(-1)
+        ys, xs = np.nonzero(lum > 0.05)
+        d = np.sqrt((ys - 47.5) ** 2 + (xs - 47.5) ** 2)
+        rim = d > d.max() - 3
+        assert img[..., 2][48, 48] > img[..., 0][48, 48]  # center blue
+        assert (img[..., 0][ys[rim], xs[rim]].mean()
+                > img[..., 2][ys[rim], xs[rim]].mean())   # rim red
+        flat = np.asarray(render3d.render_volume_sw(
+            jnp.asarray(sphere_vol), 30.0, 20.0, vmin=0.0, vmax=1.0,
+            out_hw=(96, 96), opacity=0.3,
+            color=np.ones((2, 3), np.float32)))
+        plain = np.asarray(render3d.render_volume_sw(
+            jnp.asarray(sphere_vol), 30.0, 20.0, vmin=0.0, vmax=1.0,
+            out_hw=(96, 96), opacity=0.3))
+        np.testing.assert_allclose(flat, plain, atol=1e-5)
+
     def test_center_depth_analytic(self, sphere_vol):
         _, dep = render3d.render_isosurface_sw(
             jnp.asarray(sphere_vol), 0.5, 25.0, 15.0, out_hw=(96, 96))
