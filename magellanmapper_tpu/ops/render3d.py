@@ -3,25 +3,29 @@
 The reference renders 3D scenes through Mayavi/VTK (``magmap/gui/vis_3d.py:21``
 — ``mlab.volume`` emission-absorption rendering, ``mlab.contour3d`` shaded
 isosurfaces, ``mlab.points3d`` blob glyphs), a host-side C++ rasterization
-engine. This module is the TPU-first equivalent: the whole render is ONE
-jitted program — camera rays are generated on device, marched front-to-back
-through the volume with trilinear sampling (``lax.scan`` over depth so the
-live state is a single (H, W) slab, never the full ray tensor), composited
-with an emission-absorption transfer function, and lit from on-the-fly
-central-difference gradients. A 512^2 frame over a 256^3 stack is a few
-hundred ms on one v5e — interactive orbiting re-renders under a cached jit.
+engine. This module is the TPU-first equivalent, in two engines sharing one
+orbit camera:
 
-Two render modes mirror the reference's Mayavi usage:
+- Gather ray-casters (:func:`render_volume`, :func:`render_isosurface`):
+  rays march front-to-back with trilinear sampling under ``lax.scan`` (the
+  live state is a single (H, W) slab). Highest quality, but TPU gathers are
+  serial (~115 ns/point measured): a 512^2 x 256-step frame costs ~8-10 s on
+  one v5e. Use these as the quality/parity reference.
+- Shear-warp engines (:func:`render_volume_sw`,
+  :func:`render_isosurface_sw`): the Lacroute-Levoy factorization turns ALL
+  resampling into MXU band matmuls (two per-slice volume shears + a
+  Catmull-Smith two-pass film warp) with a pure cumprod/sum composite —
+  zero gathers, ~20-100x the frame rate (sub-second 512^2 frames incl.
+  tunnel RTT), at the classic one-bilinear-sample-per-slice quality trade.
+  Supports emission-absorption compositing, arbitrary-angle MIP, exact
+  piecewise-linear transfer-function colors, and Blinn-Phong isosurfaces
+  with a depth buffer.
 
-- :func:`render_volume` — ``mlab.volume`` semantics: scalar -> RGBA via a
-  window + gamma transfer function, front-to-back "over" compositing with
-  early saturation handled by opacity accumulation.
-- :func:`render_isosurface` — ``mlab.contour3d`` semantics: first-crossing
-  detection with linear sub-step refinement, Blinn-Phong shading from the
-  gradient normal, plus a depth buffer (useful for picking/compositing).
-
-Cameras are orbit-style (azimuth/elevation/distance around a center), the
-same parameterization ``gui.vis_3d.Vis3DCanvas`` drives interactively.
+Both produce ``mlab.volume`` / ``mlab.contour3d`` semantics; blob glyphs
+project through :func:`render_blobs_overlay` with depth-buffer occlusion
+(``mlab.points3d``). Cameras are orbit-style (azimuth/elevation/zoom around
+the volume center), the parameterization ``gui.vis_3d.Vis3DCanvas`` drives
+interactively.
 """
 
 from __future__ import annotations
@@ -297,7 +301,12 @@ def _principal_setup(shape, azim_deg: float, elev_deg: float):
 def _film_variant_np(shape, perm, flip, azim_deg: float,
                      elev_deg: float) -> bool:
     """Host-side ``transpose_film`` decision (numpy twin of the
-    :func:`_film_affine` probe — avoids a device pull per frame)."""
+    :func:`_film_affine` probe — avoids a device pull per frame).
+
+    Probes in world units rather than film pixels, so on non-square
+    films the threshold shifts by (h-1)/(w-1) — harmless: both warp
+    variants are exact; the choice only steers conditioning away from
+    the Catmull-Smith bottleneck at ~90 deg in-plane rotations."""
     view, right, up = _camera_basis_np(azim_deg, elev_deg)
     extent = np.asarray(shape, np.float64)
     center = (extent - 1) / 2.0
