@@ -99,13 +99,28 @@ class Visualization:
         return roi_review.plot_roi_planes(
             self.get_roi(), self.blobs, out_path, n_cols=n_cols)
 
-    def show_3d(self, out_path: str):
-        """3D blob point cloud (Vis3D points mode)."""
+    def show_3d(self, out_path: str, style: str = "points"):
+        """3D scene (reference Vis3D style picker).
+
+        ``style``: ``"points"`` (blob point cloud), ``"surface"``
+        (surface-nets isosurface mesh), or the TPU shear-warp render
+        modes ``"volume"``/``"mip"``/``"isosurface"`` through the
+        interactive :class:`gui.vis_3d.Vis3DCanvas`.
+        """
         from magellanmapper_tpu.gui import vis_3d
         iso = self.roi_profile["isotropic_vis"] or (1, 1, 1)
-        return vis_3d.plot_blobs_3d(
-            self.blobs, self.get_roi().shape[:3], out_path,
-            isotropic_vis=iso)
+        if style == "points":
+            return vis_3d.plot_blobs_3d(
+                self.blobs, self.get_roi().shape[:3], out_path,
+                isotropic_vis=iso)
+        if style == "surface":
+            return vis_3d.plot_surface_3d(
+                self.get_roi(), out_path=out_path, isotropic_vis=iso)
+        vis = vis_3d.Vis3D(np.asarray(self.get_roi(), np.float32))
+        if self.blobs is not None and len(self.blobs):
+            vis.show_blobs(np.asarray(self.blobs))
+        canvas = vis_3d.Vis3DCanvas(vis, render_mode=style)
+        return canvas.save(out_path)
 
     def save_prefs(self, path: Optional[str] = None) -> str:
         return self.prefs.save_prefs(path or "prefs.yaml")

@@ -183,6 +183,12 @@ class TestVisualizationController:
         vis.show_roi(str(tmp_path / "roi.png"))
         vis.show_3d(str(tmp_path / "b3d.png"))
         assert _os.path.exists(str(tmp_path / "roi.png"))
+        # TPU render styles through the session controller (reference
+        # Vis3D style picker)
+        for style in ("volume", "mip", "isosurface"):
+            out = vis.show_3d(str(tmp_path / f"r3d_{style}.png"),
+                              style=style)
+            assert _os.path.exists(out) and _os.path.getsize(out) > 0
         vis.db.close()
 
 
