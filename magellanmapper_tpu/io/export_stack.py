@@ -110,6 +110,65 @@ def animate_imgs(
     return out_path
 
 
+def animate_rotation_3d(
+        vol: np.ndarray, out_path: str, n_frames: int = 36,
+        mode: str = "mip", elev: float = 20.0, fps: int = 12,
+        out_hw=(384, 384), level: Optional[float] = None,
+        vmin_frac: float = 0.1) -> str:
+    """Orbit animation of a TPU-rendered 3D scene (GIF/MP4).
+
+    Renders ``n_frames`` azimuth steps through the shear-warp engines
+    (``ops.render3d``) — the rotation videos the reference produces by
+    scripting the Mayavi camera — and writes them via the same
+    GIF/MP4 writer as :func:`animate_imgs`. ``mode``:
+    ``"mip"``/``"volume"`` (:func:`render_volume_sw`) or
+    ``"isosurface"`` (:func:`render_isosurface_sw`; ``level`` defaults
+    to Otsu).
+    """
+    import jax.numpy as jnp
+    from magellanmapper_tpu.ops import render3d
+
+    v = jnp.asarray(np.asarray(vol, np.float32))
+    vmax = float(np.max(vol))
+    if mode == "isosurface" and level is None:
+        from magellanmapper_tpu.ops import preproc
+        level = float(preproc.otsu_threshold(v))
+    frames = []
+    for i in range(n_frames):
+        az = 360.0 * i / n_frames
+        if mode == "isosurface":
+            rgb, _ = render3d.render_isosurface_sw(
+                v, level, az, elev, out_hw=tuple(out_hw))
+            frames.append(np.asarray(rgb))
+        else:
+            frames.append(np.asarray(render3d.render_volume_sw(
+                v, az, elev, vmin=vmin_frac * vmax, vmax=vmax,
+                out_hw=tuple(out_hw),
+                mode="mip" if mode == "mip" else "composite")))
+
+    # frames are already-composited RGB: animate them directly rather
+    # than through animate_imgs' channel overlay
+    fig, ax = plt.subplots()
+    ax.axis("off")
+    im = ax.imshow(frames[0], animated=True)
+
+    def update(i):
+        im.set_array(frames[i])
+        return [im]
+
+    anim = animation.FuncAnimation(
+        fig, update, frames=len(frames), blit=True)
+    if out_path.endswith(".mp4") and animation.FFMpegWriter.isAvailable():
+        anim.save(out_path, writer=animation.FFMpegWriter(fps=fps))
+    else:
+        if not out_path.endswith(".gif"):
+            out_path = out_path.rsplit(".", 1)[0] + ".gif"
+        anim.save(out_path, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    _logger.info("saved 3D rotation animation to %s", out_path)
+    return out_path
+
+
 def stack_to_img(
         image: np.ndarray, out_path: str,
         slice_range: Optional[Sequence[int]] = None,

@@ -96,6 +96,16 @@ class TestExportStack:
         out = export_stack.animate_imgs(vol, str(tmp_path / "anim"))
         assert os.path.exists(out)
 
+    def test_rotation_3d_animation(self, tmp_path):
+        zz, yy, xx = np.indices((16, 16, 16)).astype(np.float32)
+        r = np.sqrt((zz - 7.5) ** 2 + (yy - 7.5) ** 2 + (xx - 7.5) ** 2)
+        vol = np.clip(1.0 - (r - 5.0) / 2.0, 0, 1).astype(np.float32)
+        for mode in ("mip", "volume", "isosurface"):
+            out = export_stack.animate_rotation_3d(
+                vol, str(tmp_path / f"rot_{mode}.gif"), n_frames=4,
+                mode=mode, out_hw=(32, 32))
+            assert os.path.exists(out) and os.path.getsize(out) > 0
+
 
 class TestCloudMeta:
     def test_md5(self, tmp_path):
