@@ -64,12 +64,16 @@ def camera_basis(azim_deg, elev_deg):
     return view, right, up
 
 
-def _ray_grid(shape, azim_deg, elev_deg, out_hw, zoom):
-    """Ray origins + unit directions for an orthographic orbit camera.
+def _ray_grid(shape, azim_deg, elev_deg, out_hw, zoom,
+              perspective: bool = False):
+    """Ray origins + unit directions for an orbit camera.
 
-    Returns ``(origins (H, W, 3), direction (3,), t_steps scale)`` in
-    voxel coordinates (z, y, x order). Orthographic projection matches
-    the mpl 3D canvas (``proj_type='ortho'``) the renders sit beside.
+    Returns ``(origins (H, W, 3), dirs, radius)`` in voxel coordinates
+    (z, y, x order); ``dirs`` is the shared (1, 1, 3) view direction
+    for orthographic projection (matching the mpl 3D canvas's
+    ``proj_type='ortho'``) or per-pixel (H, W, 3) unit directions
+    diverging from an eye at ``2.5 * radius / zoom`` for perspective
+    (the Mayavi default camera).
     """
     h, w = out_hw
     extent = jnp.asarray(shape, jnp.float32)
@@ -81,11 +85,16 @@ def _ray_grid(shape, azim_deg, elev_deg, out_hw, zoom):
     ys = (jnp.arange(h, dtype=jnp.float32) / max(h - 1, 1) - 0.5) * span
     xs = (jnp.arange(w, dtype=jnp.float32) / max(w - 1, 1) - 0.5) * span
     # image rows go DOWN the screen -> negative up
-    origins = (center[None, None]
-               - view[None, None] * radius
-               - up[None, None] * ys[:, None, None]
-               + right[None, None] * xs[None, :, None])
-    return origins, view, radius
+    film = (center[None, None]
+            - view[None, None] * radius
+            - up[None, None] * ys[:, None, None]
+            + right[None, None] * xs[None, :, None])
+    if not perspective:
+        return film, view[None, None], radius
+    eye = center - view * (2.5 * radius / zoom)
+    dirs = film - eye[None, None]
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    return film, dirs, radius
 
 
 def _sample(vol, pts):
@@ -107,14 +116,16 @@ def _gradient_at(vol, pts, eps=1.0):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_hw", "n_steps", "shaded"))
+    jax.jit, static_argnames=("out_hw", "n_steps", "shaded",
+                              "perspective"))
 def render_volume(
         vol: jax.Array, azim_deg, elev_deg,
         vmin=0.0, vmax=1.0, out_hw: Tuple[int, int] = (512, 512),
         n_steps: int = 256, zoom=1.0, opacity=0.05, gamma=1.0,
         color=(1.0, 1.0, 1.0), bg=(0.0, 0.0, 0.0),
         shaded: bool = False,
-        light_dir: Optional[Sequence[float]] = None) -> jax.Array:
+        light_dir: Optional[Sequence[float]] = None,
+        perspective: bool = False) -> jax.Array:
     """Direct volume rendering (``mlab.volume`` semantics), one program.
 
     Front-to-back emission-absorption: each step samples the volume on
@@ -126,23 +137,27 @@ def render_volume(
     bottleneck, not FLOPs, for gather-bound rendering).
 
     Returns an (H, W, 3) float32 image in [0, 1].
+    ``perspective=True`` diverges rays from an eye point (the Mayavi
+    default camera) instead of the orthographic film.
     """
     vol = vol.astype(jnp.float32)
-    origins, view, radius = _ray_grid(
-        vol.shape, azim_deg, elev_deg, out_hw, jnp.float32(zoom))
+    view0 = camera_basis(azim_deg, elev_deg)[0]
+    origins, dirs, radius = _ray_grid(
+        vol.shape, azim_deg, elev_deg, out_hw, jnp.float32(zoom),
+        perspective)
     dt = 2.0 * radius / n_steps
     col = jnp.asarray(color, jnp.float32)
     bgc = jnp.asarray(bg, jnp.float32)
     span = jnp.maximum(jnp.float32(vmax) - jnp.float32(vmin), 1e-6)
     ldir = None
     if shaded:
-        ldir = (-view if light_dir is None
+        ldir = (-view0 if light_dir is None
                 else jnp.asarray(light_dir, jnp.float32))
         ldir = ldir / jnp.maximum(jnp.linalg.norm(ldir), 1e-6)
 
     def step(carry, i):
         acc, trans = carry
-        pts = origins + view[None, None] * (i * dt)
+        pts = origins + dirs * (i * dt)
         s = _sample(vol, pts)
         a = jnp.clip((s - vmin) / span, 0.0, 1.0) ** gamma * opacity
         emis = col[None, None]
@@ -164,13 +179,13 @@ def render_volume(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_hw", "n_steps"))
+    jax.jit, static_argnames=("out_hw", "n_steps", "perspective"))
 def render_isosurface(
         vol: jax.Array, level, azim_deg, elev_deg,
         out_hw: Tuple[int, int] = (512, 512), n_steps: int = 256,
         zoom=1.0, color=(0.8, 0.8, 0.85), bg=(0.0, 0.0, 0.0),
         light_dir: Optional[Sequence[float]] = None,
-        specular=0.4, shininess=24.0
+        specular=0.4, shininess=24.0, perspective: bool = False
 ) -> Tuple[jax.Array, jax.Array]:
     """Shaded isosurface ray-casting (``mlab.contour3d`` surface mode).
 
@@ -185,15 +200,17 @@ def render_isosurface(
     parameter in voxels (``inf`` where the ray misses).
     """
     vol = vol.astype(jnp.float32)
-    origins, view, radius = _ray_grid(
-        vol.shape, azim_deg, elev_deg, out_hw, jnp.float32(zoom))
+    view = camera_basis(azim_deg, elev_deg)[0]
+    origins, dirs, radius = _ray_grid(
+        vol.shape, azim_deg, elev_deg, out_hw, jnp.float32(zoom),
+        perspective)
     dt = 2.0 * radius / n_steps
     lvl = jnp.float32(level)
 
     def step(carry, i):
         t_hit, s_prev, hit = carry
         t = i * dt
-        s = _sample(vol, origins + view[None, None] * t)
+        s = _sample(vol, origins + dirs * t)
         crossing = (~hit) & (s >= lvl)
         # linear refinement between (t - dt, s_prev) and (t, s)
         frac = jnp.where(
@@ -209,13 +226,11 @@ def render_isosurface(
         step, (t0, s0, jnp.zeros(out_hw, bool)),
         jnp.arange(n_steps, dtype=jnp.float32))
 
-    pts = origins + view[None, None] * jnp.where(
-        hit, t_hit, 0.0)[..., None]
+    pts = origins + dirs * jnp.where(hit, t_hit, 0.0)[..., None]
     g = _gradient_at(vol, pts)
     n = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-6)
     # normals face the camera (gradient sign depends on inside/outside)
-    n = n * -jnp.sign(jnp.sum(n * view[None, None], axis=-1,
-                              keepdims=True))
+    n = n * -jnp.sign(jnp.sum(n * dirs, axis=-1, keepdims=True))
     ldir = (-view if light_dir is None
             else jnp.asarray(light_dir, jnp.float32))
     ldir = ldir / jnp.maximum(jnp.linalg.norm(ldir), 1e-6)

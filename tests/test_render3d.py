@@ -109,6 +109,26 @@ class TestIsosurface:
         assert (rgb_l[:, :28].mean() - rgb_l[:, 36:].mean()) * \
             (rgb_r[:, :28].mean() - rgb_r[:, 36:].mean()) < 0
 
+    def test_perspective_projection(self, sphere_vol):
+        """Perspective rays diverge from an eye behind the film, so the
+        sphere's silhouette shrinks vs orthographic by the tangent-cone
+        factor df*Rs/sqrt(de^2 - Rs^2) (eye de=2.5R, film df=1.5R from
+        the eye), while the central ray's depth is unchanged."""
+        def silhouette(persp):
+            rgb, depth = render3d.render_isosurface(
+                jnp.asarray(sphere_vol), 0.5, 20.0, 10.0,
+                out_hw=(96, 96), n_steps=192, perspective=persp)
+            return np.isfinite(np.asarray(depth)), np.asarray(depth)
+        hit_o, dep_o = silhouette(False)
+        hit_p, dep_p = silhouette(True)
+        big_r = np.linalg.norm(SHAPE) / 2
+        rs = R + 1.5
+        lin = (1.5 * big_r) * rs / np.sqrt((2.5 * big_r) ** 2 - rs ** 2)
+        want = (lin / rs) ** 2
+        ratio = hit_p.sum() / hit_o.sum()
+        assert abs(ratio - want) < 0.08
+        assert abs(dep_p[48, 48] - dep_o[48, 48]) < 1.0
+
     def test_miss_rays_are_background_and_inf(self, sphere_vol):
         rgb, depth = render3d.render_isosurface(
             jnp.asarray(sphere_vol), 0.5, 10.0, 10.0, out_hw=(64, 64),
