@@ -7,6 +7,8 @@ than golden images (reference scene semantics: ``magmap/gui/vis_3d.py``
 ``mlab.volume`` / ``mlab.contour3d`` / ``mlab.points3d``).
 """
 
+import functools
+
 import numpy as np
 import pytest
 
@@ -186,6 +188,23 @@ class TestShearWarp:
         # shading agrees where both hit
         dl = np.abs(np.asarray(rgb_r)[both] - np.asarray(rgb_s)[both])
         assert np.median(dl) < 0.15
+
+    def test_zoom_scales_silhouette_both_engines(self, sphere_vol):
+        """zoom=2 doubles the projected radius identically in the
+        gather and shear-warp paths (separate zoom plumbing)."""
+        def area(fn, **kw):
+            img = fn(jnp.asarray(sphere_vol), 25.0, 10.0, vmin=0.2,
+                     vmax=1.0, out_hw=(96, 96), opacity=0.2, **kw)
+            return (np.asarray(img).mean(-1) > 0.05).sum()
+        a_ref1 = area(functools.partial(render3d.render_volume,
+                                        n_steps=96))
+        a_ref2 = area(functools.partial(render3d.render_volume,
+                                        n_steps=96), zoom=2.0)
+        a_sw1 = area(render3d.render_volume_sw)
+        a_sw2 = area(render3d.render_volume_sw, zoom=2.0)
+        assert 3.3 < a_ref2 / a_ref1 < 4.7   # ~4x area at 2x zoom
+        assert 3.3 < a_sw2 / a_sw1 < 4.7
+        assert abs(a_sw2 - a_ref2) < 0.15 * a_ref2
 
     def test_mip_mode(self, sphere_vol):
         """Arbitrary-angle MIP: center of the sphere projects the global
