@@ -526,8 +526,8 @@ def main():
     try:
         log("device capability probe")
         r["dev_bw"], r["dev_tf"] = bench_device_capability()
-    except Exception:
-        pass
+    except Exception as exc:
+        log(f"phase failed: {type(exc).__name__}: {exc}")
     vol = make_volume(shape)
     try:
         log("headline detection")
@@ -535,13 +535,13 @@ def main():
             vol, sigmas, threshold, overlap, capacity)
         log("cpu baseline")
         r["cpu_mvox"] = bench_cpu_baseline(vol, sigmas, threshold, overlap)
-    except Exception:
-        pass
+    except Exception as exc:
+        log(f"phase failed: {type(exc).__name__}: {exc}")
     try:
         log("registration iters/s")
         r["reg_ips"] = round(bench_registration(), 1)
-    except Exception:
-        pass
+    except Exception as exc:
+        log(f"phase failed: {type(exc).__name__}: {exc}")
     # block path first: the production-path record takes priority over
     # the DSC extra when the tunnel eats the time budget
     try:
@@ -553,31 +553,31 @@ def main():
              r["blk_split"], r["blk_density"]) = bench_block_path()
             r["blk_e2e"], r["blk_dev"], r["blk_dev_np"] = (
                 round(blk_e2e, 2), round(blk_dev, 2), round(blk_dev_np, 2))
-    except Exception:
-        pass
+    except Exception as exc:
+        log(f"phase failed: {type(exc).__name__}: {exc}")
     try:
         if time_left() > 180:
             log("registration full schedule")
             reg_wall, reg_dsc = bench_registration_dsc()
             r["reg_wall"], r["reg_dsc"] = (
                 round(reg_wall, 2), round(reg_dsc, 4))
-    except Exception:
-        pass
+    except Exception as exc:
+        log(f"phase failed: {type(exc).__name__}: {exc}")
     try:
         # realistic deformable + cross-modality validation (compiles
         # cached alongside the full-schedule bench shapes)
         if time_left() > 240:
             log("registration gauntlet")
             r["gauntlet"] = bench_reg_gauntlet()
-    except Exception:
-        pass
+    except Exception as exc:
+        log(f"phase failed: {type(exc).__name__}: {exc}")
     try:
         # atlas-scale joint groupwise (4 subjects, grid 130 + schedule)
         if time_left() > 180:
             log("groupwise")
             r["groupwise"] = bench_groupwise()
-    except Exception:
-        pass
+    except Exception as exc:
+        log(f"phase failed: {type(exc).__name__}: {exc}")
     log("done")
     emit()
 
