@@ -528,6 +528,19 @@ def main():
         r["dev_bw"], r["dev_tf"] = bench_device_capability()
     except Exception as exc:
         log(f"phase failed: {type(exc).__name__}: {exc}")
+    # if the TPU backend failed to initialize, JAX silently falls back
+    # to the single CPU core — recording CPU throughput as the TPU
+    # metric would be worse than recording nothing. Emit immediately.
+    try:
+        import jax
+        backend = jax.default_backend()
+    except Exception:
+        backend = "unknown"
+    if backend == "cpu":
+        log("TPU backend unavailable (CPU fallback detected); "
+            "emitting nulls rather than CPU-as-TPU numbers")
+        emit()
+        return
     vol = make_volume(shape)
     try:
         log("headline detection")
