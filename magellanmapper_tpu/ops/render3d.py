@@ -666,6 +666,49 @@ def render_isosurface_sw(
         perm, flip, transpose_film, tuple(out_hw))
 
 
+def render_channels_sw(
+        vol_c: jax.Array, azim_deg: float, elev_deg: float,
+        colors: Optional[Sequence[Sequence[float]]] = None,
+        vmin=0.0, vmax=1.0, out_hw: Tuple[int, int] = (512, 512),
+        zoom=1.0, opacity=0.05, gamma=1.0, bg=(0.0, 0.0, 0.0),
+        mode: str = "composite") -> jax.Array:
+    """Multi-channel composite rendering (channel-colored overlay).
+
+    ``vol_c`` is (Z, Y, X, C) (the importer's multichannel layout) or a
+    single-channel (Z, Y, X); each channel renders through
+    :func:`render_volume_sw` with its own emission color (defaults to
+    the microscopy cyan/magenta/yellow/gray rotation) on a black
+    background and the frames blend additively — the way the
+    reference's Mayavi scene overlays channel actors. Per-channel
+    ``vmin``/``vmax`` may be scalars or length-C sequences.
+    """
+    if vol_c.ndim == 3:
+        vol_c = vol_c[..., None]
+    n_c = vol_c.shape[-1]
+    if colors is None:
+        defaults = [(0.0, 1.0, 1.0), (1.0, 0.0, 1.0), (1.0, 1.0, 0.0),
+                    (0.9, 0.9, 0.9)]
+        colors = [defaults[i % len(defaults)] for i in range(n_c)]
+
+    def per_chan(v, i):
+        return (v[i] if np.ndim(v) and np.size(v) > 1 else v)
+
+    acc = None
+    for c in range(n_c):
+        img = render_volume_sw(
+            vol_c[..., c], azim_deg, elev_deg,
+            vmin=per_chan(vmin, c), vmax=per_chan(vmax, c),
+            out_hw=out_hw, zoom=zoom, opacity=per_chan(opacity, c),
+            gamma=per_chan(gamma, c), color=jnp.asarray(
+                colors[c], jnp.float32),
+            bg=(0.0, 0.0, 0.0), mode=mode)
+        acc = img if acc is None else acc + img
+    bgc = jnp.asarray(bg, jnp.float32)
+    lum = jnp.max(acc, axis=-1, keepdims=True)
+    return jnp.clip(acc + jnp.clip(1.0 - lum, 0.0, 1.0)
+                    * bgc[None, None], 0.0, 1.0)
+
+
 def render_blobs_overlay(
         depth: jax.Array, blobs: np.ndarray, shape, azim_deg, elev_deg,
         out_hw: Tuple[int, int] = (512, 512), zoom: float = 1.0

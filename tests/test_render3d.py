@@ -254,6 +254,43 @@ class TestShearWarp:
         assert abs(dep[48, 48] - want) < 1.5
 
 
+class TestChannelComposite:
+    def test_two_channels_blend_additively(self, sphere_vol):
+        """Channel 0 (cyan) fills the left half, channel 1 (magenta)
+        the right: the composite is cyan-ish left, magenta-ish right,
+        and identical to the sum of the single-channel renders."""
+        # split along axis 1 (y): at azim=0 the screen x axis is +-y,
+        # so the halves land side by side instead of along the view ray
+        left = sphere_vol.copy()
+        left[:, 24:] = 0.0
+        right = sphere_vol.copy()
+        right[:, :24] = 0.0
+        vol_c = np.stack([left, right], axis=-1)
+        kw = dict(vmin=0.2, vmax=1.0, out_hw=(96, 96), opacity=0.3)
+        comp = np.asarray(render3d.render_channels_sw(
+            jnp.asarray(vol_c), 0.0, 0.0, **kw))
+        a = np.asarray(render3d.render_volume_sw(
+            jnp.asarray(left), 0.0, 0.0, color=(0.0, 1.0, 1.0), **kw))
+        b = np.asarray(render3d.render_volume_sw(
+            jnp.asarray(right), 0.0, 0.0, color=(1.0, 0.0, 1.0), **kw))
+        np.testing.assert_allclose(comp, np.clip(a + b, 0, 1), atol=1e-5)
+        # the channels occupy disjoint screen regions: pure-cyan pixels
+        # (G, no R) and pure-magenta pixels (R, no G) both exist, and no
+        # pixel mixes them
+        cyan = (comp[..., 1] > 0.05) & (comp[..., 0] < 1e-3)
+        magenta = (comp[..., 0] > 0.05) & (comp[..., 1] < 1e-3)
+        mixed = (comp[..., 0] > 0.05) & (comp[..., 1] > 0.05)
+        assert cyan.sum() > 50 and magenta.sum() > 50
+        # a ~1-px seam along the split plane mixes by bilinear bleed
+        assert mixed.sum() < 0.1 * (cyan.sum() + magenta.sum())
+
+    def test_single_channel_and_bg(self, sphere_vol):
+        img = np.asarray(render3d.render_channels_sw(
+            jnp.asarray(sphere_vol), 15.0, 10.0, vmin=0.2, vmax=1.0,
+            out_hw=(64, 64), opacity=0.25, bg=(0.1, 0.0, 0.2)))
+        np.testing.assert_allclose(img[1, 1], [0.1, 0.0, 0.2], atol=0.02)
+
+
 class TestBlobOverlay:
     def test_center_blob_projects_to_image_center(self, sphere_vol):
         _, depth = render3d.render_isosurface(
