@@ -355,7 +355,12 @@ def _paired_vals(grp: pd.DataFrame, metric: str, cond_col: str, conds,
         return None
     wide = grp.pivot_table(
         index=sample_col, columns=cond_col, values=metric,
-        aggfunc="mean").dropna(subset=list(conds))
+        aggfunc="mean")
+    if not all(c in wide.columns for c in conds):
+        # a region present in only one condition has no pairs; skip it
+        # like other insufficient-data cases instead of KeyError-ing
+        return None
+    wide = wide.dropna(subset=list(conds))
     if len(wide) < 2:
         return None
     return wide[conds[0]].to_numpy(float), wide[conds[1]].to_numpy(float)
@@ -375,11 +380,15 @@ def _cohens_d(a: np.ndarray, b: np.ndarray, paired: bool) -> float:
     return float((b.mean() - a.mean()) / pooled) if pooled > 0 else np.nan
 
 
-def _wilcoxon_std_effect(stat: float, p: float, n: int) -> float:
+def _wilcoxon_std_effect(stat: float, p: float, n: int,
+                         sign: float) -> float:
     """Standardized Wilcoxon effect ``z / sqrt(N)`` (reference
-    ``rcompanion::wilcoxonZ``): recover z from the two-sided p."""
+    ``rcompanion::wilcoxonZ``): recover |z| from the two-sided p, then
+    restore the effect direction — ``norm.isf(p/2)`` is always
+    non-negative, while the reference's z is signed."""
     z = sp_stats.norm.isf(max(min(p / 2, 0.5), 1e-300))
-    return float(z / np.sqrt(max(n, 1)))
+    s = np.sign(sign) if sign else 1.0
+    return float(s * z / np.sqrt(max(n, 1)))
 
 
 def meas_group_stats(
@@ -460,11 +469,23 @@ def meas_group_stats(
                 if np.all(diffs == 0):
                     continue
                 stat, p = sp_stats.wilcoxon(pb, pa)
-                eff_std = _wilcoxon_std_effect(stat, p, len(pa))
+                # direction from the signed-rank statistic vs its null
+                # mean: T+ - n(n+1)/4 (scipy's two-sided statistic is
+                # min(T+, T-), which carries no sign)
+                nz = diffs[diffs != 0]
+                t_plus = float(np.sum(
+                    sp_stats.rankdata(np.abs(nz))[nz > 0]))
+                eff_std = _wilcoxon_std_effect(
+                    stat, p, len(pa),
+                    t_plus - len(nz) * (len(nz) + 1) / 4.0)
             eff_raw = float(np.mean(pb - pa))
             mean_a, mean_b = pa.mean(), pb.mean()
         else:
-            if len(a) < 2 or len(b) < 2:
+            # logit.ord fits ALL ordered condition levels, so gate on
+            # the model's own total-count check inside
+            # ``_regression_stats`` rather than the two primary
+            # conditions' sample counts
+            if model != "logit.ord" and (len(a) < 2 or len(b) < 2):
                 continue
             if model in _REGRESSION_MODELS:
                 fit = _regression_stats(
@@ -474,8 +495,10 @@ def meas_group_stats(
                     continue
                 effect, stat, p = fit
                 rows.append({
-                    region_col: region, "MeanBase": a.mean(),
-                    "MeanOther": b.mean(), "Effect": effect,
+                    region_col: region,
+                    "MeanBase": a.mean() if len(a) else np.nan,
+                    "MeanOther": b.mean() if len(b) else np.nan,
+                    "Effect": effect,
                     "Stat": float(stat), "P": float(p)})
                 continue
             if model == "ttest":
@@ -484,8 +507,10 @@ def meas_group_stats(
                 eff_raw = float(b.mean() - a.mean())
             elif model in ("mannwhitney", "wilcoxon"):
                 stat, p = sp_stats.mannwhitneyu(b, a)
+                # U(b) above its null mean na*nb/2 means b tends larger
                 eff_std = _wilcoxon_std_effect(
-                    stat, p, min(len(a), len(b)))
+                    stat, p, min(len(a), len(b)),
+                    float(stat) - len(a) * len(b) / 2.0)
                 eff_raw = float(np.median(b) - np.median(a))
             elif model == "diff.mean":
                 eff_raw = float(b.mean() - a.mean())

@@ -519,6 +519,62 @@ class TestClrstatsKModelFamily:
         # unit separation at unit SD -> d ~ 1
         assert out["EffectStd"] == pytest.approx(1.0, abs=0.35)
 
+    @pytest.mark.parametrize(
+        "model", ["ttest.paired", "wilcoxon.paired"])
+    def test_paired_skips_one_condition_region(self, model):
+        """A region present in only ONE condition must be skipped, not
+        abort the whole run with KeyError (round-4 ADVICE)."""
+        df = self._paired_frame(n_samples=8)
+        only_pre = pd.DataFrame([
+            {"Sample": s, "Condition": "pre", "Region": 99,
+             "Volume": float(s)} for s in range(8)])
+        out = clrstats.meas_group_stats(
+            pd.concat([df, only_pre], ignore_index=True), "Volume",
+            conds=("pre", "post"), model=model).set_index("Region")
+        assert 99 not in out.index
+        assert {1, 2} <= set(out.index)
+
+    @pytest.mark.parametrize(
+        "model", ["wilcoxon", "wilcoxon.paired"])
+    def test_wilcoxon_effect_std_is_signed(self, model):
+        """EffectStd must carry the effect DIRECTION (reference
+        rcompanion::wilcoxonZ is signed; round-4 ADVICE): a negative
+        shift gives a negative standardized effect, a positive shift a
+        positive one, with equal magnitudes for mirrored data."""
+        df_up = self._paired_frame(shift=1.0, sample_sd=2.0)
+        df_dn = df_up.copy()
+        df_dn["Volume"] = -df_dn["Volume"]
+        up = clrstats.meas_group_stats(
+            df_up, "Volume", conds=("pre", "post"), model=model
+        ).set_index("Region")
+        dn = clrstats.meas_group_stats(
+            df_dn, "Volume", conds=("pre", "post"), model=model
+        ).set_index("Region")
+        assert up.loc[1, "EffectStd"] > 0
+        assert dn.loc[1, "EffectStd"] < 0
+        assert up.loc[1, "EffectStd"] == pytest.approx(
+            -dn.loc[1, "EffectStd"], rel=1e-6)
+        # magnitude still matches the p-recovered |z|/sqrt(n)
+        assert abs(up.loc[1, "EffectStd"]) > 0.3
+
+    def test_logit_ord_thin_primary_pair_still_fits(self):
+        """logit.ord uses ALL ordered levels, so a region with ample
+        total data but a thin primary condition pair must still fit
+        (round-4 ADVICE: gate on the model's own total-count check)."""
+        rng = np.random.default_rng(11)
+        rows = []
+        # region 1: only 1 sample in each primary cond, 40 in the middle
+        for geno, mean, n in (("0", 0.0, 1), ("0.5", 1.0, 40),
+                              ("1", 2.0, 1)):
+            for _ in range(n):
+                rows.append({"Region": 1, "Condition": geno,
+                             "Volume": rng.normal(mean, 1.0)})
+        out = clrstats.meas_group_stats(
+            pd.DataFrame(rows), "Volume", conds=("0", "1"),
+            model="logit.ord")
+        assert len(out) == 1 and out.iloc[0]["Region"] == 1
+        assert np.isfinite(out.iloc[0]["P"])
+
 
 class TestRemainingTabWorkflows:
     """Controller coverage of the reference Visualization tabs that the
