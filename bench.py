@@ -14,7 +14,6 @@ TPU Mvox/s over measured single-CPU Mvox/s on the same workload.
 import json
 import os
 import sys
-import threading
 import time
 
 import numpy as np
@@ -433,6 +432,58 @@ def bench_groupwise(shape=(160, 240, 200), k=4):
         "grid_space_voxels": 130}
 
 
+def bench_bigvol_e2e(shape=(288, 2048, 2048), n_blobs=6000, seed=2):
+    """End-to-end block-path throughput on a volume PAST the single-shot
+    resident-staging budget (uint16 ``shape`` ≈ 2.25 GiB > the 1 GiB
+    whole-volume cap): exercises the z-slab-chunked resident staging
+    (round-4 VERDICT item 3) on the scale the reference streams from
+    memmap (``/root/reference/magmap/io/importer.py:794``). Reports
+    e2e Mvox/s, the timing split, and H2D bytes shipped / volume bytes
+    (slab staging ships ~1x + slab halos; the gather fallback ~2.2x).
+    """
+    import tempfile
+
+    from magellanmapper_tpu.cv import stack_detect
+    from magellanmapper_tpu.settings.roi_prof import ROIProfile
+
+    rng = np.random.default_rng(seed)
+    path = os.path.join(tempfile.gettempdir(), "bench_bigvol.npy")
+    vol = np.lib.format.open_memmap(
+        path, mode="w+", dtype=np.uint16, shape=shape)
+    try:
+        for z0 in range(0, shape[0], 32):
+            z1 = min(shape[0], z0 + 32)
+            vol[z0:z1] = (rng.random(
+                (z1 - z0,) + shape[1:], dtype=np.float32) * 800).astype(
+                np.uint16)
+        coords = np.column_stack(
+            [rng.integers(7, s - 7, n_blobs) for s in shape])
+        zz, yy, xx = np.indices((13, 13, 13)).astype(np.float32) - 6
+        for (cz, cy, cx), r in zip(coords, rng.uniform(3, 5.5, n_blobs)):
+            sig = r / np.sqrt(3)
+            stamp = np.exp(-(zz**2 + yy**2 + xx**2) / (2 * sig**2))
+            vol[cz-6:cz+7, cy-6:cy+7, cx-6:cx+7] += (
+                stamp * 40000).astype(np.uint16)
+        vol.flush()
+
+        prof = ROIProfile()
+        res = (1.0, 1.0, 1.0)
+        t0 = time.perf_counter()
+        blobs, timing = stack_detect.detect_blobs_blocks(
+            vol, prof, res, preprocess=True)
+        e2e = vol.size / (time.perf_counter() - t0) / 1e6
+        ratio = timing.get("h2d_bytes")
+        # [GiB volume, e2e Mvox/s, blobs, H2D-shipped/volume ratio]
+        return [round(vol.nbytes / 2**30, 2), round(e2e, 2),
+                0 if blobs is None else len(blobs),
+                round(ratio / vol.nbytes, 2) if ratio else None]
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+
 def bench_registration(shape=(64, 96, 96), iters=192):
     """Registration optimizer steps/sec (BASELINE.json second metric):
     affine stage with the Mattes-MI metric, single level, steady state."""
@@ -468,190 +519,248 @@ def bench_registration(shape=(64, 96, 96), iters=192):
     return iters / dt
 
 
-def main():
-    _enable_compile_cache()
+# ---------------------------------------------------------------------------
+# Phase plumbing (round-5 capture-proofing).
+#
+# The round-4 record was lost two ways at once: a hung tunnel RPC starved
+# every later phase until the watchdog emitted an all-null line, AND the
+# emitted line had grown past the driver's 2000-char stdout-tail capture
+# window. Fixes, in order of importance:
+#  - the cumulative JSON line is RE-EMITTED after every completed phase
+#    (last-line-wins), so a mid-run hang preserves everything measured;
+#  - every phase runs in its own subprocess with its own timeout — a hung
+#    RPC is killed, not waited on, and cannot starve later phases;
+#  - the line is compact (< 1500 chars fully populated — pinned by
+#    tests/test_bench_robustness.py); prose key glossary lives in
+#    BASELINE.md "Bench key glossary";
+#  - the device-capability probe runs LAST: it contributes no workload
+#    number and was the first phase to hang in round 4.
+# ---------------------------------------------------------------------------
+
+def phase_headline():
     shape = (128, 256, 256)
     sigmas = np.linspace(2.0, 4.0, 8)
-    threshold, overlap, capacity = 0.1, 0.5, 8192
+    vol = make_volume(shape)
+    tpu_mvox, n_blobs = bench_tpu(vol, sigmas, 0.1, 0.5, 8192)
+    cpu_mvox = bench_cpu_baseline(vol, sigmas, 0.1, 0.5)
+    return {"tpu_mvox": round(tpu_mvox, 2), "blobs": n_blobs,
+            "cpu": round(cpu_mvox, 3)}
 
-    t_start = time.perf_counter()
-    #: soft deadline: always print the JSON line well before any driver
-    #: timeout; optional sections degrade to null past it
-    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", 900))
+
+def phase_block():
+    e2e, dev, dev_np, n, split, dens = bench_block_path()
+    return {
+        "blk_e2e": round(e2e, 2), "blk_dev": round(dev, 2),
+        "blk_dev_np": round(dev_np, 2), "blk_blobs": n,
+        # [gather_host, stage_h2d, pull_wait, detect, prune] seconds
+        "blk_split": [split[k] for k in (
+            "gather_host_s", "stage_h2d_s", "pull_wait_s", "detect_s",
+            "prune_s")],
+        # {density: [blobs/block, Mvox/s preproc-on, Mvox/s off]}
+        "dens": {k: [v["blobs_per_block"], v["mvox_s"],
+                     v["mvox_s_nopreproc"]]
+                 for k, v in dens.items()}}
+
+
+def phase_reg_ips():
+    return {"reg_ips": round(bench_registration(), 1)}
+
+
+def phase_reg_full():
+    wall, dsc = bench_registration_dsc()
+    return {"reg_wall": round(wall, 2), "reg_dsc": round(dsc, 4)}
+
+
+def phase_gauntlet():
+    return {"gauntlet": bench_reg_gauntlet()}
+
+
+def phase_groupwise():
+    g = bench_groupwise()
+    return {"groupwise": [g["wall_s"], g["k"],
+                          g["pairwise_dsc_before"],
+                          g["pairwise_dsc_after"]]}
+
+
+def phase_bigvol():
+    return {"bigvol": bench_bigvol_e2e()}
+
+
+def phase_probe():
+    bw, tf = bench_device_capability()
+    return {"bw": bw, "tf": tf}
+
+
+#: (name, fn, timeout_s) in priority order; the probe is LAST
+PHASES = (
+    ("headline", phase_headline, 600),
+    ("block", phase_block, 720),
+    ("reg_ips", phase_reg_ips, 420),
+    ("reg_full", phase_reg_full, 720),
+    ("gauntlet", phase_gauntlet, 1200),
+    ("groupwise", phase_groupwise, 900),
+    ("bigvol", phase_bigvol, 900),
+    ("probe", phase_probe, 240),
+)
+
+_EXTRA_KEYS = (
+    "blobs", "cpu", "blk_e2e", "blk_dev", "blk_dev_np", "blk_blobs",
+    "blk_split", "dens", "reg_ips", "reg_wall", "reg_dsc", "gauntlet",
+    "groupwise", "bigvol", "bw", "tf")
+
+
+def render_line(r):
+    """The ONE cumulative JSON line (compact; keys in BASELINE.md
+    "Bench key glossary"). Safe to call with any subset filled."""
+    tpu, cpu = r.get("tpu_mvox"), r.get("cpu")
+    extra = {k: r[k] for k in _EXTRA_KEYS if r.get(k) is not None}
+    extra["done"] = r.get("done", [])
+    return json.dumps({
+        "metric": "blob_detection_throughput",
+        "value": tpu, "unit": "Mvox/s",
+        "vs_baseline": round(tpu / cpu, 2) if tpu and cpu else None,
+        "extra": extra}, separators=(",", ":"))
+
+
+def _run_phase_child(name, out_path):
+    """Child entry: run one phase, write its result dict as JSON."""
+    _enable_compile_cache()
+    res = {}
+    try:
+        import jax
+        if os.environ.get("BENCH_FORCE_CPU"):
+            # test hook: env vars alone cannot beat the sitecustomize
+            # axon pre-import; the config update can
+            jax.config.update("jax_platforms", "cpu")
+        if jax.default_backend() == "cpu" and not os.environ.get(
+                "BENCH_ALLOW_CPU"):
+            # recording CPU throughput as the TPU metric would be worse
+            # than recording nothing
+            res = {"error": "cpu_fallback"}
+        else:
+            fn = dict((n, f) for n, f, _ in PHASES)[name]
+            res = fn()
+    except Exception as exc:  # noqa: BLE001 — report, parent decides
+        res = {"error": f"{type(exc).__name__}: {exc}"}
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(res, f)
+    os.replace(tmp, out_path)
+
+
+def run_phases(phases, deadline_s, emit, log, spawn=None):
+    """Run ``phases`` (name, fn, timeout) each in its own subprocess,
+    merging results and re-emitting the cumulative line after EVERY
+    phase. ``spawn(name, timeout) -> dict|None`` may be injected for
+    tests; the default launches ``python bench.py --phase NAME``."""
+    import subprocess
+    import tempfile
+
+    t0 = time.perf_counter()
 
     def time_left():
-        return deadline_s - (time.perf_counter() - t_start)
+        return deadline_s - (time.perf_counter() - t0)
+
+    def default_spawn(name, timeout):
+        fd, out_path = tempfile.mkstemp(suffix=".json")
+        os.close(fd)
+        os.unlink(out_path)
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--phase", name, "--out", out_path],
+            stdout=subprocess.DEVNULL)
+        try:
+            proc.wait(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+            return None
+        if not os.path.exists(out_path):
+            return None
+        try:
+            with open(out_path) as f:
+                return json.load(f)
+        finally:
+            os.unlink(out_path)
+
+    spawn = spawn or default_spawn
+    r = {"done": []}
+    emit(r)   # a line exists even if the very first phase hangs
+    for name, _fn, budget in phases:
+        left = time_left()
+        if left < 60:
+            log(f"skip {name}: {left:.0f}s left")
+            continue
+        timeout = min(budget, max(60, left - 30))
+        log(f"phase {name} (timeout {timeout:.0f}s)")
+        res = spawn(name, timeout)
+        if res is None:
+            log(f"phase {name}: TIMEOUT (killed)")
+        elif "error" in res:
+            log(f"phase {name}: {res['error']}")
+        else:
+            r.update(res)
+            r["done"].append(name)
+        emit(r)
+    return r
+
+
+def main():
+    if "--phase" in sys.argv:
+        i = sys.argv.index("--phase")
+        _run_phase_child(sys.argv[i + 1],
+                         sys.argv[sys.argv.index("--out") + 1])
+        return
+
+    t_start = time.perf_counter()
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", 2400))
 
     def log(msg):
         print(f"[bench +{time.perf_counter() - t_start:.0f}s] {msg}",
               file=sys.stderr, flush=True)
 
-    # progressively-filled results + a watchdog: a hung device pull (the
-    # remote tunnel has outage windows where even trivial ops block
-    # forever) must still produce the one JSON line with whatever
-    # completed, not silence
-    r = {"tpu_mvox": None, "n_blobs": None, "cpu_mvox": None,
-         "dev_bw": None, "dev_tf": None, "reg_ips": None,
-         "blk_e2e": None, "blk_dev": None, "blk_dev_np": None,
-         "blk_blobs": None, "blk_split": None, "blk_density": None,
-         "reg_wall": None, "reg_dsc": None, "gauntlet": None,
-         "groupwise": None}
-    emitted = threading.Event()
+    def emit(r):
+        print(render_line(r), flush=True)
 
-    def emit():
-        if emitted.is_set():
-            return
-        emitted.set()
-        tpu_mvox = r["tpu_mvox"]
-        cpu_mvox = r["cpu_mvox"]
-        vsb = (round(tpu_mvox / cpu_mvox, 2)
-               if tpu_mvox and cpu_mvox else None)
-        print(json.dumps({
-            "metric": "blob_detection_throughput",
-            "value": round(tpu_mvox, 2) if tpu_mvox else None,
-            "unit": "Mvox/s",
-            "vs_baseline": vsb,
-            "extra": _extra(r, shape, sigmas)}), flush=True)
+    if os.environ.get("BENCH_FAKE_PHASES"):
+        # test hook: a fast phase + a hanging phase, tiny timeouts —
+        # exercises the REAL subprocess/kill/re-emit machinery
+        phases = (("fake_fast", None, 60), ("fake_hang", None, 3),
+                  ("fake_fast2", None, 60))
 
-    def watchdog():
-        # hard stop well past the soft deadline: emit and exit
-        time.sleep(deadline_s + 240)
-        if not emitted.is_set():
-            log("WATCHDOG: device appears hung; emitting partial result")
-            emit()
-            os._exit(0)
+        def fake_spawn(name, timeout):
+            import subprocess
+            import tempfile
+            fd, out_path = tempfile.mkstemp(suffix=".json")
+            os.close(fd)
+            os.unlink(out_path)
+            code = {
+                "fake_fast": "import json;json.dump({'tpu_mvox':123.45,"
+                             "'cpu':0.5},open(%r,'w'))" % out_path,
+                "fake_fast2": "import json;json.dump({'reg_ips':77.0},"
+                              "open(%r,'w'))" % out_path,
+                "fake_hang": "import time;time.sleep(600)",
+            }[name]
+            proc = subprocess.Popen([sys.executable, "-c", code])
+            try:
+                proc.wait(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
+                return None
+            if not os.path.exists(out_path):
+                return None
+            with open(out_path) as f:
+                res = json.load(f)
+            os.unlink(out_path)
+            return res
 
-    threading.Thread(target=watchdog, daemon=True).start()
-
-    try:
-        log("device capability probe")
-        r["dev_bw"], r["dev_tf"] = bench_device_capability()
-    except Exception as exc:
-        log(f"phase failed: {type(exc).__name__}: {exc}")
-    # if the TPU backend failed to initialize, JAX silently falls back
-    # to the single CPU core — recording CPU throughput as the TPU
-    # metric would be worse than recording nothing. Emit immediately.
-    try:
-        import jax
-        backend = jax.default_backend()
-    except Exception:
-        backend = "unknown"
-    if backend == "cpu":
-        log("TPU backend unavailable (CPU fallback detected); "
-            "emitting nulls rather than CPU-as-TPU numbers")
-        emit()
+        run_phases(phases, deadline_s, emit, log, spawn=fake_spawn)
         return
-    vol = make_volume(shape)
-    try:
-        log("headline detection")
-        r["tpu_mvox"], r["n_blobs"] = bench_tpu(
-            vol, sigmas, threshold, overlap, capacity)
-        log("cpu baseline")
-        r["cpu_mvox"] = bench_cpu_baseline(vol, sigmas, threshold, overlap)
-    except Exception as exc:
-        log(f"phase failed: {type(exc).__name__}: {exc}")
-    try:
-        log("registration iters/s")
-        r["reg_ips"] = round(bench_registration(), 1)
-    except Exception as exc:
-        log(f"phase failed: {type(exc).__name__}: {exc}")
-    # block path first: the production-path record takes priority over
-    # the DSC extra when the tunnel eats the time budget
-    try:
-        # warm block-path cost is ~1-2 min (compiles cached from the e2e
-        # run's own warmup); run it whenever any budget remains
-        if time_left() > 60:
-            log("block path + density sweep")
-            (blk_e2e, blk_dev, blk_dev_np, r["blk_blobs"],
-             r["blk_split"], r["blk_density"]) = bench_block_path()
-            r["blk_e2e"], r["blk_dev"], r["blk_dev_np"] = (
-                round(blk_e2e, 2), round(blk_dev, 2), round(blk_dev_np, 2))
-    except Exception as exc:
-        log(f"phase failed: {type(exc).__name__}: {exc}")
-    try:
-        if time_left() > 180:
-            log("registration full schedule")
-            reg_wall, reg_dsc = bench_registration_dsc()
-            r["reg_wall"], r["reg_dsc"] = (
-                round(reg_wall, 2), round(reg_dsc, 4))
-    except Exception as exc:
-        log(f"phase failed: {type(exc).__name__}: {exc}")
-    try:
-        # realistic deformable + cross-modality validation (compiles
-        # cached alongside the full-schedule bench shapes)
-        if time_left() > 240:
-            log("registration gauntlet")
-            r["gauntlet"] = bench_reg_gauntlet()
-    except Exception as exc:
-        log(f"phase failed: {type(exc).__name__}: {exc}")
-    try:
-        # atlas-scale joint groupwise (4 subjects, grid 130 + schedule)
-        if time_left() > 180:
-            log("groupwise")
-            r["groupwise"] = bench_groupwise()
-    except Exception as exc:
-        log(f"phase failed: {type(exc).__name__}: {exc}")
+
+    _enable_compile_cache()
+    run_phases(PHASES, deadline_s, emit, log)
     log("done")
-    emit()
-
-
-def _extra(r, shape, sigmas):
-    return {
-            "volume": list(shape), "num_sigma": len(sigmas),
-            "blobs": r["n_blobs"],
-            "cpu_baseline_mvox_s": (
-                round(r["cpu_mvox"], 3) if r["cpu_mvox"] else None),
-            "block_path_e2e_mvox_s": r["blk_e2e"],
-            "block_path_device_mvox_s": r["blk_dev"],
-            "block_path_device_nopreproc_mvox_s": r["blk_dev_np"],
-            "block_path_note": (
-                "e2e on (128,512,512) uint16 memmap: the volume stages "
-                "to HBM once (resident path) and blocks are carved "
-                "on-device, so the ~50-100 MB/s dev-tunnel link is "
-                "crossed by each voxel exactly once; device rates = "
-                "same program on pre-staged blocks (10 sigmas, "
-                "with/without saturate+denoise preproc; the headline "
-                "runs 8 sigmas, no preproc). Preproc ON can beat OFF: "
-                "harvest/selection cost scales with threshold-crossing "
-                "candidates, and denoise zeroes background noise "
-                "candidates — see density_sweep, where no-preproc wins "
-                "only at 10x blob density (few noise candidates "
-                "relative to real peaks)"),
-            "block_path_blobs": r["blk_blobs"],
-            "block_path_e2e_split": r["blk_split"],
-            "density_sweep": r["blk_density"],
-            "density_sweep_note": (
-                "device Mvox/s on 6-block batches at 0.1x/1x/10x the "
-                "1x-bench blob density (uniform noise background in "
-                "all cases) — bounds the harvest path's "
-                "candidate-density dependence"),
-            "device_read_bw_gbps": r["dev_bw"],
-            "device_gemm_tflops": r["dev_tf"],
-            "device_note": (
-                "measured ceilings of this axon v5e slice (datasheet "
-                "v5e: 819 GB/s, 197 bf16 TFLOP/s) — workload numbers "
-                "above run against THESE, not datasheet, ceilings"),
-            "registration_iters_per_s": r["reg_ips"],
-            "registration_bench": "affine stage, Mattes-MI, (64,96,96)",
-            "registration_full_schedule_s": r["reg_wall"],
-            "registration_full_schedule_dsc": r["reg_dsc"],
-            "registration_full_schedule": (
-                "TRUE Elastix defaults: translation 2048 / affine 1024 / "
-                "bspline 512 iters x 4 resolutions (full max_iter per "
-                "level), grid 50 vx, Mattes-MI, (160,240,200) pair, "
-                "constant-shape smoothing pyramid"),
-            "reg_gauntlet": r["gauntlet"],
-            "reg_gauntlet_note": (
-                "deformable + cross-modality validation pair "
-                "(160,240,200): smooth FFD (affine component removed) "
-                "on top of an affine, gamma+bias+noise modality gap, "
-                "24-region annotation; gates dsc>=0.95, label-transfer "
-                "median>=0.90, bspline stage gain>=0.05"),
-            "groupwise": r["groupwise"],
-            "groupwise_note": (
-                "joint 4D-variance groupwise, 4 atlas-scale subjects, "
-                "B-spline grid 130 vx + the reference groupwise "
-                "profile's grid-spacing schedule")}
 
 
 if __name__ == "__main__":
