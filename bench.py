@@ -432,10 +432,10 @@ def bench_groupwise(shape=(160, 240, 200), k=4):
         "grid_space_voxels": 130}
 
 
-def bench_bigvol_e2e(shape=(288, 2048, 2048), n_blobs=6000, seed=2):
+def bench_bigvol_e2e(shape=(1024, 1024, 1024), n_blobs=6000, seed=2):
     """End-to-end block-path throughput on a volume PAST the single-shot
-    resident-staging budget (uint16 ``shape`` ≈ 2.25 GiB > the 1 GiB
-    whole-volume cap): exercises the z-slab-chunked resident staging
+    resident-staging budget (uint16 ``shape`` = 2 GiB > the 1 GiB
+    whole-volume cap): exercises the z/y-slab-chunked resident staging
     (round-4 VERDICT item 3) on the scale the reference streams from
     memmap (``/root/reference/magmap/io/importer.py:794``). Reports
     e2e Mvox/s, the timing split, and H2D bytes shipped / volume bytes

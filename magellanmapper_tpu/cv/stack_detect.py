@@ -43,7 +43,10 @@ _BATCH_BYTES_BUDGET = 3 << 30
 #: carved on-device (dynamic_slice inside the jitted scan) — the gather
 #: path re-ships every block's overlap and pads ragged blocks to the
 #: uniform window, ~2.2x the volume's own bytes over the H2D link on the
-#: (128,512,512) e2e bench; larger volumes fall back to block gather
+#: (128,512,512) e2e bench; larger volumes use z/y-slab-chunked resident
+#: staging (``_plan_slabs``, one slab of at most this many bytes on the
+#: device at a time, ~1x + slab-halo bytes shipped), falling back to
+#: block gather only when a single block row exceeds the budget
 _RESIDENT_BYTES_BUDGET = 1 << 30
 #: per-axis cap on device block edge (keeps the LoG cube in HBM comfortably;
 #: the reference's 500px default targeted CPU pool workers instead).
@@ -486,6 +489,123 @@ def _window_for_block(
     return np.maximum(0, np.minimum(start, np.asarray(shape) - block_shape))
 
 
+class SlabPlan(NamedTuple):
+    """Z/Y-slab chunking plan for resident staging past the whole-volume
+    HBM budget (round-4 VERDICT item 3).
+
+    Every slab has the SAME ``(sz, sy)`` extent (one compiled program —
+    remote compiles cost minutes) with a clamped origin, exactly like
+    block windows; ``slabs`` rows are ``(z0, y0, coords)`` where
+    ``coords`` are the block-grid coords whose windows fall inside
+    ``[z0:z0+sz, y0:y0+sy, :]``.
+    """
+    extent: Tuple[int, int]
+    slabs: List[Tuple[int, int, List[Tuple[int, ...]]]]
+    bytes_per_slab: int
+
+
+def _plan_slabs(
+        grid_shape, blocks: Blocks, block_shape, shape,
+        itemsize: int, budget: Optional[int] = None) -> Optional[SlabPlan]:
+    """Group block rows into uniform-extent slabs of <= ``budget`` bytes.
+
+    Strategy: slabs always span full X (blocks overlap most along the
+    axes they tile, and contiguous x keeps the host memmap read
+    sequential). Prefer full-Y z-slabs (fewest slabs, least overlap
+    re-staging); when even one z block row with full Y exceeds the
+    budget, chunk Y too. Returns None when a single (z, y) block row
+    pair cannot fit — callers then use the gather path.
+
+    Containment proof sketch: with uniform row stride ``s`` (=
+    ``max_pixels``), group extent ``ext = (m-1)*s + b`` and clamped
+    origin ``o = min(k0*s, dim-ext)``, every member window
+    ``w = min(k*s, dim-b)`` with ``k0 <= k < k0+m`` satisfies
+    ``o <= w`` and ``w + b <= o + ext``.
+    """
+    if budget is None:
+        budget = _RESIDENT_BYTES_BUDGET
+    nz, ny, nx = (int(v) for v in grid_shape)
+    bz, by, _bx = (int(v) for v in block_shape)
+    stride = np.asarray(blocks.max_pixels, int)
+    # the containment proof needs uniform strides: verify offsets
+    for k in range(nz):
+        if int(blocks.sub_rois_offsets[(k, 0, 0)][0]) != k * stride[0]:
+            return None
+    for j in range(ny):
+        if int(blocks.sub_rois_offsets[(0, j, 0)][1]) != j * stride[1]:
+            return None
+
+    def extent(m, st, b, dim):
+        return min((m - 1) * st + b, dim)
+
+    row_bytes = int(shape[2]) * itemsize
+    m_z = m_y = None
+    for m in range(nz, 0, -1):
+        sz = extent(m, stride[0], bz, shape[0])
+        if sz * shape[1] * row_bytes <= budget:
+            m_z, m_y = m, ny
+            sy = int(shape[1])
+            break
+    if m_z is None:
+        sz = min(bz, int(shape[0]))
+        for m in range(ny, 0, -1):
+            sy = extent(m, stride[1], by, shape[1])
+            if sz * sy * row_bytes <= budget:
+                m_z, m_y = 1, m
+                break
+    if m_z is None:
+        return None
+    slabs = []
+    for k0 in range(0, nz, m_z):
+        z0 = min(k0 * int(stride[0]), int(shape[0]) - sz)
+        for j0 in range(0, ny, m_y):
+            y0 = min(j0 * int(stride[1]), int(shape[1]) - sy)
+            coords = [
+                (k, j, i)
+                for k in range(k0, min(k0 + m_z, nz))
+                for j in range(j0, min(j0 + m_y, ny))
+                for i in range(nx)]
+            slabs.append((z0, y0, coords))
+    return SlabPlan((sz, sy), slabs, sz * sy * row_bytes)
+
+
+def _retry_overflow(retry, fallback, dispatch, store_block, capacity,
+                    max_capacity, batch_size):
+    """Re-detect capacity-overflowed blocks at doubled capacity until
+    they fit or the ceiling is hit (reference semantics: dynamic lists
+    never truncate, ``stack_detect.py:169``); at the ceiling, store the
+    truncated brightest-first rows rather than dropping the block."""
+    cap = capacity
+    while retry and cap < max_capacity:
+        cap = min(cap * 2, max_capacity)
+        _logger.info(
+            "re-detecting %d dense blocks at capacity %d",
+            len(retry), cap)
+        still = []
+        for i in range(0, len(retry), batch_size):
+            batch_coords, starts, raw_b, valid_b = dispatch(
+                retry[i:i + batch_size], cap)
+            raw_b = np.asarray(raw_b)
+            valid_b = np.asarray(valid_b)
+            for bi, coord in enumerate(batch_coords):
+                raw = raw_b[bi][valid_b[bi]]
+                if (int(valid_b[bi].sum()) >= cap
+                        and cap < max_capacity):
+                    still.append(coord)
+                    fallback[coord] = (starts[bi], raw)
+                    continue
+                if raw.shape[0]:
+                    store_block(coord, starts[bi], raw)
+        retry = still
+    for coord in retry:
+        wstart, raw = fallback[coord]
+        _logger.warning(
+            "block %s still overflows at the %d-blob capacity "
+            "ceiling; storing truncated results", coord, max_capacity)
+        if raw.shape[0]:
+            store_block(coord, wstart, raw)
+
+
 def _choose_capacity(settings, block_voxels: int) -> int:
     cap = settings["max_blobs_per_block"]
     if cap:
@@ -562,6 +682,9 @@ def detect_blobs_blocks(
     total_gather_s = 0.0
     total_pull_s = 0.0
     total_stage_s = 0.0
+    #: H2D bytes shipped (resident: volume once; slab: slabs incl.
+    #: halo re-staging; gather: padded windows incl. overlaps)
+    h2d_bytes = [0]
     time_detect = time.time()
     seg_rois = np.full(grid_shape, None, dtype=object)
     # fused Pallas peak finder needs a 128-aligned x extent, VMEM-fitting
@@ -599,6 +722,13 @@ def detect_blobs_blocks(
             not small_volume
             and chan_img.size * chan_img.itemsize
             <= _RESIDENT_BYTES_BUDGET)
+        # past the whole-volume budget: z/y-slab-chunked resident
+        # staging — each slab ships ~once (vs the gather path's ~2.2x)
+        slab_plan = None
+        if not resident and not small_volume:
+            slab_plan = _plan_slabs(
+                grid_shape, blocks, block_shape, shape,
+                chan_img.itemsize)
         vol_dev = None
         stage_s = 0.0
         if resident:
@@ -607,6 +737,7 @@ def detect_blobs_blocks(
             vol_dev.block_until_ready()
             stage_s = time.time() - t0
             total_stage_s += stage_s
+            h2d_bytes[0] += chan_img.size * chan_img.itemsize
 
         def gather_batch(batch_coords):
             starts = [
@@ -645,6 +776,7 @@ def detect_blobs_blocks(
                     np.asarray(chan_img) if not isinstance(
                         chan_img, np.ndarray) else chan_img,
                     np.asarray(starts), block_shape)
+            h2d_bytes[0] += stacked.nbytes
             return starts, stacked
 
         fast_flag = str(settings["log_dtype"]).lower() == "bfloat16"
@@ -692,6 +824,65 @@ def detect_blobs_blocks(
             seg_rois[coord] = (
                 segs if prev is None else np.vstack([prev, segs]))
 
+        def run_slab_pipeline():
+            """Slab-resident dispatch: stage one uniform-extent slab to
+            HBM at a time, carve its blocks on-device, prefetch the next
+            slab's host read concurrently; all result pulls deferred to
+            the end (outputs are ~MBs, the slabs are ~GBs)."""
+            from concurrent.futures import ThreadPoolExecutor
+            sz, sy = slab_plan.extent
+            bshape = tuple(int(v) for v in block_shape)
+            thr = float(settings["detection_threshold"])
+            ovl = float(settings["overlap"])
+            out, pending = [], []
+            stage_s = pull_s = 0.0
+
+            def read_slab(slab):
+                z0, y0, _ = slab
+                t0 = time.time()
+                host = np.ascontiguousarray(
+                    chan_img[z0:z0 + sz, y0:y0 + sy])
+                return host, time.time() - t0
+
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                fut = pool.submit(read_slab, slab_plan.slabs[0])
+                for si, (z0, y0, coords) in enumerate(slab_plan.slabs):
+                    host, read_s = fut.result()
+                    gather_s.append(read_s)
+                    if si + 1 < len(slab_plan.slabs):
+                        fut = pool.submit(
+                            read_slab, slab_plan.slabs[si + 1])
+                    t0 = time.time()
+                    sl_dev = jnp.asarray(host)
+                    stage_s += time.time() - t0
+                    h2d_bytes[0] += host.nbytes
+                    for b0 in range(0, len(coords), batch_size):
+                        bc = coords[b0:b0 + batch_size]
+                        st_abs = [_window_for_block(
+                            shape, blocks.sub_rois_offsets[c],
+                            block_shape) for c in bc]
+                        n = len(bc)
+                        rel = (np.asarray(st_abs, np.int32)
+                               - np.asarray([z0, y0, 0], np.int32))
+                        if n < batch_size:
+                            # pad to the compiled batch shape; padded
+                            # rows are sliced off after the pull
+                            rel = np.concatenate(
+                                [rel, np.repeat(
+                                    rel[-1:], batch_size - n, 0)])
+                        raw_b, valid_b = _detect_batch_resident(
+                            sl_dev, jnp.asarray(rel), bshape, sigmas,
+                            thr, ovl, capacity, denoise_shape, prep,
+                            fast=fast_flag, fused=use_fused)
+                        pending.append((bc, st_abs, n, raw_b, valid_b))
+                    del sl_dev
+                for bc, st, n, rb, vb in pending:
+                    t0 = time.time()
+                    out.append((bc, st, np.asarray(rb)[:n],
+                                np.asarray(vb)[:n]))
+                    pull_s += time.time() - t0
+            return out, stage_s, pull_s
+
         # two-deep software pipeline: host threads gather block batch
         # i+2 from the (memmapped) volume while batch i+1's H2D/compute
         # is in flight and batch i computes; the result pull happens
@@ -712,6 +903,27 @@ def detect_blobs_blocks(
             out = gather_batch(bc)
             gather_s.append(time.time() - t0)
             return out
+
+        if slab_plan is not None:
+            results, slab_stage_s, pull_s = run_slab_pipeline()
+            total_stage_s += slab_stage_s
+            total_gather_s += sum(gather_s)
+            total_pull_s += pull_s
+            retry = []
+            fallback = {}
+            for batch_coords, starts, raw_b, valid_b in results:
+                for bi, coord in enumerate(batch_coords):
+                    raw = raw_b[bi][valid_b[bi]]
+                    if int(valid_b[bi].sum()) >= capacity:
+                        retry.append(coord)
+                        fallback[coord] = (starts[bi], raw)
+                        continue
+                    if raw.shape[0]:
+                        store_block(coord, starts[bi], raw)
+            _retry_overflow(
+                retry, fallback, dispatch, store_block, capacity,
+                max_capacity, batch_size)
+            continue
 
         results = []
         pull_s = 0.0
@@ -758,37 +970,9 @@ def detect_blobs_blocks(
                 if raw.shape[0]:
                     store_block(coord, starts[bi], raw)
 
-        cap = capacity
-        while retry and cap < max_capacity:
-            cap = min(cap * 2, max_capacity)
-            _logger.info(
-                "re-detecting %d dense blocks at capacity %d",
-                len(retry), cap)
-            still = []
-            for i in range(0, len(retry), batch_size):
-                batch_coords, starts, raw_b, valid_b = dispatch(
-                    retry[i:i + batch_size], cap)
-                raw_b = np.asarray(raw_b)
-                valid_b = np.asarray(valid_b)
-                for bi, coord in enumerate(batch_coords):
-                    raw = raw_b[bi][valid_b[bi]]
-                    if (int(valid_b[bi].sum()) >= cap
-                            and cap < max_capacity):
-                        still.append(coord)
-                        fallback[coord] = (starts[bi], raw)
-                        continue
-                    if raw.shape[0]:
-                        store_block(coord, starts[bi], raw)
-            retry = still
-        for coord in retry:
-            # capacity ceiling hit while the buffer is still full: store the
-            # truncated (brightest-first) rows rather than dropping the block
-            wstart, raw = fallback[coord]
-            _logger.warning(
-                "block %s still overflows at the %d-blob capacity "
-                "ceiling; storing truncated results", coord, max_capacity)
-            if raw.shape[0]:
-                store_block(coord, wstart, raw)
+        _retry_overflow(
+            retry, fallback, dispatch, store_block, capacity,
+            max_capacity, batch_size)
 
     time_detect = time.time() - time_detect
 
@@ -805,9 +989,12 @@ def detect_blobs_blocks(
               # this dominates)
               "Gather_host": total_gather_s,
               "Pull_wait": total_pull_s,
-              # whole-volume H2D staging (resident path only; the
-              # volume's bytes cross the link exactly once)
-              "Stage_h2d": total_stage_s}
+              # H2D staging time (resident/slab paths; the volume's
+              # bytes cross the link ~once) and total bytes shipped
+              # host->device (compare to the volume's own bytes: ~1x
+              # resident, ~1x + slab halos chunked, ~2.2x gathered)
+              "Stage_h2d": total_stage_s,
+              "h2d_bytes": h2d_bytes[0]}
     if verify_fn is not None and blobs_all is not None:
         timing["verify_stats"] = verify_fn(blobs_all)
     return blobs_all, timing

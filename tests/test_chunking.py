@@ -1,6 +1,7 @@
 """Block split/merge identity + whole-stack detection tests."""
 
 import numpy as np
+import pytest
 
 from magellanmapper_tpu.cv import chunking, detector, ref_detect, stack_detect
 from magellanmapper_tpu.settings.roi_prof import ROIProfile
@@ -110,6 +111,92 @@ class TestStackDetect:
         assert resident is not None and gathered is not None
         np.testing.assert_allclose(
             np.sort(resident, axis=0), np.sort(gathered, axis=0),
+            rtol=1e-5, atol=1e-5)
+
+    def test_slab_plan_geometry(self):
+        """_plan_slabs: uniform extents, clamped origins, every block
+        window contained in its slab, every grid coord covered once."""
+        shape = (50, 70, 70)
+        prof = self._profile()
+        blocks = stack_detect.setup_blocks(prof, shape, (1.0, 1.0, 1.0))
+        block_shape = np.minimum(
+            blocks.max_pixels + blocks.overlap, shape)
+        plan = stack_detect._plan_slabs(
+            blocks.sub_roi_slices.shape, blocks, block_shape, shape,
+            itemsize=4, budget=900_000)
+        assert plan is not None
+        sz, sy = plan.extent
+        assert plan.bytes_per_slab == sz * sy * shape[2] * 4
+        assert plan.bytes_per_slab <= 900_000
+        seen = []
+        for z0, y0, coords in plan.slabs:
+            assert 0 <= z0 <= shape[0] - sz
+            assert 0 <= y0 <= shape[1] - sy
+            for c in coords:
+                w = stack_detect._window_for_block(
+                    shape, blocks.sub_rois_offsets[c], block_shape)
+                assert z0 <= w[0] and w[0] + block_shape[0] <= z0 + sz
+                assert y0 <= w[1] and w[1] + block_shape[1] <= y0 + sy
+            seen.extend(coords)
+        assert sorted(seen) == sorted(
+            np.ndindex(*blocks.sub_roi_slices.shape))
+
+    def test_slab_plan_impossible_returns_none(self):
+        shape = (50, 70, 70)
+        prof = self._profile()
+        blocks = stack_detect.setup_blocks(prof, shape, (1.0, 1.0, 1.0))
+        block_shape = np.minimum(
+            blocks.max_pixels + blocks.overlap, shape)
+        assert stack_detect._plan_slabs(
+            blocks.sub_roi_slices.shape, blocks, block_shape, shape,
+            itemsize=4, budget=1000) is None
+
+    @pytest.mark.parametrize("budget", [900_000, 600_000])
+    def test_slab_path_matches_resident(self, monkeypatch, budget):
+        """Volumes past the whole-volume budget use z/y-slab resident
+        staging; blobs must be identical to whole-volume staging.
+        budget=900k exercises full-Y z-slabs, 600k forces Y chunking."""
+        vol, _ = _nuclei_volume(23, (50, 70, 70), 40)
+        prof = self._profile()
+        res = (1.0, 1.0, 1.0)
+        resident, t_res = stack_detect.detect_blobs_blocks(
+            vol, prof, res, preprocess=False)
+        monkeypatch.setattr(
+            stack_detect, "_RESIDENT_BYTES_BUDGET", budget)
+        slab, t_slab = stack_detect.detect_blobs_blocks(
+            vol, prof, res, preprocess=False)
+        assert resident is not None and slab is not None
+        np.testing.assert_allclose(
+            np.sort(resident, axis=0), np.sort(slab, axis=0),
+            rtol=1e-5, atol=1e-5)
+        # slab mode ships ~1x + halos; gather would ship every padded
+        # window (~2.2x). Whole-volume residency is the 1.0x floor.
+        monkeypatch.setattr(stack_detect, "_RESIDENT_BYTES_BUDGET", 0)
+        gathered, t_gather = stack_detect.detect_blobs_blocks(
+            vol, prof, res, preprocess=False)
+        np.testing.assert_allclose(
+            np.sort(resident, axis=0), np.sort(gathered, axis=0),
+            rtol=1e-5, atol=1e-5)
+        assert t_res["h2d_bytes"] == vol.nbytes
+        assert (vol.nbytes <= t_slab["h2d_bytes"]
+                < t_gather["h2d_bytes"])
+
+    def test_slab_path_with_preproc_matches(self, monkeypatch):
+        """Slab carving must compose with per-denoise-unit preproc the
+        same way whole-volume residency does."""
+        vol, _ = _nuclei_volume(29, (50, 70, 70), 40)
+        prof = self._profile()
+        prof["denoise_size"] = 25
+        res = (1.0, 1.0, 1.0)
+        resident, _ = stack_detect.detect_blobs_blocks(
+            vol, prof, res, preprocess=True)
+        monkeypatch.setattr(
+            stack_detect, "_RESIDENT_BYTES_BUDGET", 900_000)
+        slab, _ = stack_detect.detect_blobs_blocks(
+            vol, prof, res, preprocess=True)
+        assert resident is not None and slab is not None
+        np.testing.assert_allclose(
+            np.sort(resident, axis=0), np.sort(slab, axis=0),
             rtol=1e-5, atol=1e-5)
 
     def test_no_duplicates_after_pruning(self):
