@@ -199,6 +199,184 @@ def _optimize_level(
     return params, loss_fn(params, None)
 
 
+# ---------------------------------------------------------------------------
+# Multi-chip sharded metric + optimizer level (round-4 VERDICT item 2).
+#
+# Sample-space parallelism over a jax.sharding.Mesh: the metric's sample
+# set (the warp gather is the measured hot spot, and at full-resolution
+# metric evaluation the Parzen histogram matmul scales with it) shards
+# over every mesh axis via shard_map. Pass 1 gathers each device's
+# sample chunk from the (replicated) moving volume; the global intensity
+# ranges are computed on the replicated sample vectors outside shard_map
+# (keeps min/max on the ordinary AD path); pass 2 accumulates each
+# device's partial (nbins, nbins) Parzen joint histogram and psums it
+# over ICI — the segment-sum collective SURVEY §2.10 maps Mattes-MI to.
+# Matches the single-device math exactly up to reduction order
+# (pinned by tests/test_reg_sharded.py).
+
+
+def _all_axes(mesh) -> Tuple[str, ...]:
+    return tuple(mesh.axis_names)
+
+
+def _pad_to(x: jnp.ndarray, n: int, axis: int = 0) -> jnp.ndarray:
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, n - x.shape[axis])
+    return jnp.pad(x, pad)
+
+
+def _sharded_gather(mesh, moving, coords, order: int = 1) -> jnp.ndarray:
+    """Warp gather with the sample axis sharded over every mesh axis;
+    ``moving`` is replicated (a general warp reads arbitrary source
+    voxels, so source-sharding would need an all-gather anyway)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axes = _all_axes(mesh)
+
+    def local(mov, c):
+        return transform.sample_volume(mov, c, order=order)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(*(None,) * moving.ndim), P(None, axes)),
+        out_specs=P(axes))(moving, coords)
+
+
+def _sharded_mattes_mi(mesh, f, m, wf_weight, lo_f, hi_f, lo_m, hi_m,
+                       nbins: int = 32) -> jnp.ndarray:
+    """Mattes MI with the Parzen joint histogram accumulated per device
+    and ``psum``'d across the mesh (identical to
+    :func:`metrics.mattes_mi` up to summation order)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axes = _all_axes(mesh)
+
+    def local(f_c, m_c, w_c, lf, hf, lm, hm):
+        fb = (f_c - lf) / jnp.maximum(hf - lf, 1e-8) * (nbins - 1)
+        mb = (m_c - lm) / jnp.maximum(hm - lm, 1e-8) * (nbins - 1)
+        wf = metrics._parzen_weights(fb, nbins) * w_c[:, None]
+        wm = metrics._parzen_weights(mb, nbins)
+        joint = jnp.matmul(
+            wf.T, wm, precision=jax.lax.Precision.HIGHEST)
+        joint = jax.lax.psum(joint, axes)
+        joint = joint / jnp.maximum(joint.sum(), 1e-8)
+        pf = joint.sum(axis=1, keepdims=True)
+        pm = joint.sum(axis=0, keepdims=True)
+        ratio = joint / jnp.maximum(pf * pm, 1e-12)
+        return jnp.sum(joint * jnp.log(jnp.maximum(ratio, 1e-12)))
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axes), P(axes), P(axes), P(), P(), P(), P()),
+        out_specs=P())(
+        f, m, wf_weight, lo_f, hi_f, lo_m, hi_m)
+
+
+def _sharded_metric_loss(mesh, metric: str, f, m, valid, mask):
+    """Minimizable sharded loss on flat sample vectors.
+
+    ``valid`` masks padding rows (the sample count is padded up to a
+    multiple of the device count); ``mask`` carries the metric mask
+    (fixed-mask samples + moving-mask rejection), matching the
+    single-device semantics: the MI intensity range ignores the metric
+    mask (as :func:`metrics.mattes_mi` does) but never sees padding.
+    """
+    w_metric = valid if mask is None else valid * mask
+    if metric in ("AdvancedMattesMutualInformation", "mi"):
+        inf = jnp.float32(jnp.inf)
+        lo_f = jnp.min(jnp.where(valid > 0, f, inf))
+        hi_f = jnp.max(jnp.where(valid > 0, f, -inf))
+        lo_m = jnp.min(jnp.where(valid > 0, m, inf))
+        hi_m = jnp.max(jnp.where(valid > 0, m, -inf))
+        return -_sharded_mattes_mi(
+            mesh, f, m, w_metric, lo_f, hi_f, lo_m, hi_m)
+    # NCC / MSE reduce to a handful of sample sums — the gather is the
+    # sharded hot spot; the 16k-sample reductions run replicated
+    if metric in ("AdvancedNormalizedCorrelation", "ncc"):
+        return -metrics.ncc(f, m, mask=w_metric)
+    if metric in ("mse", "AdvancedMeanSquares"):
+        w = w_metric.astype(f.dtype)
+        return jnp.sum(w * (f - m) ** 2) / jnp.maximum(w.sum(), 1.0)
+    raise ValueError(f"unknown metric: {metric}")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "kind", "metric", "spacing", "lrs",
+                              "stride", "jitter", "pt_weight"))
+def _optimize_level_sharded(
+        mesh, fixed: jnp.ndarray, moving: jnp.ndarray, params: Dict,
+        pre_affine: Optional[Dict], kind: str, metric: str, iters,
+        spacing: Optional[Tuple[float, ...]],
+        lrs: Tuple[Tuple[str, float], ...],
+        stride: Tuple[int, int, int] = (1, 1, 1),
+        fixed_mask: Optional[jnp.ndarray] = None,
+        fix_pts: Optional[jnp.ndarray] = None,
+        mov_pts: Optional[jnp.ndarray] = None,
+        pt_weight: float = 0.0,
+        jitter: bool = True,
+        moving_mask: Optional[jnp.ndarray] = None):
+    """Mesh-sharded :func:`_optimize_level`: same Adam/LR-decay loop,
+    with the metric samples sharded over every mesh axis (reference hot
+    path ``register.py:423-638`` at whole-brain scale; SURVEY §2.10)."""
+    lr_map = dict(lrs)
+    opt = optax.adam(1.0)
+    use_jitter = jitter and any(s > 1 for s in stride)
+    n_dev = int(np.prod(mesh.devices.shape))
+
+    def loss_fn(p, offset):
+        coords = transform.transform_coords(
+            p, kind, fixed.shape, spacing, pre_affine, stride, offset)
+        fixed_s = transform.strided_sample(fixed, stride, offset)
+        n = fixed_s.size
+        n_pad = -(-n // n_dev) * n_dev
+        f = _pad_to(fixed_s.reshape(-1), n_pad)
+        c = _pad_to(coords.reshape(3, -1), n_pad, axis=1)
+        valid = _pad_to(jnp.ones((n,), jnp.float32), n_pad)
+        mask = None
+        if fixed_mask is not None:
+            mask = _pad_to(transform.strided_sample(
+                fixed_mask, stride, offset).reshape(-1), n_pad)
+        m = _sharded_gather(mesh, moving, c)
+        if moving_mask is not None:
+            mm = jax.lax.stop_gradient(
+                _sharded_gather(mesh, moving_mask, c))
+            mm = (mm > 0.5).astype(jnp.float32)
+            mask = mm if mask is None else mask * mm
+        loss = _sharded_metric_loss(mesh, metric, f, m, valid, mask)
+        if fix_pts is not None and mov_pts is not None:
+            mapped = transform.transform_points(
+                fix_pts, p, kind, fixed.shape, spacing, pre_affine)
+            dist = jnp.sqrt(
+                jnp.sum((mapped - mov_pts) ** 2, axis=1) + 1e-12)
+            loss = loss + jnp.float32(pt_weight) * jnp.mean(dist)
+        return loss
+
+    def step(i, state):
+        p, opt_state, key = state
+        if use_jitter:
+            key, sub = jax.random.split(key)
+            offset = jax.random.randint(
+                sub, (3,), 0, jnp.asarray(stride))
+        else:
+            offset = None
+        loss, grads = jax.value_and_grad(loss_fn)(p, offset)
+        updates, opt_state = opt.update(grads, opt_state, p)
+        decay = jnp.power(
+            jnp.float32(_LR_DECAY_FLOOR),
+            i.astype(jnp.float32)
+            / jnp.maximum(jnp.asarray(iters, jnp.float32), 1.0))
+        updates = {k: v * (lr_map.get(k, 1.0) * decay)
+                   for k, v in updates.items()}
+        p = optax.apply_updates(p, updates)
+        return p, opt_state, key
+
+    state = (params, opt.init(params), jax.random.PRNGKey(0))
+    params, _, _ = jax.lax.fori_loop(0, iters, step, state)
+    return params, loss_fn(params, None)
+
+
 def _parse_grid_schedule(sched, levels_cap: int):
     """Parse an Elastix ``GridSpacingSchedule`` into per-level per-axis
     multipliers of the final grid spacing, coarsest level first.
@@ -256,7 +434,8 @@ def register_stage(
         kind: Optional[str] = None,
         fixed_mask=None, moving_mask=None,
         fix_pts=None, mov_pts=None,
-        pt_weight: float = 1.0) -> Tuple[Dict, float]:
+        pt_weight: float = 1.0,
+        mesh=None) -> Tuple[Dict, float]:
     """Run one registration stage (translation / affine / bspline).
 
     Args:
@@ -276,6 +455,9 @@ def register_stage(
             points must map onto moving-space points) — the
             CorrespondingPointsEuclideanDistanceMetric term, weighted by
             ``pt_weight`` and active when the stage sets ``point_based``.
+        mesh: optional ``jax.sharding.Mesh``; when set, every level runs
+            the mesh-sharded metric/optimizer (samples over all mesh
+            axes, psum'd Parzen joint histogram).
 
     Returns:
         ``(params, final_loss)``.
@@ -417,9 +599,16 @@ def register_stage(
                 fix_pts=fix_pts / level_factor,
                 mov_pts=mov_pts / level_factor,
                 pt_weight=float(pt_weight))
-        params, loss = _optimize_level(
-            f_l, m_l, params, pre_l, kind, metric, iters, sp, lrs,
-            stride, fixed_mask=mask_l, moving_mask=mov_mask_l, **pts_args)
+        if mesh is not None:
+            params, loss = _optimize_level_sharded(
+                mesh, f_l, m_l, params, pre_l, kind, metric, iters, sp,
+                lrs, stride, fixed_mask=mask_l, moving_mask=mov_mask_l,
+                **pts_args)
+        else:
+            params, loss = _optimize_level(
+                f_l, m_l, params, pre_l, kind, metric, iters, sp, lrs,
+                stride, fixed_mask=mask_l, moving_mask=mov_mask_l,
+                **pts_args)
         if not smoothing and lvl < levels - 1:
             params = _scale_params(params, 2.0, kind)
     return params, float(loss)
@@ -467,7 +656,8 @@ def register_duo(
         fix_pts: Optional[np.ndarray] = None,
         mov_pts: Optional[np.ndarray] = None,
         checkpoint_dir: Optional[str] = None,
-        record_stage_dsc: bool = False) -> Tuple[np.ndarray, RegResult]:
+        record_stage_dsc: bool = False,
+        mesh=None) -> Tuple[np.ndarray, RegResult]:
     """Register ``moving`` onto ``fixed`` through the profile's stages.
 
     Reference surface ``register.register_duo`` (``register.py:423``):
@@ -529,19 +719,21 @@ def register_duo(
         if kind == "translation":
             params, loss = register_stage(
                 fixed, moving, stage, iters_scale=iters_scale, kind=kind,
-                **masks, **pts)
+                mesh=mesh, **masks, **pts)
             init_affine = {"W": jnp.zeros((3, 3)), "t": params["t"]}
         elif kind == "affine":
             params, loss = register_stage(
                 fixed, moving, stage, init_params=init_affine,
-                iters_scale=iters_scale, kind=kind, **masks, **pts)
+                iters_scale=iters_scale, kind=kind, mesh=mesh,
+                **masks, **pts)
             pre_affine = params
         else:
             if pre_affine is None and init_affine is not None:
                 pre_affine = init_affine
             params, loss = register_stage(
                 fixed, moving, stage, pre_affine=pre_affine,
-                iters_scale=iters_scale, kind=kind, **masks, **pts)
+                iters_scale=iters_scale, kind=kind, mesh=mesh,
+                **masks, **pts)
             gsv = float(stage.get("grid_space_voxels") or 50)
             sched = stage.get("grid_spacing_schedule")
             mult = _parse_grid_schedule(sched, 99)[-1] if sched \
@@ -621,8 +813,8 @@ def register_groupwise(
         num_resolutions: int = 3,
         bspline_iter: int = 0,
         grid_space_voxels: float = 130.0,
-        grid_spacing_schedule: Optional[Sequence[float]] = None
-) -> Tuple[np.ndarray, list]:
+        grid_spacing_schedule: Optional[Sequence[float]] = None,
+        mesh=None) -> Tuple[np.ndarray, list]:
     """Joint groupwise registration (4D variance metric).
 
     All images' parameters optimize together against the group variance
@@ -638,6 +830,12 @@ def register_groupwise(
     re-sampled onto the next (Elastix ``GridSpacingSchedule``
     semantics) — with the iterations split evenly across levels.
     Returns ``(mean_image, per_image_params)``.
+
+    With ``mesh``, the subject stack (and per-subject parameter
+    leaves) shard over the mesh's FIRST axis (dp over subjects — the
+    reference joins a 4D stack, ``register.py:1189``): each device
+    warps only its subjects, and XLA turns the cross-subject variance
+    reduction into ICI collectives via sharding propagation.
     """
     shapes = np.asarray([im.shape for im in imgs])
     target = shapes.min(axis=0)
@@ -645,6 +843,11 @@ def register_groupwise(
         np.asarray(im[:target[0], :target[1], :target[2]], np.float32)
         for im in imgs]))
     k = len(imgs)
+    shard_k = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shard_k = NamedSharding(mesh, P(mesh.axis_names[0]))
+        vols = jax.device_put(vols, shard_k)
 
     levels = max(1, min(num_resolutions, int(np.floor(
         np.log2(max(min(target) / 8, 1)))) + 1))
@@ -656,6 +859,9 @@ def register_groupwise(
         pyr.insert(0, sm[:, ::2, ::2, ::2])
 
     params = {"W": jnp.zeros((k, 3, 3)), "t": jnp.zeros((k, 3))}
+    if shard_k is not None:
+        params = {n: jax.device_put(v, shard_k)
+                  for n, v in params.items()}
     lrs = (("W", 0.01), ("t", 1.0))
     for lvl, v_l in enumerate(pyr):
         iters = max(1, max_iter // (2 ** lvl))
@@ -691,6 +897,8 @@ def register_groupwise(
                 params["grid"] = jax.vmap(
                     lambda g: transform.resample_grid(
                         g, prev_spacing, gshape, spacing))(params["grid"])
+            if shard_k is not None:
+                params["grid"] = jax.device_put(params["grid"], shard_k)
             params, loss = _optimize_group_level(
                 vols, params, level_iters, lrs_b, stride,
                 spacing=spacing)

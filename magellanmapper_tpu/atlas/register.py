@@ -294,7 +294,7 @@ def register_rev(
 def register_group(
         imgs: Sequence[np.ndarray], profile,
         n_iters: int = 2, iters_scale: float = 1.0,
-        joint: bool = True
+        joint: bool = True, mesh=None
 ) -> Tuple[np.ndarray, list]:
     """Groupwise registration (reference ``register_group :1189``).
 
@@ -318,7 +318,7 @@ def register_group(
             imgs, max_iter=max_iter, bspline_iter=bspline_iter,
             grid_space_voxels=gsv,
             grid_spacing_schedule=bs.get("grid_spacing_schedule")
-            if bs else None)
+            if bs else None, mesh=mesh)
     shapes = np.asarray([im.shape for im in imgs])
     target_shape = shapes.min(axis=0)
     vols = [np.asarray(im[:target_shape[0], :target_shape[1],
