@@ -320,34 +320,30 @@ def bench_registration_dsc(shape=(160, 240, 200)):
 
 
 def bench_reg_gauntlet(shape=(160, 240, 200)):
-    """Realistic registration gauntlet (round-3 VERDICT item 1).
+    """Registration gauntlet SUITE (round-4 VERDICT item 4).
 
-    Atlas-scale pair with a smooth FFD deformation ON TOP of an affine,
-    a nonlinear intensity remap + bias field + noise on the fixed image
-    (the atlas<->specimen modality gap Mattes-MI exists for,
-    ``/root/reference/magmap/atlas/register.py:647,884-893``), and a
-    multi-label annotation carried through the GT warp. Gates: overlap
-    DSC >= 0.95, median label-transfer DSC >= 0.90, and the B-spline
-    stage improving DSC by >= 0.05 over the affine stage.
+    Two seeded atlas-scale anatomy/deformation pairs (smooth FFD on top
+    of an affine, gamma+bias+noise modality gap, 24-region annotation)
+    plus a truncated-specimen partial-overlap case. Per-pair gates:
+    overlap DSC >= 0.95, label-transfer median >= 0.90, worst region
+    min >= 0.80 OR p10 >= 0.85, B-spline stage gain >= 0.05. Compact
+    rows: [dsc, label_median, label_min, bspline_gain, warp_err_vox,
+    gt_disp_vox] per pair.
     """
     from magellanmapper_tpu.atlas import gauntlet
 
     cache = os.path.join(os.path.dirname(
         os.path.abspath(__file__)), ".bench_cache")
-    pair = gauntlet.build_pair(shape=shape, cache_dir=cache)
-    t0 = time.perf_counter()
-    result = gauntlet.run_gauntlet(pair)
-    wall = time.perf_counter() - t0
-    return {
-        "wall_s": round(wall, 1),
-        "dsc": round(result["dsc"], 4),
-        "label_dsc_median": round(result["label_dsc_median"], 4),
-        "label_dsc_min": round(result["label_dsc_min"], 4),
-        "bspline_dsc_gain": round(result["bspline_dsc_gain"], 4),
-        "warp_err_vox": round(result["warp_err_vox"], 2),
-        "gt_disp_vox": round(result["gt_disp_vox"], 2),
-        "passes": bool(result["passes"]),
-    }
+    suite = gauntlet.run_gauntlet_suite(shape=shape, cache_dir=cache)
+    rows = {}
+    for name, r in suite["pairs"].items():
+        rows[name] = [
+            round(r["dsc"], 4), round(r["label_dsc_median"], 3),
+            round(r["label_dsc_min"], 3),
+            round(r["bspline_dsc_gain"], 3),
+            round(r["warp_err_vox"], 2), round(r["gt_disp_vox"], 2)]
+    return {"wall_s": round(suite["wall_s"], 1), "pairs": rows,
+            "passes": bool(suite["passes"])}
 
 
 def bench_groupwise(shape=(160, 240, 200), k=4):

@@ -269,6 +269,47 @@ def build_pair(shape: Sequence[int] = (160, 240, 200), seed: int = 0,
             "labels_fixed_gt": labels_fixed_gt, "gt": gt}
 
 
+def build_truncated_pair(
+        shape: Sequence[int] = (160, 240, 200), seed: int = 0,
+        keep_frac: float = 0.7,
+        cache_dir: Optional[str] = None, **gt_kwargs) -> Dict:
+    """Partial-overlap case: truncated specimen vs the FULL atlas.
+
+    The reference's real pipelines register a full averaged atlas onto
+    specimens whose imaging cut off part of the brain — handled by the
+    ``truncate_labels`` / crop workflow
+    (``/root/reference/magmap/atlas/register.py:791-804``,
+    ``atlas_refiner.py:53``). Model it by zeroing the posterior
+    ``1 - keep_frac`` of the specimen's z extent (and its GT-warped
+    annotation) and carrying a ``fixed_mask`` over the kept region so
+    the metric ignores the missing anatomy — the crop workflow's
+    sampling semantics. Label gates then consider only regions
+    substantially present in the truncated specimen.
+    """
+    pair = build_pair(shape, seed=seed, cache_dir=cache_dir, **gt_kwargs)
+    shape = pair["fixed"].shape
+    z_cut = int(shape[0] * keep_frac)
+    fixed = np.array(pair["fixed"])
+    fixed[z_cut:] = 0.0
+    labels_gt = np.array(pair["labels_fixed_gt"])
+    labels_gt[z_cut:] = 0
+    mask = np.zeros(shape, bool)
+    mask[:z_cut] = True
+    # a region counts toward the gates only if the truncation kept most
+    # of it — slivers bisected by the cut plane measure the cut, not
+    # the registration
+    full_counts = np.bincount(pair["labels_fixed_gt"].reshape(-1))
+    kept_counts = np.bincount(
+        labels_gt.reshape(-1), minlength=len(full_counts))
+    gated = [int(lid) for lid in range(1, len(full_counts))
+             if full_counts[lid] > 0
+             and kept_counts[lid] >= 0.5 * full_counts[lid]]
+    out = dict(pair)
+    out.update(fixed=fixed, labels_fixed_gt=labels_gt, fixed_mask=mask,
+               gated_labels=gated, keep_frac=float(keep_frac))
+    return out
+
+
 def run_gauntlet(pair: Dict, iters_scale: float = 1.0) -> Dict:
     """Register the gauntlet pair and score it against the ground truth.
 
@@ -279,14 +320,21 @@ def run_gauntlet(pair: Dict, iters_scale: float = 1.0) -> Dict:
     users actually consume:
 
      - ``dsc``: fixed/moved Otsu-overlap DSC (gate >= 0.95);
-     - ``label_dsc_median``/``label_dsc_min``: per-region Dice of the
-       order-0 transferred annotation vs the GT-warped one (median gate
-       >= 0.90);
+     - ``label_dsc_median``/``label_dsc_min``/``label_dsc_p10``:
+       per-region Dice of the order-0 transferred annotation vs the
+       GT-warped one (gates: median >= 0.90 AND (min >= 0.80 OR
+       p10 >= 0.85) — one bad region at 0.77 is exactly what an atlas
+       user notices, so the worst region is gated, not just reported);
      - ``bspline_dsc_gain``: DSC the B-spline stage adds over the
        affine stage (gate >= 0.05 — proves the deformable stage does
        real work, not +0.011 on an affine-only pair);
      - ``warp_err_vox``: mean ``|T_rec(x) - T_gt(x)|`` over foreground
        voxels vs the GT mean displacement ``gt_disp_vox``.
+
+    Pairs from :func:`build_truncated_pair` carry a ``fixed_mask``
+    (metric sampling restricted to the kept anatomy, overlap DSC
+    measured inside it) and ``gated_labels`` (regions substantially
+    present in the truncated specimen).
     """
     import time as _time
 
@@ -296,6 +344,7 @@ def run_gauntlet(pair: Dict, iters_scale: float = 1.0) -> Dict:
 
     shape = pair["moving"].shape
     gt = pair["gt"]
+    fixed_mask = pair.get("fixed_mask")
     prof = AtlasProfile()
     prof["reg_translation"] = make_reg_param_map(
         "translation", 2048, num_resolutions=4, pyramid_mode="smoothing")
@@ -307,12 +356,20 @@ def run_gauntlet(pair: Dict, iters_scale: float = 1.0) -> Dict:
     t0 = _time.perf_counter()
     moved, result = reg_engine.register_duo(
         pair["fixed"], pair["moving"], prof,
-        iters_scale=iters_scale, record_stage_dsc=True)
+        iters_scale=iters_scale, record_stage_dsc=True,
+        fixed_mask=(fixed_mask.astype(np.float32)
+                    if fixed_mask is not None else None))
     wall = _time.perf_counter() - t0
 
     labels_pred = result.transform_img(
         pair["labels"].astype(np.float32), order=0).astype(np.int32)
-    lt = label_transfer_dsc(labels_pred, pair["labels_fixed_gt"])
+    if fixed_mask is not None:
+        # judge label transfer only where the specimen exists — the
+        # atlas legitimately extends past the truncation
+        labels_pred = np.where(fixed_mask, labels_pred, 0)
+    lt = label_transfer_dsc(
+        labels_pred, pair["labels_fixed_gt"],
+        only_labels=pair.get("gated_labels"))
 
     # warp error: |T_rec - T_gt| sampled on a stride-4 grid, restricted
     # to foreground (the transform is unconstrained in background)
@@ -335,32 +392,72 @@ def run_gauntlet(pair: Dict, iters_scale: float = 1.0) -> Dict:
           for k, v in result.metrics.items()
           if k.startswith("dsc_stage_")}
     dsc = float(result.metrics["dsc_fixed_moved"])
+    if fixed_mask is not None:
+        # overlap judged inside the kept anatomy only
+        from magellanmapper_tpu.atlas import metrics as _metrics
+        dsc = float(_metrics.measure_overlap(
+            pair["fixed"], np.where(fixed_mask, moved, 0.0)))
     gain = st.get("bspline", 0.0) - st.get("affine", 0.0)
     out = {
         "wall_s": wall, "dsc": dsc, "stage_dsc": st,
         "bspline_dsc_gain": gain,
         "label_dsc_median": lt["median"], "label_dsc_min": lt["min"],
+        "label_dsc_p10": lt["p10"],
         "warp_err_vox": float(err_fg.mean()),
         "warp_err_p95_vox": float(np.percentile(err_fg, 95)),
         "gt_disp_vox": float(gt["disp_stats"]["mean_vox"]),
-        "passes": bool(dsc >= 0.95 and lt["median"] >= 0.90
-                       and gain >= 0.05),
+        "passes": bool(
+            dsc >= 0.95 and lt["median"] >= 0.90 and gain >= 0.05
+            and (lt["min"] >= 0.80 or lt["p10"] >= 0.85)),
     }
     return out
 
 
+def run_gauntlet_suite(
+        shape: Sequence[int] = (160, 240, 200),
+        seeds: Sequence[int] = (0, 10),
+        truncated_seed: Optional[int] = 0,
+        cache_dir: Optional[str] = None,
+        iters_scale: float = 1.0, **gt_kwargs) -> Dict:
+    """Multi-pair gauntlet: >= 2 seeded anatomy/deformation pairs plus a
+    truncated-specimen partial-overlap case, so the gates are not tuned
+    to one fixture (round-4 VERDICT item 4). Every pair must pass every
+    gate for the suite to pass.
+    """
+    pairs = []
+    for s in seeds:
+        pairs.append((f"seed{s}", build_pair(
+            shape, seed=s, cache_dir=cache_dir, **gt_kwargs)))
+    if truncated_seed is not None:
+        pairs.append((f"trunc{truncated_seed}", build_truncated_pair(
+            shape, seed=truncated_seed, cache_dir=cache_dir,
+            **gt_kwargs)))
+    results = {}
+    for name, pair in pairs:
+        results[name] = run_gauntlet(pair, iters_scale=iters_scale)
+    return {
+        "pairs": results,
+        "passes": bool(all(r["passes"] for r in results.values())),
+        "wall_s": float(sum(r["wall_s"] for r in results.values()))}
+
+
 def label_transfer_dsc(
         labels_pred: np.ndarray, labels_gt: np.ndarray,
-        ignore_background: bool = True) -> Dict:
+        ignore_background: bool = True,
+        only_labels: Optional[Sequence[int]] = None) -> Dict:
     """Per-label Dice of a transferred annotation vs the GT-warped one.
 
     The per-region quality metric atlas users actually consume
-    (regional volumes/stats are per-label sums); reports the median and
-    the per-label vector. Labels absent from both volumes are skipped.
+    (regional volumes/stats are per-label sums); reports the median,
+    min, 10th percentile, and the per-label vector. Labels absent from
+    both volumes are skipped; ``only_labels`` restricts scoring (the
+    truncated-specimen case gates only regions the truncation kept).
     """
     ids = np.union1d(np.unique(labels_gt), np.unique(labels_pred))
     if ignore_background:
         ids = ids[ids != 0]
+    if only_labels is not None:
+        ids = np.intersect1d(ids, np.asarray(only_labels))
     dscs = {}
     for lid in ids:
         a = labels_pred == lid
@@ -373,4 +470,5 @@ def label_transfer_dsc(
     return {"median": float(np.median(vals)) if len(vals) else 0.0,
             "mean": float(vals.mean()) if len(vals) else 0.0,
             "min": float(vals.min()) if len(vals) else 0.0,
+            "p10": float(np.percentile(vals, 10)) if len(vals) else 0.0,
             "per_label": dscs}

@@ -36,10 +36,10 @@ class TestRenderLine:
                      "10x": [1125, 221.9, 251.3]},
             "reg_ips": 413.5, "reg_wall": 57.41, "reg_dsc": 0.9784,
             "gauntlet": {
-                "wall_s": 123.4, "pairs": [
-                    [0.9891, 0.96, 0.801, 0.051, 1.62, 16.4],
-                    [0.9876, 0.955, 0.812, 0.048, 1.71, 15.9],
-                    [0.9712, 0.941, 0.803, 0.062, 2.05, 14.2]],
+                "wall_s": 423.4, "pairs": {
+                    "seed0": [0.9891, 0.96, 0.801, 0.051, 1.62, 16.4],
+                    "seed10": [0.9876, 0.955, 0.812, 0.048, 1.71, 15.9],
+                    "trunc0": [0.9712, 0.941, 0.803, 0.062, 2.05, 14.2]},
                 "passes": True},
             "groupwise": [127.3, 4, 0.818, 0.905],
             "bigvol": [2.25, 18.42, 5987, 1.08],

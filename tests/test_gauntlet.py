@@ -124,9 +124,45 @@ class TestBuildAndScore:
         labels[4:] = 2
         perfect = gauntlet.label_transfer_dsc(labels, labels)
         assert perfect["median"] == 1.0 and perfect["min"] == 1.0
+        assert perfect["p10"] == 1.0
         swapped = np.where(labels == 1, 2, 1).astype(np.int32)
         worst = gauntlet.label_transfer_dsc(swapped, labels)
         assert worst["median"] == 0.0
+
+    def test_label_transfer_only_labels_restricts(self):
+        labels = np.zeros((8, 8, 8), np.int32)
+        labels[:3] = 1
+        labels[3:6] = 2
+        labels[6:] = 3
+        pred = labels.copy()
+        pred[labels == 3] = 1   # region 3 fully wrong
+        full = gauntlet.label_transfer_dsc(pred, labels)
+        assert full["min"] == 0.0
+        gated = gauntlet.label_transfer_dsc(
+            pred, labels, only_labels=[2])
+        assert gated["min"] == 1.0 and len(gated["per_label"]) == 1
+
+    def test_truncated_pair_geometry(self, tmp_path):
+        pair = gauntlet.build_truncated_pair(
+            SHAPE, seed=3, keep_frac=0.6, ffd_spacing=24.0,
+            ffd_ctrl_sigma=4.0, cache_dir=str(tmp_path))
+        z_cut = int(SHAPE[0] * 0.6)
+        assert not pair["fixed"][z_cut:].any()
+        assert not pair["labels_fixed_gt"][z_cut:].any()
+        assert pair["fixed_mask"][:z_cut].all()
+        assert not pair["fixed_mask"][z_cut:].any()
+        # gated labels are substantially-kept regions only
+        full = gauntlet.build_pair(
+            SHAPE, seed=3, ffd_spacing=24.0, ffd_ctrl_sigma=4.0,
+            cache_dir=str(tmp_path))
+        for lid in pair["gated_labels"]:
+            kept = (pair["labels_fixed_gt"] == lid).sum()
+            total = (full["labels_fixed_gt"] == lid).sum()
+            assert kept >= 0.5 * total
+        # regions fully beyond the cut are excluded
+        lost = [int(v) for v in np.unique(full["labels_fixed_gt"])
+                if v and (pair["labels_fixed_gt"] == v).sum() == 0]
+        assert not set(lost) & set(pair["gated_labels"])
 
     @pytest.mark.slow
     def test_run_gauntlet_plumbing(self, tmp_path):
@@ -139,7 +175,23 @@ class TestBuildAndScore:
         out = gauntlet.run_gauntlet(pair, iters_scale=0.05)
         for key in ("dsc", "label_dsc_median", "bspline_dsc_gain",
                     "warp_err_vox", "gt_disp_vox", "passes", "wall_s",
-                    "stage_dsc"):
+                    "stage_dsc", "label_dsc_min", "label_dsc_p10"):
             assert key in out
         assert 0.0 <= out["dsc"] <= 1.0
         assert out["warp_err_vox"] >= 0.0
+
+    @pytest.mark.slow
+    def test_run_gauntlet_suite_plumbing(self, tmp_path):
+        """Tiny-scale suite: two seeded pairs + the truncated case, all
+        scored; suite passes only when every pair passes."""
+        suite = gauntlet.run_gauntlet_suite(
+            (32, 40, 36), seeds=(2, 3), truncated_seed=2,
+            cache_dir=str(tmp_path), iters_scale=0.03,
+            ffd_spacing=20.0, ffd_ctrl_sigma=3.0)
+        assert set(suite["pairs"]) == {"seed2", "seed3", "trunc2"}
+        for r in suite["pairs"].values():
+            assert 0.0 <= r["dsc"] <= 1.0
+            assert "label_dsc_p10" in r
+        assert suite["passes"] == all(
+            r["passes"] for r in suite["pairs"].values())
+        assert suite["wall_s"] > 0
