@@ -386,6 +386,10 @@ def process_file(rc: RunConfig):
             return importer.import_lif(
                 path, out_path=rc.prefix or path,
                 resolutions=rc.resolutions, series=rc.series)
+        if ext == ".nd2":
+            return importer.import_nd2(
+                path, out_path=rc.prefix or path,
+                resolutions=rc.resolutions)
         return importer.import_tiff(
             path, out_path=rc.prefix or path,
             resolutions=rc.resolutions)

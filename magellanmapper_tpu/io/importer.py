@@ -93,6 +93,23 @@ def import_lif(
                      if resolutions is not None else None))
 
 
+def import_nd2(
+        path: str, out_path: Optional[str] = None,
+        resolutions: Optional[Sequence[float]] = None) -> np_io.Image5d:
+    """Import a Nikon ND2 file into a memmapped image5d via the pure-
+    Python chunk-map reader (``io.nd2``) — the JVM/Bioformats path the
+    reference uses (``importer.py:97-156,1127``) is unavailable here.
+    Compressed planes and legacy pre-chunk-map files stay gated."""
+    from magellanmapper_tpu.io import nd2
+    arr, meta = nd2.read_nd2(path)
+    res = resolutions or meta.get("resolutions")
+    if arr.ndim == 4:        # (C, Z, Y, X) -> (Z, Y, X, C)
+        arr = np.moveaxis(arr, 0, -1)
+    return np_io.write_npy(
+        out_path or path, arr[None],
+        resolutions=([list(res)] if res is not None else None))
+
+
 def import_raw(
         path: str, shape: Sequence[int], dtype,
         out_path: Optional[str] = None,
@@ -344,10 +361,12 @@ def assign_metadata(img5d, md: Dict) -> None:
 # | RAW + sidecar metadata         | yes                 | import_raw     |
 # | Plane-per-file directories     | yes                 | import_dir     |
 # | MHD/MHA, NRRD, NIfTI           | yes                 | io.sitk_io     |
-# | CZI (uncompressed/zlib)        | yes (pure Python)   | io.czi_lif     |
+# | CZI (uncompressed/zlib/zstd)   | yes (pure Python)   | io.czi_lif     |
 # | LIF                            | yes (pure Python)   | io.czi_lif     |
-# | ND2, OIB/OIF, IMS, SLD,        | gated (needs        | start_jvm gate |
-# |   JPEG-XR/zstd CZI, OME exotic |  javabridge+JVM)    |                |
+# | ND2 (chunk-map, uncompressed)  | yes (pure Python)   | io.nd2         |
+# | ND2 (legacy/compressed),       | gated (needs        | start_jvm gate |
+# |   OIB/OIF, IMS, SLD,           |  javabridge+JVM)    |                |
+# |   JPEG-XR CZI, OME exotic      |                     |                |
 #
 # The gate raises with guidance instead of silently failing; install
 # javabridge/python-bioformats on a JVM-equipped host to lift it.
