@@ -193,6 +193,12 @@ class Vis3DCanvas:
         self.iso_level = iso_level
         self._azim, self._elev, self._zoom = -60.0, 30.0, 1.0
         self._depth = None
+        #: index into ``vis3d.blobs`` of the picked blob (None = none)
+        self.selected_blob: Optional[int] = None
+        #: optional ROIEditor sharing the scene's blob array — picking
+        #: + the ``c`` key route confirmed-flag edits (and thence
+        #: ``editor.save(db)``) through the same path as the ROI editor
+        self.editor = None
         self.fig = Figure(figsize=figsize)
         self.canvas = FigureCanvasAgg(self.fig)
         self.ax = self.fig.add_subplot(
@@ -288,19 +294,86 @@ class Vis3DCanvas:
         self.ax.imshow(img)
         self.ax.set_axis_off()
         if self.vis3d.blobs is not None and len(self.vis3d.blobs):
-            depth = (self._depth if self._depth is not None
-                     else np.full(self.render_hw, np.inf, np.float32))
-            pts = render3d.render_blobs_overlay(
-                depth, np.asarray(self.vis3d.blobs), np.asarray(roi).shape,
-                self._azim, self._elev, out_hw=self.render_hw,
-                zoom=self._zoom)
-            vis = pts[pts[:, 2] > 0]
-            if len(vis):
-                self.ax.scatter(vis[:, 1], vis[:, 0], s=30,
+            pts = self.project_blobs()
+            vis = pts[:, 2] > 0
+            if vis.any():
+                self.ax.scatter(pts[vis, 1], pts[vis, 0], s=30,
                                 facecolors="none", edgecolors="cyan")
+            sel = self.selected_blob
+            if sel is not None and sel < len(pts) and pts[sel, 2] > 0:
+                self.ax.scatter([pts[sel, 1]], [pts[sel, 0]], s=90,
+                                facecolors="none", edgecolors="yellow",
+                                linewidths=2)
         if self._home is None:
             self._home = self.camera_state()
         self.canvas.draw_idle()
+
+    # -- picking ------------------------------------------------------------
+
+    def attach_editor(self, editor) -> None:
+        """Route blob selection/confirmation through an
+        :class:`gui.roi_editor.ROIEditor` that shares the scene's blob
+        array, so 3D picks feed the same confirmed-flag cycle and
+        ``editor.save(db)`` persistence as the ROI editor (reference
+        Mayavi pick -> verified flow, ``gui/vis_3d.py:21`` +
+        ``roi_editor.py:39``)."""
+        self.editor = editor
+        self.vis3d.show_blobs(editor.blobs)
+
+    def project_blobs(self) -> np.ndarray:
+        """(N, 4) ``(row, col, visible, ray_depth)`` of the scene blobs
+        under the current camera (occlusion via the last isosurface
+        depth buffer when one exists)."""
+        from magellanmapper_tpu.ops import render3d
+
+        depth = (self._depth if self._depth is not None
+                 else np.full(self.render_hw, np.inf, np.float32))
+        return render3d.render_blobs_overlay(
+            depth, np.asarray(self.vis3d.blobs),
+            np.asarray(self.vis3d.roi).shape, self._azim, self._elev,
+            out_hw=self.render_hw, zoom=self._zoom)
+
+    def pick_blob(self, row: float, col: float,
+                  pick_px: float = 8.0) -> Optional[int]:
+        """Select the blob under image pixel ``(row, col)``: candidates
+        within each blob's projected radius (floored at ``pick_px``),
+        visible ones only, nearest-by-depth wins (the Mayavi glyph-pick
+        semantics). Returns the blob index or None; updates
+        ``selected_blob`` and redraws the highlight."""
+        if (self.render_mode == "mpl" or self.vis3d.blobs is None
+                or not len(self.vis3d.blobs)):
+            return None
+        pts = self.project_blobs()
+        b = np.asarray(self.vis3d.blobs)
+        h = self.render_hw[0]
+        extent = np.asarray(np.asarray(self.vis3d.roi).shape, np.float32)
+        span = 2.0 * float(np.linalg.norm(extent)) / 2.0 / self._zoom
+        px_per_vox = (h - 1) / span
+        pick_r = np.maximum(
+            pick_px, np.maximum(b[:, 3], 1.0) * px_per_vox)
+        d2 = (pts[:, 0] - row) ** 2 + (pts[:, 1] - col) ** 2
+        cand = (d2 <= pick_r ** 2) & (pts[:, 2] > 0)
+        if not cand.any():
+            self.selected_blob = None
+            return None
+        idx = int(np.argmin(np.where(cand, pts[:, 3], np.inf)))
+        self.selected_blob = idx
+        self._draw_raycast()
+        return idx
+
+    def confirm_selected(self, flag: Optional[int] = None) -> Optional[int]:
+        """Confirm/flag the picked blob through the attached editor:
+        ``flag=None`` advances the -1 -> 0 -> 1 cycle (the reference
+        circle-click flow); an explicit flag sets it. Returns the new
+        flag, or None when nothing is selected/attached."""
+        if self.selected_blob is None or self.editor is None:
+            return None
+        if flag is None:
+            new = self.editor.cycle_confirmed(self.selected_blob)
+        else:
+            self.editor.set_confirmed(self.selected_blob, int(flag))
+            new = int(flag)
+        return new
 
     # -- camera -------------------------------------------------------------
 
@@ -376,9 +449,20 @@ class Vis3DCanvas:
     def on_press(self, event) -> None:
         if event.button == 1:
             self._drag_start = (event.x, event.y)
+            self._press_pos = (event.x, event.y)
 
     def on_release(self, event) -> None:
+        start = getattr(self, "_press_pos", None)
         self._drag_start = None
+        self._press_pos = None
+        if (start is None or event.x is None
+                or self.render_mode == "mpl"):
+            return
+        # a press-release with <3 px of motion is a click -> pick
+        if (abs(event.x - start[0]) < 3 and abs(event.y - start[1]) < 3
+                and event.inaxes is self.ax
+                and event.xdata is not None):
+            self.pick_blob(event.ydata, event.xdata)
 
     def on_motion(self, event) -> None:
         if self._drag_start is None or event.x is None:
@@ -404,6 +488,9 @@ class Vis3DCanvas:
             self.pan(dy=-span)
         elif event.key == "r":
             self.reset_camera()
+        elif event.key == "c":
+            # confirmed-flag cycle on the picked blob (ROI-editor flow)
+            self.confirm_selected()
 
     def save(self, out_path: str) -> str:
         from magellanmapper_tpu.plot import plot_support

@@ -122,6 +122,23 @@ class Visualization:
         canvas = vis_3d.Vis3DCanvas(vis, render_mode=style)
         return canvas.save(out_path)
 
+    def open_3d_canvas(self, style: str = "isosurface"):
+        """Interactive 3D canvas over the current ROI with blob picking
+        wired to the ROI editor's confirm/save flow: click a rendered
+        blob to select it (nearest-by-depth), ``c`` cycles its
+        confirmed flag, and the attached editor's ``save(db)`` persists
+        the curated set (reference Mayavi pick -> verified blobs,
+        ``gui/vis_3d.py:21``)."""
+        from magellanmapper_tpu.gui import roi_editor, vis_3d
+        vis = vis_3d.Vis3D(np.asarray(self.get_roi(), np.float32))
+        canvas = vis_3d.Vis3DCanvas(vis, render_mode=style)
+        editor = roi_editor.ROIEditor(
+            self.get_roi(),
+            self.blobs if self.blobs is not None else None,
+            offset=getattr(self, "roi_offset", (0, 0, 0)))
+        canvas.attach_editor(editor)
+        return canvas
+
     def save_prefs(self, path: Optional[str] = None) -> str:
         return self.prefs.save_prefs(path or "prefs.yaml")
 

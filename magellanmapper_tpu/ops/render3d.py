@@ -716,10 +716,12 @@ def render_blobs_overlay(
     """Project blob centers into the rendered view (``mlab.points3d``).
 
     Host-side helper: projects (z, y, x) blob rows through the same
-    orthographic camera and returns (N, 3) ``(row, col, visible)`` —
+    orthographic camera and returns (N, 4) ``(row, col, visible, t)`` —
     ``visible`` is 0 when the blob sits behind the rendered surface
     (depth-buffer occlusion test), letting the canvas scatter only the
-    blobs the reference's 3D scene would show.
+    blobs the reference's 3D scene would show; ``t`` is the distance
+    along the view ray from the film plane (picking selects the
+    nearest-by-``t`` candidate under the cursor).
     """
     h, w = out_hw
     extent = np.asarray(shape, np.float32)
@@ -737,4 +739,4 @@ def render_blobs_overlay(
     d = np.asarray(depth)
     surf = d[rows.astype(int), cols.astype(int)]
     visible = (t <= surf + 2.0) | ~np.isfinite(surf)
-    return np.column_stack([rows, cols, visible.astype(np.float32)])
+    return np.column_stack([rows, cols, visible.astype(np.float32), t])

@@ -300,10 +300,14 @@ class TestBlobOverlay:
         pts = render3d.render_blobs_overlay(
             depth, np.asarray([list(c) + [3.0]]), SHAPE, 33.0, 12.0,
             out_hw=(64, 64))
-        assert pts.shape == (1, 3)
+        assert pts.shape == (1, 4)
         assert abs(pts[0, 0] - 31.5) < 1.0 and abs(pts[0, 1] - 31.5) < 1.0
         # the center sits BEHIND the front surface -> occluded
         assert pts[0, 2] == 0.0
+        # ray depth: the center lies half the bounding radius behind
+        # the film plane's sphere entry
+        assert pts[0, 3] == pytest.approx(
+            float(np.linalg.norm(SHAPE)) / 2.0, rel=0.05)
 
     def test_front_blob_visible(self, sphere_vol):
         azim, elev = 0.0, 0.0
