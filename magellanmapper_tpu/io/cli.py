@@ -390,6 +390,14 @@ def process_file(rc: RunConfig):
             return importer.import_nd2(
                 path, out_path=rc.prefix or path,
                 resolutions=rc.resolutions)
+        if ext == ".oib":
+            return importer.import_oib(
+                path, out_path=rc.prefix or path,
+                resolutions=rc.resolutions)
+        if ext == ".oif":
+            return importer.import_oif(
+                path, out_path=rc.prefix or path,
+                resolutions=rc.resolutions)
         return importer.import_tiff(
             path, out_path=rc.prefix or path,
             resolutions=rc.resolutions)

@@ -110,6 +110,36 @@ def import_nd2(
         resolutions=([list(res)] if res is not None else None))
 
 
+def import_oib(
+        path: str, out_path: Optional[str] = None,
+        resolutions: Optional[Sequence[float]] = None) -> np_io.Image5d:
+    """Import an Olympus OIB archive (OLE2 compound file of per-plane
+    TIFFs) via the pure-Python reader (``io.oib``)."""
+    from magellanmapper_tpu.io import oib
+    arr, _meta = oib.read_oib(path)
+    if arr.ndim == 4:        # (C, Z, Y, X) -> (Z, Y, X, C)
+        arr = np.moveaxis(arr, 0, -1)
+    return np_io.write_npy(
+        out_path or path, arr[None],
+        resolutions=([list(resolutions)]
+                     if resolutions is not None else None))
+
+
+def import_oif(
+        path: str, out_path: Optional[str] = None,
+        resolutions: Optional[Sequence[float]] = None) -> np_io.Image5d:
+    """Import an Olympus OIF main file + ``.files`` plane directory
+    via the pure-Python reader (``io.oib``)."""
+    from magellanmapper_tpu.io import oib
+    arr, meta = oib.read_oif(path)
+    res = resolutions or meta.get("resolutions")
+    if arr.ndim == 4:
+        arr = np.moveaxis(arr, 0, -1)
+    return np_io.write_npy(
+        out_path or path, arr[None],
+        resolutions=([list(res)] if res is not None else None))
+
+
 def import_raw(
         path: str, shape: Sequence[int], dtype,
         out_path: Optional[str] = None,
@@ -364,8 +394,9 @@ def assign_metadata(img5d, md: Dict) -> None:
 # | CZI (uncompressed/zlib/zstd)   | yes (pure Python)   | io.czi_lif     |
 # | LIF                            | yes (pure Python)   | io.czi_lif     |
 # | ND2 (chunk-map, uncompressed)  | yes (pure Python)   | io.nd2         |
+# | OIB (OLE2) / OIF + .files dir  | yes (pure Python)   | io.oib         |
 # | ND2 (legacy/compressed),       | gated (needs        | start_jvm gate |
-# |   OIB/OIF, IMS, SLD,           |  javabridge+JVM)    |                |
+# |   IMS (HDF5), SLD,             |  javabridge+JVM)    |                |
 # |   JPEG-XR CZI, OME exotic      |                     |                |
 #
 # The gate raises with guidance instead of silently failing; install
