@@ -398,6 +398,10 @@ def process_file(rc: RunConfig):
             return importer.import_oif(
                 path, out_path=rc.prefix or path,
                 resolutions=rc.resolutions)
+        if ext == ".ims":
+            return importer.import_ims(
+                path, out_path=rc.prefix or path,
+                resolutions=rc.resolutions)
         return importer.import_tiff(
             path, out_path=rc.prefix or path,
             resolutions=rc.resolutions)

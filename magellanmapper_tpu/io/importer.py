@@ -140,6 +140,25 @@ def import_oif(
         resolutions=([list(res)] if res is not None else None))
 
 
+def import_ims(
+        path: str, out_path: Optional[str] = None,
+        resolution_level: int = 0,
+        resolutions: Optional[Sequence[float]] = None) -> np_io.Image5d:
+    """Import an Imaris IMS (HDF5) volume via the pure-Python
+    restricted HDF5 reader (``io.hdf5``): symbol-table groups,
+    contiguous/chunked + gzip/shuffle storage — the profile libhdf5
+    defaults (and hence Imaris writers) emit. libhdf5-'latest' files
+    stay gated with guidance."""
+    from magellanmapper_tpu.io import hdf5
+    arr, meta = hdf5.read_ims(path, resolution_level=resolution_level)
+    res = resolutions or meta.get("resolutions")
+    if arr.ndim == 4:        # (C, Z, Y, X) -> (Z, Y, X, C)
+        arr = np.moveaxis(arr, 0, -1)
+    return np_io.write_npy(
+        out_path or path, arr[None],
+        resolutions=([list(res)] if res is not None else None))
+
+
 def import_raw(
         path: str, shape: Sequence[int], dtype,
         out_path: Optional[str] = None,
@@ -395,8 +414,9 @@ def assign_metadata(img5d, md: Dict) -> None:
 # | LIF                            | yes (pure Python)   | io.czi_lif     |
 # | ND2 (chunk-map, uncompressed)  | yes (pure Python)   | io.nd2         |
 # | OIB (OLE2) / OIF + .files dir  | yes (pure Python)   | io.oib         |
+# | IMS (HDF5, libhdf5 defaults)   | yes (pure Python)   | io.hdf5        |
 # | ND2 (legacy/compressed),       | gated (needs        | start_jvm gate |
-# |   IMS (HDF5), SLD,             |  javabridge+JVM)    |                |
+# |   IMS ('latest'-format), SLD,  |  javabridge+JVM)    |                |
 # |   JPEG-XR CZI, OME exotic      |                     |                |
 #
 # The gate raises with guidance instead of silently failing; install
