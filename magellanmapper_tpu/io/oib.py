@@ -168,11 +168,27 @@ def read_oib(path: str) -> Tuple[np.ndarray, Dict]:
     """Read an OIB archive into ``(array, meta)``.
 
     Output axes ``(Z, Y, X)`` single-channel, else ``(C, Z, Y, X)``.
+    FluoView names the actual streams ``Stream00001``-style and maps
+    them to ``s_C###Z###.tif`` plane filenames in the ``OibInfo.txt``
+    manifest ([OibSaveInfo] section); streams that are themselves named
+    like planes are also accepted.
     """
     cf = CompoundFile(path)
+    info_name = next((n for n in cf.list_streams()
+                      if n.lower().endswith("oibinfo.txt")), None)
+    info_text = (cf.read_stream(info_name).decode(
+        "utf-16", errors="replace") if info_name else "")
+    #: stream name -> plane filename from the manifest
+    manifest = {}
+    for line in info_text.splitlines():
+        if "=" in line:
+            k, v = line.split("=", 1)
+            if _PLANE_RE.search(v.strip()):
+                manifest[k.strip()] = v.strip()
     planes = []
     for name in cf.list_streams():
-        m = _PLANE_RE.search(name)
+        mapped = manifest.get(name, name)
+        m = _PLANE_RE.search(mapped)
         if not m:
             continue
         img = _decode_tiff_bytes(cf.read_stream(name))
@@ -184,11 +200,8 @@ def read_oib(path: str) -> Tuple[np.ndarray, Dict]:
     arr = _assemble_planes(planes)
     meta: Dict = {"components": arr.shape[0],
                   "streams": len(planes)}
-    info = next((n for n in cf.list_streams()
-                 if n.lower().endswith("oibinfo.txt")), None)
-    if info is not None:
-        meta["info"] = cf.read_stream(info).decode(
-            "utf-16", errors="replace")
+    if info_text:
+        meta["info"] = info_text
     if arr.shape[0] == 1:
         arr = arr[0]
     return arr, meta

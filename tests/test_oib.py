@@ -195,6 +195,25 @@ class TestReadOib:
             arr, grid.reshape(2, 4, 40, 44))
         assert meta["components"] == 2
 
+    def test_manifest_mapped_stream_names(self, tmp_path):
+        """FluoView layout: streams named Stream0000N, mapped to plane
+        filenames by the OibInfo.txt [OibSaveInfo] manifest."""
+        rng = np.random.default_rng(6)
+        planes = rng.integers(0, 4000, (2, 20, 24), dtype=np.uint16)
+        manifest = ("[OibSaveInfo]\n"
+                    "Stream00001=s_C001Z001.tif\n"
+                    "Stream00002=s_C001Z002.tif\n")
+        streams = {
+            "OibInfo.txt": manifest.encode("utf-16-le"),
+            # reversed insertion order: manifest indices must win
+            "Stream00002": _tiff_bytes(planes[1], tmp_path, "m1"),
+            "Stream00001": _tiff_bytes(planes[0], tmp_path, "m0"),
+        }
+        path = tmp_path / "fv.oib"
+        path.write_bytes(build_cfbf(streams))
+        arr, _ = oib.read_oib(str(path))
+        np.testing.assert_array_equal(arr, planes)
+
     def test_no_planes_raises(self, tmp_path):
         path = tmp_path / "e.oib"
         path.write_bytes(build_cfbf({"Readme.txt": b"nothing here"}))
