@@ -116,6 +116,44 @@ def _metric_stride(
     return tuple(stride)
 
 
+def _adam_level_loop(loss_fn, params, iters, lrs, stride, jitter):
+    """Shared optimizer loop of the single-device and mesh-sharded
+    levels: ``iters`` Adam steps with per-leaf learning rates (Elastix
+    scales parameter groups too) and a within-level exponential decay
+    to ``_LR_DECAY_FLOOR`` of the initial rate — Elastix's ASGD decays
+    its step size ``a_k = a/(A+k)^alpha``, and a fixed-rate Adam was
+    measured to stall the full-schedule affine stage at DSC 0.962 (the
+    last steps jitter around the optimum at full step size). With
+    ``jitter``, each step re-draws a random offset into the strided
+    sample grid (Elastix redraws its spatial samples per iteration)."""
+    lr_map = dict(lrs)
+    opt = optax.adam(1.0)
+    use_jitter = jitter and any(s > 1 for s in stride)
+
+    def step(i, state):
+        p, opt_state, key = state
+        if use_jitter:
+            key, sub = jax.random.split(key)
+            offset = jax.random.randint(
+                sub, (3,), 0, jnp.asarray(stride))
+        else:
+            offset = None
+        loss, grads = jax.value_and_grad(loss_fn)(p, offset)
+        updates, opt_state = opt.update(grads, opt_state, p)
+        decay = jnp.power(
+            jnp.float32(_LR_DECAY_FLOOR),
+            i.astype(jnp.float32)
+            / jnp.maximum(jnp.asarray(iters, jnp.float32), 1.0))
+        updates = {k: v * (lr_map.get(k, 1.0) * decay)
+                   for k, v in updates.items()}
+        p = optax.apply_updates(p, updates)
+        return p, opt_state, key
+
+    state = (params, opt.init(params), jax.random.PRNGKey(0))
+    params, _, _ = jax.lax.fori_loop(0, iters, step, state)
+    return params, loss_fn(params, None)
+
+
 @functools.partial(
     jax.jit, static_argnames=("kind", "metric", "spacing", "lrs",
                               "stride", "jitter", "pt_weight"))
@@ -141,10 +179,6 @@ def _optimize_level(
     ``NumberOfSpatialSamples`` random samples per iteration — a static
     grid can alias with the B-spline lattice and bias MI).
     """
-    lr_map = dict(lrs)
-    opt = optax.adam(1.0)
-    use_jitter = jitter and any(s > 1 for s in stride)
-
     def loss_fn(p, offset):
         moved = transform.resample(
             moving, p, kind, fixed.shape, spacing, pre_affine, order=1,
@@ -169,34 +203,7 @@ def _optimize_level(
             loss = loss + jnp.float32(pt_weight) * jnp.mean(dist)
         return loss
 
-    def step(i, state):
-        p, opt_state, key = state
-        if use_jitter:
-            key, sub = jax.random.split(key)
-            offset = jax.random.randint(
-                sub, (3,), 0, jnp.asarray(stride))
-        else:
-            offset = None
-        loss, grads = jax.value_and_grad(loss_fn)(p, offset)
-        updates, opt_state = opt.update(grads, opt_state, p)
-        # per-leaf learning rates (Elastix scales parameter groups too),
-        # with a within-level exponential decay to _LR_DECAY_FLOOR of
-        # the initial rate — Elastix's ASGD decays its step size
-        # a_k = a/(A+k)^alpha, and a fixed-rate Adam was measured to
-        # stall the full-schedule affine stage at DSC 0.962 (the last
-        # steps jitter around the optimum at full step size)
-        decay = jnp.power(
-            jnp.float32(_LR_DECAY_FLOOR),
-            i.astype(jnp.float32)
-            / jnp.maximum(jnp.asarray(iters, jnp.float32), 1.0))
-        updates = {k: v * (lr_map.get(k, 1.0) * decay)
-                   for k, v in updates.items()}
-        p = optax.apply_updates(p, updates)
-        return p, opt_state, key
-
-    state = (params, opt.init(params), jax.random.PRNGKey(0))
-    params, _, _ = jax.lax.fori_loop(0, iters, step, state)
-    return params, loss_fn(params, None)
+    return _adam_level_loop(loss_fn, params, iters, lrs, stride, jitter)
 
 
 # ---------------------------------------------------------------------------
@@ -317,12 +324,10 @@ def _optimize_level_sharded(
         pt_weight: float = 0.0,
         jitter: bool = True,
         moving_mask: Optional[jnp.ndarray] = None):
-    """Mesh-sharded :func:`_optimize_level`: same Adam/LR-decay loop,
-    with the metric samples sharded over every mesh axis (reference hot
-    path ``register.py:423-638`` at whole-brain scale; SURVEY §2.10)."""
-    lr_map = dict(lrs)
-    opt = optax.adam(1.0)
-    use_jitter = jitter and any(s > 1 for s in stride)
+    """Mesh-sharded :func:`_optimize_level`: same Adam/LR-decay loop
+    (:func:`_adam_level_loop`), with the metric samples sharded over
+    every mesh axis (reference hot path ``register.py:423-638`` at
+    whole-brain scale; SURVEY §2.10)."""
     n_dev = int(np.prod(mesh.devices.shape))
 
     def loss_fn(p, offset):
@@ -353,28 +358,7 @@ def _optimize_level_sharded(
             loss = loss + jnp.float32(pt_weight) * jnp.mean(dist)
         return loss
 
-    def step(i, state):
-        p, opt_state, key = state
-        if use_jitter:
-            key, sub = jax.random.split(key)
-            offset = jax.random.randint(
-                sub, (3,), 0, jnp.asarray(stride))
-        else:
-            offset = None
-        loss, grads = jax.value_and_grad(loss_fn)(p, offset)
-        updates, opt_state = opt.update(grads, opt_state, p)
-        decay = jnp.power(
-            jnp.float32(_LR_DECAY_FLOOR),
-            i.astype(jnp.float32)
-            / jnp.maximum(jnp.asarray(iters, jnp.float32), 1.0))
-        updates = {k: v * (lr_map.get(k, 1.0) * decay)
-                   for k, v in updates.items()}
-        p = optax.apply_updates(p, updates)
-        return p, opt_state, key
-
-    state = (params, opt.init(params), jax.random.PRNGKey(0))
-    params, _, _ = jax.lax.fori_loop(0, iters, step, state)
-    return params, loss_fn(params, None)
+    return _adam_level_loop(loss_fn, params, iters, lrs, stride, jitter)
 
 
 def _parse_grid_schedule(sched, levels_cap: int):

@@ -854,6 +854,12 @@ def detect_blobs_blocks(
                             read_slab, slab_plan.slabs[si + 1])
                     t0 = time.time()
                     sl_dev = jnp.asarray(host)
+                    # sync so Stage_h2d means the same thing in slab and
+                    # whole-resident modes (without it the transfer wait
+                    # would surface as Pull_wait and misattribute the
+                    # bottleneck); queued compute from the previous slab
+                    # keeps the device busy during this wait
+                    sl_dev.block_until_ready()
                     stage_s += time.time() - t0
                     h2d_bytes[0] += host.nbytes
                     for b0 in range(0, len(coords), batch_size):

@@ -354,7 +354,10 @@ class Vis3DCanvas:
         d2 = (pts[:, 0] - row) ** 2 + (pts[:, 1] - col) ** 2
         cand = (d2 <= pick_r ** 2) & (pts[:, 2] > 0)
         if not cand.any():
-            self.selected_blob = None
+            if self.selected_blob is not None:
+                # deselect AND clear the stale highlight
+                self.selected_blob = None
+                self._draw_raycast()
             return None
         idx = int(np.argmin(np.where(cand, pts[:, 3], np.inf)))
         self.selected_blob = idx

@@ -28,6 +28,7 @@ missing feature, so exotic files fail loudly rather than wrongly.
 
 from __future__ import annotations
 
+import mmap
 import struct
 import zlib
 from typing import Dict, List, Optional, Tuple
@@ -42,8 +43,11 @@ class Hdf5File:
     """Read-only HDF5 tree: ``obj = f["group/dataset"]``."""
 
     def __init__(self, path: str):
+        # memory-map rather than slurp: a multi-GB IMS would otherwise
+        # cost file-size bytes of RAM on top of the decoded arrays
         with open(path, "rb") as f:
-            self._d = f.read()
+            self._d = mmap.mmap(
+                f.fileno(), 0, access=mmap.ACCESS_READ)
         if self._d[:8] != SIGNATURE:
             raise ValueError(f"not an HDF5 file: {path}")
         ver = self._d[8]
@@ -111,7 +115,9 @@ class Hdf5File:
 
     def _heap_string(self, heap_data: int, offset: int) -> str:
         d = self._d
-        end = d.index(b"\x00", heap_data + offset)
+        end = d.find(b"\x00", heap_data + offset)
+        if end < 0:
+            raise ValueError("unterminated local-heap string")
         return d[heap_data + offset:end].decode("utf-8")
 
     def _group_entries(self, btree_addr: int,
@@ -206,12 +212,18 @@ class Hdf5File:
         filters = []
         pos = 8 if version == 1 else 2
         for _ in range(n):
-            fid, name_len = struct.unpack_from("<HH", body, pos)
-            _flags, n_vals = struct.unpack_from("<HH", body, pos + 4)
-            pos += 8
+            fid = struct.unpack_from("<H", body, pos)[0]
+            pos += 2
+            # v2 omits the Name Length field entirely for builtin
+            # filters (id < 256); v1 always carries it
+            name_len = 0
             if version == 1 or fid >= 256:
-                pos += name_len + (-name_len) % 8 if version == 1 \
-                    else name_len
+                name_len = struct.unpack_from("<H", body, pos)[0]
+                pos += 2
+            _flags, n_vals = struct.unpack_from("<HH", body, pos)
+            pos += 4
+            pos += (name_len + (-name_len) % 8 if version == 1
+                    else name_len)
             pos += 4 * n_vals
             if version == 1 and n_vals % 2:
                 pos += 4

@@ -116,13 +116,13 @@ def import_oib(
     """Import an Olympus OIB archive (OLE2 compound file of per-plane
     TIFFs) via the pure-Python reader (``io.oib``)."""
     from magellanmapper_tpu.io import oib
-    arr, _meta = oib.read_oib(path)
+    arr, meta = oib.read_oib(path)
+    res = resolutions or meta.get("resolutions")
     if arr.ndim == 4:        # (C, Z, Y, X) -> (Z, Y, X, C)
         arr = np.moveaxis(arr, 0, -1)
     return np_io.write_npy(
         out_path or path, arr[None],
-        resolutions=([list(resolutions)]
-                     if resolutions is not None else None))
+        resolutions=([list(res)] if res is not None else None))
 
 
 def import_oif(

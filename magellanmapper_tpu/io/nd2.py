@@ -204,6 +204,10 @@ def read_nd2(path: str) -> Tuple[np.ndarray, Dict]:
         seq_names = sorted(
             (int(n.split(b"|")[1].rstrip(b"!")), n)
             for n in entries if n.startswith(b"ImageDataSeq|"))
+        if not seq_names:
+            raise ValueError(
+                f"no ImageDataSeq chunks in {path} (metadata-only or "
+                "truncated file)")
         if n_seq and len(seq_names) != n_seq:
             # trust the chunk map; attributes can lag aborted runs
             n_seq = len(seq_names)

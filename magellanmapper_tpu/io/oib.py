@@ -42,8 +42,12 @@ class CompoundFile:
     """Minimal CFBF (OLE2) reader: directory listing + stream bytes."""
 
     def __init__(self, path: str):
+        import mmap
+        # memory-map: multi-GB OIB archives should not cost file-size
+        # bytes of RAM on top of the decoded planes
         with open(path, "rb") as f:
-            self._data = f.read()
+            self._data = mmap.mmap(
+                f.fileno(), 0, access=mmap.ACCESS_READ)
         d = self._data
         if d[:8] != OLE_MAGIC:
             raise ValueError(f"not an OLE compound file: {path}")
@@ -95,7 +99,10 @@ class CompoundFile:
             "<%dI" % (len(minifat_bytes) // 4), minifat_bytes)
 
     def _sector(self, idx: int) -> bytes:
-        off = 512 + idx * self.sector_size
+        # MS-CFB: sector N begins at (N + 1) * sector_size — the header
+        # occupies 512 bytes but v4 files (4096-byte sectors) pad it to
+        # a full sector, so "512 + N * size" would land 3584 bytes early
+        off = (idx + 1) * self.sector_size
         return self._data[off:off + self.sector_size]
 
     def _read_chain(self, start: int) -> bytes:
@@ -202,9 +209,41 @@ def read_oib(path: str) -> Tuple[np.ndarray, Dict]:
                   "streams": len(planes)}
     if info_text:
         meta["info"] = info_text
+    # the archive embeds its OIF main-settings stream; parse it for
+    # voxel calibration like the unpacked form does
+    oif_stream = next(
+        (n for n in cf.list_streams()
+         if n.lower().endswith(".oif")), None)
+    if oif_stream is not None:
+        ini = _parse_oif_ini(cf.read_stream(oif_stream).decode(
+            "utf-16", errors="replace"))
+        meta["ini"] = ini
+        res = _ini_resolutions(ini)
+        if res is not None:
+            meta["resolutions"] = res
     if arr.shape[0] == 1:
         arr = arr[0]
     return arr, meta
+
+
+def _ini_resolutions(
+        ini: Dict[str, Dict[str, str]]) -> Optional[Tuple[float, ...]]:
+    """(z, y, x) um/px from FluoView settings: [Reference Image
+    Parameter] WidthConvertValue gives XY; the Z axis section's
+    Interval gives the step."""
+    ref = ini.get("Reference Image Parameter", {})
+    try:
+        xy = float(ref.get("WidthConvertValue"))
+    except (TypeError, ValueError):
+        return None
+    z_step = None
+    for sec, kv in ini.items():
+        if sec.startswith("Axis") and kv.get("AxisCode") == "Z":
+            try:
+                z_step = abs(float(kv.get("Interval", 0))) or None
+            except (TypeError, ValueError):
+                pass
+    return (z_step or xy, xy, xy)
 
 
 def _parse_oif_ini(text: str) -> Dict[str, Dict[str, str]]:
@@ -252,18 +291,9 @@ def read_oif(path: str) -> Tuple[np.ndarray, Dict]:
         raise ValueError(f"no plane TIFFs in {files_dir}")
     arr = _assemble_planes(planes)
     meta: Dict = {"components": arr.shape[0], "ini": ini}
-    # [Reference Image Parameter] WidthConvertValue/HeightConvertValue
-    # give um/px; [Axis 3 Parameters Common] Interval gives z step (um)
-    ref = ini.get("Reference Image Parameter", {})
-    try:
-        xy = float(ref.get("WidthConvertValue"))
-        z_step = None
-        for sec, kv in ini.items():
-            if sec.startswith("Axis") and kv.get("AxisCode") == "Z":
-                z_step = abs(float(kv.get("Interval", 0))) or None
-        meta["resolutions"] = (z_step or xy, xy, xy)
-    except (TypeError, ValueError):
-        pass
+    res = _ini_resolutions(ini)
+    if res is not None:
+        meta["resolutions"] = res
     if arr.shape[0] == 1:
         arr = arr[0]
     return arr, meta

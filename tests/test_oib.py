@@ -214,6 +214,25 @@ class TestReadOib:
         arr, _ = oib.read_oib(str(path))
         np.testing.assert_array_equal(arr, planes)
 
+    def test_embedded_oif_settings_give_resolutions(self, tmp_path):
+        """The archive's embedded .oif main-settings stream supplies
+        voxel calibration, like the unpacked OIF form."""
+        planes = np.arange(2 * 8 * 8, dtype=np.uint16).reshape(2, 8, 8)
+        settings = ("[Reference Image Parameter]\n"
+                    "WidthConvertValue=0.41\n"
+                    "[Axis 3 Parameters Common]\n"
+                    'AxisCode="Z"\nInterval=2.0\n')
+        streams = {
+            "MainFile.oif": b"\xff\xfe" + settings.encode("utf-16-le"),
+            "s_C001Z001.tif": _tiff_bytes(planes[0], tmp_path, "r0"),
+            "s_C001Z002.tif": _tiff_bytes(planes[1], tmp_path, "r1"),
+        }
+        path = tmp_path / "res.oib"
+        path.write_bytes(build_cfbf(streams))
+        arr, meta = oib.read_oib(str(path))
+        np.testing.assert_array_equal(arr, planes)
+        assert meta["resolutions"] == pytest.approx((2.0, 0.41, 0.41))
+
     def test_no_planes_raises(self, tmp_path):
         path = tmp_path / "e.oib"
         path.write_bytes(build_cfbf({"Readme.txt": b"nothing here"}))
