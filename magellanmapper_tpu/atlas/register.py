@@ -117,9 +117,12 @@ def register(
         reg_suffixes: Optional[Dict[str, str]] = None,
         fixed_mask: Optional[np.ndarray] = None,
         moving_mask: Optional[np.ndarray] = None,
-        checkpoint_dir: Optional[str] = None) -> Dict:
+        checkpoint_dir: Optional[str] = None,
+        mesh=None) -> Dict:
     """Register a moving atlas onto a fixed sample image
-    (reference ``register.register :647``).
+    (reference ``register.register :647``). With ``mesh`` every
+    pyramid level runs the mesh-sharded metric
+    (``reg_engine._optimize_level_sharded``).
 
     Args:
         fixed_path_or_img: path to a ``.npy``/medical image, or ndarray.
@@ -208,7 +211,7 @@ def register(
         fixed, moving_atlas, profile, iters_scale=iters_scale,
         fixed_mask=fixed_mask, moving_mask=moving_mask,
         fix_pts=fix_pts, mov_pts=mov_pts,
-        checkpoint_dir=checkpoint_dir)
+        checkpoint_dir=checkpoint_dir, mesh=mesh)
     dsc = reg_metrics.measure_overlap(fixed, moved)
 
     fallback = profile["metric_sim_fallback"]
@@ -229,7 +232,7 @@ def register(
             fixed_mask=fixed_mask, moving_mask=moving_mask,
             fix_pts=fix_pts, mov_pts=mov_pts,
             checkpoint_dir=(os.path.join(checkpoint_dir, "fallback")
-                            if checkpoint_dir else None))
+                            if checkpoint_dir else None), mesh=mesh)
         dsc2 = reg_metrics.measure_overlap(fixed, moved2)
         if dsc2 > dsc:
             moved, result, dsc = moved2, result2, dsc2

@@ -648,6 +648,17 @@ def _coloc_match(rc: RunConfig):
         blobs.blobs, (0, 0, 0), shape[::-1], tol)
 
 
+def _reg_mesh(rc: RunConfig):
+    """--mesh for registration tasks: sample-space sharding over all
+    axes (single) / subjects over dp (group)."""
+    if not rc.mesh:
+        return None
+    from magellanmapper_tpu.parallel import mesh as mesh_mod
+    dims = list(rc.mesh) + [1] * (3 - len(rc.mesh))
+    dp, sp, spy = dims[:3]
+    return mesh_mod.make_mesh(dp * sp * spy, dp=dp, sp=sp, spy=spy)
+
+
 def _process_register(rc: RunConfig):
     """Dispatch ``--register`` tasks (reference ``register.main :2141``)."""
     from magellanmapper_tpu.atlas import register as register_mod
@@ -655,7 +666,8 @@ def _process_register(rc: RunConfig):
     if task is RegisterTypes.SINGLE:
         return register_mod.register(
             rc.filenames[0], rc.filenames[1], rc.atlas_profile,
-            prefix=rc.prefix, reg_suffixes=rc.reg_suffixes or None)
+            prefix=rc.prefix, reg_suffixes=rc.reg_suffixes or None,
+            mesh=_reg_mesh(rc))
     if task is RegisterTypes.REGISTER_REV:
         return register_mod.register_rev(
             rc.filenames[0], rc.filenames[1], rc.atlas_profile,
@@ -664,7 +676,8 @@ def _process_register(rc: RunConfig):
         from magellanmapper_tpu.io import np_io
         imgs = [np.asarray(np_io.read_file(f).img[0])
                 for f in rc.filenames]
-        return register_mod.register_group(imgs, rc.atlas_profile)
+        return register_mod.register_group(
+            imgs, rc.atlas_profile, mesh=_reg_mesh(rc))
     if task is RegisterTypes.IMPORT_ATLAS:
         from magellanmapper_tpu.atlas import atlas_refiner
         return atlas_refiner.import_atlas(

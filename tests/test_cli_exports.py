@@ -189,6 +189,17 @@ class TestCLIRegister:
         assert out["metrics"]["DSC_atlas_sample"] > 0.7
         assert os.path.exists(str(tmp_path / "reg_annotation.mhd"))
 
+        # --mesh routes the same task through the mesh-sharded metric
+        # (virtual 8-device CPU mesh from conftest)
+        out_m = cli.main([
+            "--img", base, str(atlas_dir),
+            "--register", "single",
+            "--atlas_profile", "ncc,noaffine,nobspline,smalliter",
+            "--mesh", "2,2,2",
+            "--prefix", str(tmp_path / "regm")])
+        assert out_m["metrics"]["DSC_atlas_sample"] == pytest.approx(
+            out["metrics"]["DSC_atlas_sample"], abs=0.05)
+
     def test_subimg_detection(self, tmp_path):
         base, centers = make_volume(tmp_path, shape=(24, 48, 48))
         out = cli.main([
