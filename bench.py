@@ -559,7 +559,8 @@ def phase_block():
 
 
 def phase_reg_ips():
-    return {"reg_ips": round(bench_registration(), 1)}
+    return {"reg_ips": round(bench_registration(), 1),
+            "reg_ips_sh": round(bench_registration_sharded(), 1)}
 
 
 def phase_reg_full():
@@ -601,8 +602,8 @@ PHASES = (
 
 _EXTRA_KEYS = (
     "blobs", "cpu", "blk_e2e", "blk_dev", "blk_dev_np", "blk_blobs",
-    "blk_split", "dens", "reg_ips", "reg_wall", "reg_dsc", "gauntlet",
-    "groupwise", "bigvol", "bw", "tf")
+    "blk_split", "dens", "reg_ips", "reg_ips_sh", "reg_wall",
+    "reg_dsc", "gauntlet", "groupwise", "bigvol", "bw", "tf")
 
 
 def render_line(r):
@@ -699,6 +700,42 @@ def run_phases(phases, deadline_s, emit, log, spawn=None):
             r["done"].append(name)
         emit(r)
     return r
+
+
+def bench_registration_sharded(shape=(64, 96, 96), iters=192):
+    """Mesh-sharded affine Mattes-MI steps/sec on a 1-device mesh of
+    the real chip: quantifies the shard_map + psum'd-histogram path's
+    overhead vs :func:`bench_registration` (multi-chip hardware is not
+    reachable from this box; the collective-path cost is)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np_
+    from jax.sharding import Mesh
+    from magellanmapper_tpu.atlas import reg_engine, transform
+
+    rng = np_.random.default_rng(0)
+    zz, yy, xx = np_.indices(shape).astype(np_.float32)
+    fixed = np_.exp(-(((zz - shape[0]/2) / (shape[0]/3)) ** 2
+                      + ((yy - shape[1]/2) / (shape[1]/3)) ** 2
+                      + ((xx - shape[2]/2) / (shape[2]/3)) ** 2) * 2)
+    fixed += 0.2 * np_.sin(zz / 5) * np_.sin(yy / 6)
+    fixed = np_.clip(fixed, 0, None).astype(np_.float32)
+    moving = np_.asarray(transform.resample(
+        jnp.asarray(fixed), {"t": jnp.asarray([-2.0, 3.0, -1.0])},
+        "translation", shape))
+    mesh = Mesh(np_.asarray(jax.devices()[:1]), ("sp",))
+    params = transform.identity_params("affine")
+    lrs = (("W", 0.01), ("t", 1.0))
+    stride = reg_engine._metric_stride(shape)
+    args = (mesh, jnp.asarray(fixed), jnp.asarray(moving), params,
+            None, "affine", "AdvancedMattesMutualInformation", iters,
+            None, lrs, stride)
+    _p, l0 = reg_engine._optimize_level_sharded(*args)
+    float(np_.asarray(l0))
+    t0 = time.perf_counter()
+    _p, loss = reg_engine._optimize_level_sharded(*args)
+    float(np_.asarray(loss))
+    return iters / (time.perf_counter() - t0)
 
 
 def main():

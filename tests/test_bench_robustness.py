@@ -34,7 +34,8 @@ class TestRenderLine:
             "dens": {"0.1x": [11, 402.1, 384.2],
                      "1x": [112, 342.5, 330.1],
                      "10x": [1125, 221.9, 251.3]},
-            "reg_ips": 413.5, "reg_wall": 57.41, "reg_dsc": 0.9784,
+            "reg_ips": 413.5, "reg_ips_sh": 389.2,
+            "reg_wall": 57.41, "reg_dsc": 0.9784,
             "gauntlet": {
                 "wall_s": 423.4, "pairs": {
                     "seed0": [0.9891, 0.96, 0.801, 0.051, 1.62, 16.4],
