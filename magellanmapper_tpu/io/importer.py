@@ -50,14 +50,89 @@ def make_subimage_name(
         base, tuple(offset)[::-1], tuple(size)[::-1])
 
 
+def parse_ome_description(desc: Optional[str]) -> Optional[Dict]:
+    """Parse an OME-TIFF ImageDescription's OME-XML block.
+
+    Returns ``{"size": {X,Y,Z,C,T}, "order": DimensionOrder,
+    "resolutions": (z,y,x) | None}`` or None for non-OME descriptions.
+    The reference gets this through Bioformats' OME metadata store
+    (``importer.parse_ome``/``parse_ome_raw``, ``importer.py:129+``).
+    """
+    if not desc or "OME" not in desc or "<" not in desc:
+        return None
+    import xml.etree.ElementTree as ET
+    try:
+        root = ET.fromstring(desc)
+    except ET.ParseError:
+        return None
+
+    def local(el):
+        return el.tag.rsplit("}", 1)[-1]
+
+    pixels = next((el for el in root.iter() if local(el) == "Pixels"),
+                  None)
+    if pixels is None:
+        return None
+    size = {ax: int(pixels.get(f"Size{ax}", 1)) for ax in "XYZCT"}
+    phys = {}
+    for ax in "XYZ":
+        v = pixels.get(f"PhysicalSize{ax}")
+        if v is not None:
+            phys[ax] = float(v)
+    res = None
+    if "X" in phys and "Y" in phys:
+        res = (phys.get("Z", phys["X"]), phys["Y"], phys["X"])
+    return {"size": size,
+            "order": pixels.get("DimensionOrder", "XYZCT"),
+            "resolutions": res}
+
+
+def _reshape_ome(pages: np.ndarray, ome: Dict) -> np.ndarray:
+    """(pages, H, W) -> (T, Z, Y, X[, C]) per the OME DimensionOrder
+    (the first two letters are always XY; the rest order C/Z/T fastest
+    first across pages)."""
+    size = ome["size"]
+    nz, nc, nt = size["Z"], size["C"], size["T"]
+    if pages.shape[0] != nz * nc * nt:
+        raise ValueError(
+            f"OME page count mismatch: {pages.shape[0]} pages vs "
+            f"SizeZ*SizeC*SizeT = {nz * nc * nt}")
+    fast_to_slow = [ax for ax in ome["order"][2:] if ax in "ZCT"]
+    dims = {"Z": nz, "C": nc, "T": nt}
+    # page index unravels as (slowest, ..., fastest)
+    arr = pages.reshape(
+        [dims[ax] for ax in reversed(fast_to_slow)]
+        + list(pages.shape[1:]))
+    # move axes into (T, Z, Y, X, C)
+    axis_of = {ax: i for i, ax in enumerate(reversed(fast_to_slow))}
+    arr = np.transpose(arr, (
+        axis_of["T"], axis_of["Z"], 3, 4, axis_of["C"]))
+    if size["C"] == 1:
+        arr = arr[..., 0]
+    return arr
+
+
 def import_tiff(
         path: str, out_path: Optional[str] = None,
         resolutions: Optional[Sequence[float]] = None,
         channel_dim: Optional[int] = None) -> np_io.Image5d:
-    """Import a (multi-page) TIFF stack into a memmapped image5d."""
-    arr = tiff.read_tiff(path)
+    """Import a (multi-page) TIFF stack into a memmapped image5d.
+
+    OME-TIFFs (an OME-XML ImageDescription) reshape their page stream
+    into the full ``(T, Z, Y, X[, C])`` geometry with calibration from
+    PhysicalSize attributes — the Bioformats metadata path
+    (reference ``importer.py:129``) done natively.
+    """
+    arr, desc = tiff.read_tiff(path, return_description=True)
     if arr.ndim == 2:
         arr = arr[None]
+    ome = parse_ome_description(desc)
+    if ome is not None and arr.ndim == 3:
+        arr5d = _reshape_ome(arr, ome)
+        res = resolutions or ome.get("resolutions")
+        return np_io.write_npy(
+            out_path or path, arr5d,
+            resolutions=([list(res)] if res is not None else None))
     if channel_dim is not None and arr.ndim == 3:
         pass  # single-channel stack
     out_path = out_path or path
@@ -406,6 +481,7 @@ def assign_metadata(img5d, md: Dict) -> None:
 # | NumPy .npy / image5d archives  | yes (memmap)        | np_io          |
 # | TIFF (uncompressed strips)     | yes (lazy memmap)   | io.tiff        |
 # | TIFF (deflate/LZW/PackBits)    | yes (lazy decode)   | io.tiff        |
+# | OME-TIFF (5D geometry + cal.)  | yes (native OME-XML)| import_tiff    |
 # | BigTIFF                        | yes (read)          | io.tiff        |
 # | RAW + sidecar metadata         | yes                 | import_raw     |
 # | Plane-per-file directories     | yes                 | import_dir     |

@@ -22,6 +22,7 @@ _TAG_HEIGHT = 257
 _TAG_BITS = 258
 _TAG_COMPRESSION = 259
 _TAG_PHOTOMETRIC = 262
+_TAG_DESCRIPTION = 270
 _TAG_STRIP_OFFSETS = 273
 _TAG_SPP = 277
 _TAG_ROWS_PER_STRIP = 278
@@ -257,13 +258,17 @@ def _read_ifd_entries(f, bo, big):
             vals = struct.unpack(bo + "II" * count, raw)
             tags[tag] = [vals[i] / max(vals[i + 1], 1)
                          for i in range(0, len(vals), 2)]
+        elif typ in (2, 7):  # ASCII / UNDEFINED: raw bytes
+            tags[tag] = raw
     nxt = struct.unpack(bo + off_fmt, f.read(8 if big else 4))[0]
     return tags, nxt
 
 
-def read_tiff(path: str) -> np.ndarray:
+def read_tiff(path: str, return_description: bool = False):
     """Read a grayscale multi-page TIFF into a ``(pages, H, W)`` array
-    (single page -> ``(H, W)``)."""
+    (single page -> ``(H, W)``). With ``return_description``, also
+    return the first page's ImageDescription text (where OME-TIFF
+    carries its OME-XML block) or None."""
     with open(path, "rb") as f:
         hdr = f.read(8)
         bo = {"II": "<", "MM": ">"}[hdr[:2].decode("ascii")]
@@ -279,9 +284,13 @@ def read_tiff(path: str) -> np.ndarray:
         else:
             raise ValueError(f"not a TIFF file: {path}")
         pages = []
+        description = None
         while ifd_off:
             f.seek(ifd_off)
             tags, ifd_off = _read_ifd_entries(f, bo, big)
+            if description is None and _TAG_DESCRIPTION in tags:
+                description = tags[_TAG_DESCRIPTION].split(
+                    b"\x00")[0].decode("utf-8", errors="replace")
             if _TAG_WIDTH not in tags:
                 continue
             w = tags[_TAG_WIDTH][0]
@@ -316,7 +325,7 @@ def read_tiff(path: str) -> np.ndarray:
     if not pages:
         raise ValueError(f"no image pages in {path}")
     out = np.stack(pages) if len(pages) > 1 else pages[0]
-    return out
+    return (out, description) if return_description else out
 
 
 #: writer name -> TIFF compression id
@@ -326,13 +335,16 @@ _WRITE_COMP = {None: COMP_NONE, "none": COMP_NONE, "deflate": COMP_DEFLATE_ADOBE
 
 
 def write_tiff(path: str, arr: np.ndarray,
-               compression: Optional[str] = None) -> None:
+               compression: Optional[str] = None,
+               description: Optional[str] = None) -> None:
     """Write a grayscale 2D/3D array as a multi-page TIFF.
 
     ``compression``: None/"none", "deflate"/"zlib", "lzw", "packbits"
     (one strip per page). Prefer "deflate" for compressed writes — it
     runs through zlib's C encoder; the LZW/PackBits encoders are pure
     Python (reads of such files decode natively, see native/tiffcodec).
+    ``description`` writes an ImageDescription (tag 270) on the first
+    page — e.g. an OME-XML block for OME-TIFF interchange.
     """
     arr = np.asarray(arr)
     if arr.ndim == 2:
@@ -348,6 +360,8 @@ def write_tiff(path: str, arr: np.ndarray,
         ifd_pos_holder = f.tell()
         f.write(struct.pack("<I", 0))  # first IFD offset placeholder
         prev_ifd_link = ifd_pos_holder
+        desc_bytes = (description.encode("utf-8") + b"\x00"
+                      if description else None)
         for p in range(n_pages):
             data = np.ascontiguousarray(arr[p]).tobytes()
             if comp in (COMP_DEFLATE_ADOBE, COMP_DEFLATE):
@@ -358,6 +372,12 @@ def write_tiff(path: str, arr: np.ndarray,
                 data = packbits_encode(data)
             data_off = f.tell()
             f.write(data)
+            desc_entry = []
+            if p == 0 and desc_bytes:
+                desc_off = f.tell()
+                f.write(desc_bytes)
+                desc_entry = [(_TAG_DESCRIPTION, 2, len(desc_bytes),
+                               desc_off)]
             ifd_off = f.tell()
             # link previous IFD (or header) to this one
             entries = [
@@ -371,7 +391,8 @@ def write_tiff(path: str, arr: np.ndarray,
                 (_TAG_ROWS_PER_STRIP, 4, 1, h),
                 (_TAG_STRIP_COUNTS, 4, 1, len(data)),
                 (_TAG_SAMPLE_FORMAT, 3, 1, sfmt),
-            ]
+            ] + desc_entry
+            entries.sort()   # TIFF requires ascending tag order
             f.write(struct.pack("<H", len(entries)))
             for tag, typ, cnt, val in entries:
                 f.write(struct.pack("<HHI", tag, typ, cnt))

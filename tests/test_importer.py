@@ -267,3 +267,104 @@ class TestCziLif:
                 f.write(subblock(y0, x0, arr))
         back, meta = czi_lif.read_czi(path)
         np.testing.assert_array_equal(back, full)
+
+
+class TestOmeTiff:
+    """OME-TIFF dimension/calibration metadata (the reference reads
+    this through Bioformats' OME store, importer.py:129; here the
+    OME-XML block in ImageDescription parses natively). The XML in
+    these fixtures is hand-written from the OME schema — a spec pin,
+    not a writer round-trip."""
+
+    @staticmethod
+    def _ome_xml(sx, sy, sz, sc, st, order="XYZCT", phys=None):
+        phys_attrs = ""
+        if phys:
+            phys_attrs = (
+                ' PhysicalSizeX="%g" PhysicalSizeY="%g"'
+                ' PhysicalSizeZ="%g"' % phys)
+        return (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/'
+            '2016-06"><Image ID="Image:0"><Pixels ID="Pixels:0" '
+            'DimensionOrder="%s" Type="uint16" SizeX="%d" SizeY="%d" '
+            'SizeZ="%d" SizeC="%d" SizeT="%d"%s>'
+            '<TiffData/></Pixels></Image></OME>'
+            % (order, sx, sy, sz, sc, st, phys_attrs))
+
+    @staticmethod
+    def _pages(sz, sc, st, order, h=6, w=8):
+        """Pages whose constant value encodes (t, z, c); page order
+        follows the OME DimensionOrder (fastest axis first after XY)."""
+        fast = [ax for ax in order[2:]]
+        dims = {"Z": sz, "C": sc, "T": st}
+        pages = []
+        idx = {}
+        n = sz * sc * st
+        for p in range(n):
+            rem = p
+            for ax in fast:
+                idx[ax] = rem % dims[ax]
+                rem //= dims[ax]
+            val = idx["T"] * 100 + idx["Z"] * 10 + idx["C"]
+            pages.append(np.full((h, w), val, np.uint16))
+        return np.stack(pages)
+
+    @pytest.mark.parametrize("order", ["XYZCT", "XYCZT", "XYZTC"])
+    def test_reshape_orders(self, tmp_path, order):
+        from magellanmapper_tpu.io import importer
+        sz, sc, st = 3, 2, 2
+        pages = self._pages(sz, sc, st, order)
+        path = str(tmp_path / f"ome_{order}.tif")
+        tiff.write_tiff(
+            path, pages,
+            description=self._ome_xml(8, 6, sz, sc, st, order))
+        img5d = importer.import_tiff(
+            path, out_path=str(tmp_path / f"out_{order}"))
+        assert img5d.img.shape == (st, sz, 6, 8, sc)
+        for t in range(st):
+            for z in range(sz):
+                for c in range(sc):
+                    assert int(img5d.img[t, z, 0, 0, c]) == \
+                        t * 100 + z * 10 + c, (order, t, z, c)
+
+    def test_physical_sizes_to_resolutions(self, tmp_path):
+        from magellanmapper_tpu.io import importer
+        pages = self._pages(2, 1, 1, "XYZCT")
+        path = str(tmp_path / "cal.tif")
+        tiff.write_tiff(
+            path, pages, description=self._ome_xml(
+                8, 6, 2, 1, 1, phys=(0.5, 0.6, 2.0)))
+        img5d = importer.import_tiff(
+            path, out_path=str(tmp_path / "cal_out"))
+        # single channel squeezes; (T, Z, Y, X)
+        assert img5d.img.shape == (1, 2, 6, 8)
+        assert list(img5d.resolutions[0]) == pytest.approx(
+            [2.0, 0.6, 0.5])
+
+    def test_non_ome_description_ignored(self, tmp_path, rng):
+        from magellanmapper_tpu.io import importer
+        arr = (rng.random((3, 6, 8)) * 100).astype(np.uint16)
+        path = str(tmp_path / "plain.tif")
+        tiff.write_tiff(path, arr, description="just a note")
+        img5d = importer.import_tiff(
+            path, out_path=str(tmp_path / "plain_out"))
+        assert img5d.img.shape == (1, 3, 6, 8)
+
+    def test_page_count_mismatch_raises(self, tmp_path):
+        from magellanmapper_tpu.io import importer
+        pages = self._pages(2, 1, 1, "XYZCT")   # 2 pages
+        path = str(tmp_path / "bad.tif")
+        tiff.write_tiff(
+            path, pages, description=self._ome_xml(8, 6, 5, 1, 1))
+        with pytest.raises(ValueError, match="page count"):
+            importer.import_tiff(
+                path, out_path=str(tmp_path / "bad_out"))
+
+    def test_description_roundtrip(self, tmp_path, rng):
+        arr = (rng.random((2, 5, 7)) * 50).astype(np.uint16)
+        path = str(tmp_path / "desc.tif")
+        tiff.write_tiff(path, arr, description="hello tiff")
+        out, desc = tiff.read_tiff(path, return_description=True)
+        np.testing.assert_array_equal(out, arr)
+        assert desc == "hello tiff"
