@@ -402,12 +402,21 @@ def read_lif(path: str, series: int = 0) -> Tuple[np.ndarray, Dict]:
             continue
         mem = elem.find("Memory")
         dims = {}
+        lengths = {}
         for dd in img.iter("DimensionDescription"):
             dims[int(dd.get("DimID"))] = int(dd.get("NumberOfElements"))
+            if dd.get("Length"):
+                try:
+                    # physical extent in meters (LIF convention)
+                    lengths[int(dd.get("DimID"))] = abs(
+                        float(dd.get("Length")))
+                except ValueError:
+                    pass
         channels = list(img.iter("ChannelDescription"))
         images.append({
             "name": elem.get("Name"),
             "dims": dims,
+            "lengths": lengths,
             "n_chl": max(1, len(channels)),
             "bits": int(channels[0].get("Resolution", "8"))
             if channels else 8,
@@ -432,13 +441,24 @@ def read_lif(path: str, series: int = 0) -> Tuple[np.ndarray, Dict]:
         nz, ny, nx)
     if nc > 1:
         out = np.moveaxis(out, 1, -1)
-    return out, {"format": "lif", "name": info["name"],
-                 "n_series": len(images)}
+    meta = {"format": "lif", "name": info["name"],
+            "n_series": len(images)}
+    lengths = info["lengths"]
+    if 1 in lengths and 2 in lengths:
+        # Length (m) spans NumberOfElements pixels -> um/px
+        def um_per_px(dim_id, n):
+            return lengths[dim_id] / max(n - 1, 1) * 1e6
+        rx, ry = um_per_px(1, nx), um_per_px(2, ny)
+        rz = um_per_px(3, nz) if 3 in lengths else rx
+        meta["resolutions"] = (rz, ry, rx)
+    return out, meta
 
 
-def write_lif(path: str, image: np.ndarray, name: str = "Series0") -> str:
+def write_lif(path: str, image: np.ndarray, name: str = "Series0",
+              resolutions=None) -> str:
     """Write a minimal single-series LIF (uncompressed); interchange
-    tests + :func:`read_lif` round trips."""
+    tests + :func:`read_lif` round trips. ``resolutions`` (z,y,x um/px)
+    emit per-dimension Length attributes (meters)."""
     img = np.asarray(image)
     multi = img.ndim > 3
     nz, ny, nx = img.shape[:3]
@@ -447,13 +467,20 @@ def write_lif(path: str, image: np.ndarray, name: str = "Series0") -> str:
     block_id = "MemBlock_42"
     chans = "".join(
         f'<ChannelDescription Resolution="{bits}"/>' for _ in range(nc))
+
+    def dim(dim_id, n, res_um):
+        length = ('' if res_um is None else
+                  ' Length="%.9g"' % (res_um * max(n - 1, 1) * 1e-6))
+        return (f'<DimensionDescription DimID="{dim_id}" '
+                f'NumberOfElements="{n}"{length}/>')
+
+    rz, ry, rx = (resolutions if resolutions is not None
+                  else (None, None, None))
     xml = (
         f'<LMSDataContainerHeader><Element Name="{name}">'
         f"<Data><Image>"
-        f'<DimensionDescription DimID="1" NumberOfElements="{nx}"/>'
-        f'<DimensionDescription DimID="2" NumberOfElements="{ny}"/>'
-        f'<DimensionDescription DimID="3" NumberOfElements="{nz}"/>'
-        f"{chans}</Image></Data>"
+        + dim(1, nx, rx) + dim(2, ny, ry) + dim(3, nz, rz)
+        + f"{chans}</Image></Data>"
         f'<Memory MemoryBlockID="{block_id}"/>'
         "</Element></LMSDataContainerHeader>")
 

@@ -162,10 +162,10 @@ def import_lif(
     (pure-Python reader, ``io.czi_lif``)."""
     from magellanmapper_tpu.io import czi_lif
     arr, meta = czi_lif.read_lif(path, series=series)
+    res = resolutions or meta.get("resolutions")
     return np_io.write_npy(
         out_path or path, arr[None],
-        resolutions=([list(resolutions)]
-                     if resolutions is not None else None))
+        resolutions=([list(res)] if res is not None else None))
 
 
 def import_nd2(

@@ -229,3 +229,49 @@ class TestPruneTierGate:
             peaks.prune_overlapping_blobs, jnp.asarray(coords),
             jnp.asarray(sigmas), jnp.asarray(valid), 0.5, 3))
         assert out[3] and out.sum() == 2   # far apart: both kept
+
+
+class TestLifResolutions:
+    def test_length_attrs_give_resolutions(self, tmp_path):
+        """Hand-written LIF XML with per-dimension Length (meters) —
+        a spec pin of the calibration path, not a writer round trip."""
+        import numpy as np
+        data = np.arange(2 * 3 * 4, dtype=np.uint16).reshape(2, 3, 4)
+        xml = (
+            '<LMSDataContainerHeader><Element Name="S0">'
+            "<Data><Image>"
+            '<DimensionDescription DimID="1" NumberOfElements="4"'
+            ' Length="1.2e-6"/>'           # 3 px spans -> 0.4 um/px
+            '<DimensionDescription DimID="2" NumberOfElements="3"'
+            ' Length="1.0e-6"/>'           # 2 px spans -> 0.5 um/px
+            '<DimensionDescription DimID="3" NumberOfElements="2"'
+            ' Length="2.0e-6"/>'           # 1 px span  -> 2.0 um/px
+            '<ChannelDescription Resolution="16"/>'
+            "</Image></Data>"
+            '<Memory MemoryBlockID="MemBlock_1"/>'
+            "</Element></LMSDataContainerHeader>")
+
+        def chunk(payload):
+            return struct.pack("<ii", 0x70, len(payload)) + payload
+
+        xml_b = xml.encode("utf-16-le")
+        head = b"\x2a" + struct.pack("<I", len(xml)) + xml_b
+        desc = "MemBlock_1".encode("utf-16-le")
+        mem = (b"\x2a" + struct.pack("<Q", data.nbytes) + b"\x2a"
+               + struct.pack("<I", len("MemBlock_1")) + desc
+               + data.tobytes())
+        path = tmp_path / "cal.lif"
+        path.write_bytes(chunk(head) + chunk(mem))
+        arr, meta = czi_lif.read_lif(str(path))
+        np.testing.assert_array_equal(arr, data)
+        assert meta["resolutions"] == pytest.approx((2.0, 0.5, 0.4))
+
+    def test_write_lif_resolutions_roundtrip(self, tmp_path):
+        import numpy as np
+        data = (np.arange(3 * 4 * 5) % 250).astype(
+            np.uint8).reshape(3, 4, 5)
+        path = str(tmp_path / "rt.lif")
+        czi_lif.write_lif(path, data, resolutions=(1.5, 0.3, 0.25))
+        arr, meta = czi_lif.read_lif(path)
+        np.testing.assert_array_equal(arr, data)
+        assert meta["resolutions"] == pytest.approx((1.5, 0.3, 0.25))
