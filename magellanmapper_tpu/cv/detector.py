@@ -93,6 +93,44 @@ def blob_log(
     return jnp.concatenate([coords, sig[:, None]], axis=1), valid
 
 
+@functools.partial(
+    jax.jit, static_argnames=("sigmas", "overlap", "capacity", "fast"))
+def blob_log_multi(
+        roi: jax.Array, sigmas: Tuple[float, ...],
+        thresholds: jax.Array, overlap: float, capacity: int,
+        fast: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """LoG detection at K thresholds sharing ONE LoG pyramid.
+
+    TPU-native grid-search accelerator (reference ``mlearn.grid_search
+    :31`` re-runs the whole detection per hyperparameter combination):
+    the scale-space pyramid — the MXU-heavy half of a detection — is
+    computed once, and peak finding + overlap pruning ``vmap`` over the
+    traced threshold vector, so a K-point threshold sweep costs one
+    pyramid plus K cheap harvests in a single compiled program (vs K
+    full runs AND K separate compiles, minutes each over a remote
+    link, since ``blob_log`` treats the threshold as static).
+
+    Returns ``(K, capacity, 4)`` blob rows and ``(K, capacity)``
+    validity. Thresholds must be positive (detection semantics).
+    """
+    roi = roi.astype(jnp.float32)
+    prec = jax.lax.Precision.DEFAULT if fast else None
+    cube = filters.log_pyramid(roi, sigmas, precision=prec)
+    sig_lut = jnp.asarray(sigmas, jnp.float32)
+
+    def one(th):
+        coords4, values, count = peaks.find_peaks(
+            cube, th, capacity, fused=False)
+        valid = jnp.arange(capacity) < count
+        sig = sig_lut[coords4[:, 0]]
+        coords = coords4[:, 1:].astype(jnp.float32)
+        valid = peaks.prune_overlapping_blobs_auto(
+            coords, sig, valid, overlap, ndim=roi.ndim)
+        return jnp.concatenate([coords, sig[:, None]], axis=1), valid
+
+    return jax.vmap(one)(jnp.asarray(thresholds, jnp.float32))
+
+
 def detect_blobs(
         roi: np.ndarray,
         settings,

@@ -18,6 +18,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def max_filter_full(cube: jax.Array, clamp_zero: bool = True) -> jax.Array:
@@ -85,8 +86,11 @@ def find_peaks(
     """
     # the fused kernel's plane max assumes a positive threshold (its 0
     # init clamps neighborhood maxima to >= 0); thresholds <= 0 take the
-    # XLA path with unclamped maxima for exact skimage semantics
-    positive_thresh = float(threshold) > 0
+    # XLA path with unclamped maxima for exact skimage semantics.
+    # A TRACED threshold (e.g. vmapped multi-threshold grid search)
+    # must take the unclamped XLA path too — it is exact for any sign.
+    concrete = isinstance(threshold, (int, float, np.floating, np.integer))
+    positive_thresh = concrete and float(threshold) > 0
     if fused is None:
         fused = (cube.ndim == 4 and fused_peaks_fit(cube.shape)
                  and positive_thresh

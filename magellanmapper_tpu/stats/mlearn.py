@@ -27,11 +27,18 @@ _logger = logging.getLogger(__name__)
 GRID_SEARCH_STATS = ("POS", "TP", "FP", "FN", "FDR", "SENS", "PPV")
 
 
+#: hyperparameter key the batched detection path can sweep on-device
+MULTI_SWEEP_KEY = "detection_threshold"
+
+
 def grid_search(
         hyperparams: "OrderedDict[str, Sequence]",
         fn_detect: Callable[[dict], np.ndarray],
         blobs_truth: np.ndarray,
-        tol: Sequence[float]) -> pd.DataFrame:
+        tol: Sequence[float],
+        fn_detect_multi: Callable[
+            [dict, Sequence[float]], Sequence[np.ndarray]] = None
+) -> pd.DataFrame:
     """Sweep hyperparameter combinations, verifying each against truth.
 
     Args:
@@ -40,16 +47,20 @@ def grid_search(
             returning detected blobs (N x >=3).
         blobs_truth: ground-truth blobs.
         tol: per-axis match tolerance.
+        fn_detect_multi: optional batched callback
+            ``(other_overrides, thresholds) -> [blobs per threshold]``
+            — when the grid includes :data:`MULTI_SWEEP_KEY`, all its
+            values for a given combination of the OTHER keys run as one
+            call (one compiled multi-threshold program on TPU,
+            :func:`cv.detector.blob_log_multi`).
 
     Returns:
         DataFrame with one row per combination: the swept values plus
         POS/TP/FP/FN/FDR/SENS/PPV.
     """
     keys = list(hyperparams)
-    rows = []
-    for combo in itertools.product(*hyperparams.values()):
-        overrides = dict(zip(keys, combo))
-        blobs = fn_detect(overrides)
+
+    def score(overrides, blobs):
         n_det = 0 if blobs is None else len(blobs)
         pos = len(blobs_truth)
         if n_det:
@@ -65,10 +76,73 @@ def grid_search(
         row = dict(overrides)
         row.update({"POS": pos, "TP": tp, "FP": fp, "FN": fn,
                     "FDR": fdr, "SENS": sens, "PPV": ppv})
-        rows.append(row)
-        _logger.info("grid combo %s: sens %.3f ppv %.3f", overrides, sens,
-                     ppv)
+        _logger.info("grid combo %s: sens %.3f ppv %.3f", overrides,
+                     sens, ppv)
+        return row
+
+    rows = []
+    if fn_detect_multi is not None and MULTI_SWEEP_KEY in keys:
+        thresholds = list(hyperparams[MULTI_SWEEP_KEY])
+        other_keys = [k for k in keys if k != MULTI_SWEEP_KEY]
+        for combo in itertools.product(
+                *(hyperparams[k] for k in other_keys)):
+            other = dict(zip(other_keys, combo))
+            blobs_per_thr = fn_detect_multi(other, thresholds)
+            for thr, blobs in zip(thresholds, blobs_per_thr):
+                # preserve the grid's original key order in the rows
+                overrides = {
+                    k: (thr if k == MULTI_SWEEP_KEY else other[k])
+                    for k in keys}
+                rows.append(score(overrides, blobs))
+        return pd.DataFrame(rows)
+
+    for combo in itertools.product(*hyperparams.values()):
+        overrides = dict(zip(keys, combo))
+        rows.append(score(overrides, fn_detect(overrides)))
     return pd.DataFrame(rows)
+
+
+def make_fn_detect_multi(vol, res, base_profile=None):
+    """Build a :func:`grid_search` ``fn_detect_multi``: all threshold
+    values of one combination run through a single compiled
+    multi-threshold program (:func:`cv.detector.blob_log_multi` — one
+    LoG pyramid, vmapped harvests). Single-channel 3D ROI volumes;
+    blob rows formatted like :func:`cv.detector.detect_blobs`."""
+    import math
+
+    import jax.numpy as jnp
+    from magellanmapper_tpu.cv import blobs as blobs_mod
+    from magellanmapper_tpu.settings.roi_prof import ROIProfile
+
+    vol_j = jnp.asarray(np.asarray(vol, np.float32))
+    sf = detector.calc_scaling_factor(res)[2]
+
+    def fn(other_overrides, thresholds):
+        prof = type(base_profile)() if base_profile is not None \
+            else ROIProfile()
+        if base_profile is not None:
+            prof.update(dict(base_profile))
+        prof.update(other_overrides)
+        sigmas = tuple(detector.sigma_list(
+            prof["min_sigma_factor"] * sf,
+            prof["max_sigma_factor"] * sf, prof["num_sigma"]))
+        cap = int(prof["max_blobs_per_block"] or 4096)
+        raws, valids = detector.blob_log_multi(
+            vol_j, sigmas, np.asarray(thresholds, np.float32),
+            float(prof["overlap"]), cap)
+        raws = np.asarray(raws)
+        valids = np.asarray(valids)
+        out = []
+        for k in range(len(thresholds)):
+            raw = raws[k][valids[k]].copy()
+            if not raw.shape[0]:
+                out.append(None)
+                continue
+            raw[:, 3] *= math.sqrt(3)   # radius = sigma * sqrt(3)
+            out.append(blobs_mod.Blobs(raw).format_blobs(0))
+        return out
+
+    return fn
 
 
 def parse_grid_stats(df: pd.DataFrame) -> pd.DataFrame:
@@ -107,15 +181,26 @@ def grid_search_from_cli(rc) -> pd.DataFrame:
     tol = detector.calc_overlap(res) * np.asarray(
         rc.roi_profile["verify_tol_factor"])
 
-    def fn_detect(overrides):
+    def make_prof(overrides):
         prof = type(rc.roi_profile)()
         prof.update(dict(rc.roi_profile))
         prof.update(overrides)
+        return prof
+
+    def fn_detect(overrides):
         blobs, _ = stack_detect.detect_blobs_blocks(
-            vol, prof, res, channels=rc.channel, preprocess=False)
+            vol, make_prof(overrides), res, channels=rc.channel,
+            preprocess=False)
         return blobs
 
-    df = grid_search(hyperparams, fn_detect, truth, tol)
+    fn_multi = None
+    if vol.ndim == 3 and vol.size <= (64 << 20):
+        # single-channel ROI-scale sweep: run every threshold value of
+        # a combination through ONE multi-threshold program
+        fn_multi = make_fn_detect_multi(vol, res, rc.roi_profile)
+
+    df = grid_search(
+        hyperparams, fn_detect, truth, tol, fn_detect_multi=fn_multi)
     df = parse_grid_stats(df)
     out_csv = (rc.prefix or rc.filenames[0]) + "_gridsearch.csv"
     df.to_csv(out_csv, index=False)

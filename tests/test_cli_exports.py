@@ -108,6 +108,90 @@ class TestStats:
         ranked = mlearn.parse_grid_stats(df)
         assert ranked.iloc[0]["detection_threshold"] == 0.1
 
+    def test_grid_search_multi_path_matches_plain(self):
+        """fn_detect_multi: the batched-threshold path must yield the
+        same rows (values + stats, same order) as per-combo calls."""
+        from collections import OrderedDict
+        truth = np.array([[5.0, 5, 5], [10, 10, 10]])
+
+        def detect_at(thr, extra):
+            n = 3 if thr < 0.5 else 1
+            base = np.array([[5.0, 5, 5, 3], [10, 10, 10, 3],
+                             [20, 20, 20, 3]])[:n]
+            return base if extra == "a" else base[:-1] if n > 1 else base
+
+        calls = {"multi": 0, "plain": 0}
+
+        def fn_detect(overrides):
+            calls["plain"] += 1
+            return detect_at(overrides["detection_threshold"],
+                             overrides["x"])
+
+        def fn_multi(other, thresholds):
+            calls["multi"] += 1
+            return [detect_at(t, other["x"]) for t in thresholds]
+
+        grid = OrderedDict([
+            ("detection_threshold", [0.1, 0.9]), ("x", ["a", "b"])])
+        df_plain = mlearn.grid_search(grid, fn_detect, truth, (2, 2, 2))
+        df_multi = mlearn.grid_search(
+            grid, fn_detect, truth, (2, 2, 2), fn_detect_multi=fn_multi)
+        assert calls["multi"] == 2      # one call per non-thr combo
+        key = ["detection_threshold", "x"]
+        pd.testing.assert_frame_equal(
+            df_plain.sort_values(key).reset_index(drop=True),
+            df_multi.sort_values(key).reset_index(drop=True))
+
+    def test_blob_log_multi_matches_single(self):
+        """blob_log_multi: each threshold row must equal a plain
+        blob_log run at that threshold (shared-pyramid correctness)."""
+        import jax.numpy as jnp
+        from magellanmapper_tpu.cv import detector
+        rng2 = np.random.default_rng(5)
+        vol = np.zeros((24, 28, 28), np.float32)
+        for z, y, x in rng2.integers(5, 22, (12, 3)):
+            zz, yy, xx = np.ogrid[:24, :28, :28]
+            vol += np.exp(-((zz - z) ** 2 + (yy - y) ** 2
+                            + (xx - x) ** 2) / 6.0)
+        vol += rng2.normal(0, 0.02, vol.shape).astype(np.float32)
+        vol = np.clip(vol, 0, None) / vol.max()
+        sigmas = tuple(np.linspace(1.5, 3.0, 4))
+        thresholds = [0.05, 0.15, 0.4]
+        raws, valids = detector.blob_log_multi(
+            jnp.asarray(vol), sigmas, np.asarray(thresholds), 0.5, 256)
+        counts = []
+        for k, thr in enumerate(thresholds):
+            raw_s, valid_s = detector.blob_log(
+                jnp.asarray(vol), sigmas, float(thr), 0.5, 256)
+            a = np.asarray(raws[k])[np.asarray(valids[k])]
+            b = np.asarray(raw_s)[np.asarray(valid_s)]
+            np.testing.assert_allclose(
+                np.sort(a, axis=0), np.sort(b, axis=0), atol=1e-5)
+            counts.append(len(a))
+        # higher thresholds find fewer blobs (sanity on the sweep)
+        assert counts[0] >= counts[-1] and counts[0] > 0
+
+    def test_make_fn_detect_multi_formats_blobs(self):
+        from magellanmapper_tpu.settings.roi_prof import ROIProfile
+        rng2 = np.random.default_rng(6)
+        vol = np.zeros((20, 24, 24), np.float32)
+        for z, y, x in rng2.integers(5, 18, (8, 3)):
+            zz, yy, xx = np.ogrid[:20, :24, :24]
+            vol += np.exp(-((zz - z) ** 2 + (yy - y) ** 2
+                            + (xx - x) ** 2) / 6.0)
+        vol = np.clip(vol, 0, None) / vol.max()
+        prof = ROIProfile()
+        prof["min_sigma_factor"] = 1.5
+        prof["max_sigma_factor"] = 3.0
+        prof["num_sigma"] = 4
+        fn = mlearn.make_fn_detect_multi(vol, (1.0, 1.0, 1.0), prof)
+        out = fn({}, [0.05, 0.6])
+        assert len(out) == 2
+        assert out[0] is not None and out[0].shape[1] == 10
+        n_low = len(out[0])
+        n_high = 0 if out[1] is None else len(out[1])
+        assert n_low >= n_high
+
 
 class TestDfIO:
     def test_csv_roundtrip_with_backup(self, tmp_path):
