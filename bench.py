@@ -480,14 +480,12 @@ def bench_bigvol_e2e(shape=(1024, 1024, 1024), n_blobs=6000, seed=2):
             pass
 
 
-def bench_registration(shape=(64, 96, 96), iters=192):
-    """Registration optimizer steps/sec (BASELINE.json second metric):
-    affine stage with the Mattes-MI metric, single level, steady state."""
-    import jax
+def _reg_bench_fixture(shape):
+    """Shared fixed/moving pair for the plain and sharded reg_ips
+    benches — both MUST measure the identical workload."""
     import jax.numpy as jnp
-    from magellanmapper_tpu.atlas import reg_engine, transform
+    from magellanmapper_tpu.atlas import transform
 
-    rng = np.random.default_rng(0)
     zz, yy, xx = np.indices(shape).astype(np.float32)
     fixed = np.exp(-(((zz - shape[0]/2) / (shape[0]/3)) ** 2
                      + ((yy - shape[1]/2) / (shape[1]/3)) ** 2
@@ -497,6 +495,17 @@ def bench_registration(shape=(64, 96, 96), iters=192):
     moving = np.asarray(transform.resample(
         jnp.asarray(fixed), {"t": jnp.asarray([-2.0, 3.0, -1.0])},
         "translation", shape))
+    return fixed, moving
+
+
+def bench_registration(shape=(64, 96, 96), iters=192):
+    """Registration optimizer steps/sec (BASELINE.json second metric):
+    affine stage with the Mattes-MI metric, single level, steady state."""
+    import jax
+    import jax.numpy as jnp
+    from magellanmapper_tpu.atlas import reg_engine, transform
+
+    fixed, moving = _reg_bench_fixture(shape)
     params = transform.identity_params("affine")
     lrs = (("W", 0.01), ("t", 1.0))
     # same metric-sample stride the engine itself would pick at this level
@@ -559,8 +568,11 @@ def phase_block():
 
 
 def phase_reg_ips():
-    return {"reg_ips": round(bench_registration(), 1),
-            "reg_ips_sh": round(bench_registration_sharded(), 1)}
+    return {"reg_ips": round(bench_registration(), 1)}
+
+
+def phase_reg_ips_sh():
+    return {"reg_ips_sh": round(bench_registration_sharded(), 1)}
 
 
 def phase_reg_full():
@@ -593,6 +605,7 @@ PHASES = (
     ("headline", phase_headline, 600),
     ("block", phase_block, 720),
     ("reg_ips", phase_reg_ips, 420),
+    ("reg_ips_sh", phase_reg_ips_sh, 420),
     ("reg_full", phase_reg_full, 720),
     ("gauntlet", phase_gauntlet, 1200),
     ("groupwise", phase_groupwise, 900),
@@ -706,24 +719,15 @@ def bench_registration_sharded(shape=(64, 96, 96), iters=192):
     """Mesh-sharded affine Mattes-MI steps/sec on a 1-device mesh of
     the real chip: quantifies the shard_map + psum'd-histogram path's
     overhead vs :func:`bench_registration` (multi-chip hardware is not
-    reachable from this box; the collective-path cost is)."""
+    reachable from this box; the collective-path cost is). Shares the
+    plain bench's fixture so the comparison measures only the path."""
     import jax
     import jax.numpy as jnp
-    import numpy as np_
     from jax.sharding import Mesh
     from magellanmapper_tpu.atlas import reg_engine, transform
 
-    rng = np_.random.default_rng(0)
-    zz, yy, xx = np_.indices(shape).astype(np_.float32)
-    fixed = np_.exp(-(((zz - shape[0]/2) / (shape[0]/3)) ** 2
-                      + ((yy - shape[1]/2) / (shape[1]/3)) ** 2
-                      + ((xx - shape[2]/2) / (shape[2]/3)) ** 2) * 2)
-    fixed += 0.2 * np_.sin(zz / 5) * np_.sin(yy / 6)
-    fixed = np_.clip(fixed, 0, None).astype(np_.float32)
-    moving = np_.asarray(transform.resample(
-        jnp.asarray(fixed), {"t": jnp.asarray([-2.0, 3.0, -1.0])},
-        "translation", shape))
-    mesh = Mesh(np_.asarray(jax.devices()[:1]), ("sp",))
+    fixed, moving = _reg_bench_fixture(shape)
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("sp",))
     params = transform.identity_params("affine")
     lrs = (("W", 0.01), ("t", 1.0))
     stride = reg_engine._metric_stride(shape)
@@ -731,10 +735,10 @@ def bench_registration_sharded(shape=(64, 96, 96), iters=192):
             None, "affine", "AdvancedMattesMutualInformation", iters,
             None, lrs, stride)
     _p, l0 = reg_engine._optimize_level_sharded(*args)
-    float(np_.asarray(l0))
+    float(np.asarray(l0))
     t0 = time.perf_counter()
     _p, loss = reg_engine._optimize_level_sharded(*args)
-    float(np_.asarray(loss))
+    float(np.asarray(loss))
     return iters / (time.perf_counter() - t0)
 
 

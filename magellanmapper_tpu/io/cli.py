@@ -565,10 +565,8 @@ def _detect(rc: RunConfig, coloc: bool = False):
         # multi-chip sharded whole-volume detection over a
         # (dp, sp[, spy]) mesh (--mesh; halo exchange over ICI)
         import time as time_mod
-        from magellanmapper_tpu.parallel import halo, mesh as mesh_mod
-        dims = list(rc.mesh) + [1] * (3 - len(rc.mesh))
-        dp, sp, spy = dims[:3]
-        m = mesh_mod.make_mesh(dp * sp * spy, dp=dp, sp=sp, spy=spy)
+        from magellanmapper_tpu.parallel import halo
+        m = _reg_mesh(rc)
         t0 = time_mod.time()
         merged = halo.detect_blobs_sharded_stack(
             np.asarray(vol), profiles, res, mesh=m,
@@ -649,8 +647,9 @@ def _coloc_match(rc: RunConfig):
 
 
 def _reg_mesh(rc: RunConfig):
-    """--mesh for registration tasks: sample-space sharding over all
-    axes (single) / subjects over dp (group)."""
+    """Build the (dp, sp[, spy]) device mesh from --mesh; shared by
+    sharded detection, registration (sample-space sharding over all
+    axes), and groupwise (subjects over dp)."""
     if not rc.mesh:
         return None
     from magellanmapper_tpu.parallel import mesh as mesh_mod
@@ -671,7 +670,7 @@ def _process_register(rc: RunConfig):
     if task is RegisterTypes.REGISTER_REV:
         return register_mod.register_rev(
             rc.filenames[0], rc.filenames[1], rc.atlas_profile,
-            prefix=rc.prefix)
+            prefix=rc.prefix, mesh=_reg_mesh(rc))
     if task is RegisterTypes.GROUP:
         from magellanmapper_tpu.io import np_io
         imgs = [np.asarray(np_io.read_file(f).img[0])

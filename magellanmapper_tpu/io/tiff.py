@@ -288,7 +288,9 @@ def read_tiff(path: str, return_description: bool = False):
         while ifd_off:
             f.seek(ifd_off)
             tags, ifd_off = _read_ifd_entries(f, bo, big)
-            if description is None and _TAG_DESCRIPTION in tags:
+            if description is None and isinstance(
+                    tags.get(_TAG_DESCRIPTION), bytes):
+                # guard: a numeric-typed tag 270 decodes to a list
                 description = tags[_TAG_DESCRIPTION].split(
                     b"\x00")[0].decode("utf-8", errors="replace")
             if _TAG_WIDTH not in tags:
@@ -362,6 +364,10 @@ def write_tiff(path: str, arr: np.ndarray,
         prev_ifd_link = ifd_pos_holder
         desc_bytes = (description.encode("utf-8") + b"\x00"
                       if description else None)
+        if desc_bytes and len(desc_bytes) <= 4:
+            # the IFD entry stores an offset; values <= 4 bytes would
+            # be read inline per the TIFF value rule, so pad past it
+            desc_bytes += b"\x00" * (5 - len(desc_bytes))
         for p in range(n_pages):
             data = np.ascontiguousarray(arr[p]).tobytes()
             if comp in (COMP_DEFLATE_ADOBE, COMP_DEFLATE):

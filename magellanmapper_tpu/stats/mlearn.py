@@ -107,7 +107,12 @@ def make_fn_detect_multi(vol, res, base_profile=None):
     values of one combination run through a single compiled
     multi-threshold program (:func:`cv.detector.blob_log_multi` — one
     LoG pyramid, vmapped harvests). Single-channel 3D ROI volumes;
-    blob rows formatted like :func:`cv.detector.detect_blobs`."""
+    blob rows formatted like :func:`cv.detector.detect_blobs`.
+
+    Thresholds run in padded chunks sized so the vmapped per-threshold
+    intermediates (``~num_sigma * vol.size * 5`` bytes each) stay
+    inside the HBM budget; the whole-volume capacity scales with
+    ``vol.size`` (the blocked path allots its capacity per block)."""
     import math
 
     import jax.numpy as jnp
@@ -126,23 +131,57 @@ def make_fn_detect_multi(vol, res, base_profile=None):
         sigmas = tuple(detector.sigma_list(
             prof["min_sigma_factor"] * sf,
             prof["max_sigma_factor"] * sf, prof["num_sigma"]))
-        cap = int(prof["max_blobs_per_block"] or 4096)
-        raws, valids = detector.blob_log_multi(
-            vol_j, sigmas, np.asarray(thresholds, np.float32),
-            float(prof["overlap"]), cap)
-        raws = np.asarray(raws)
-        valids = np.asarray(valids)
+        # whole-volume capacity: the blocked path's per-block heuristic
+        # (block_voxels // 1024) applied to the full volume
+        cap = int(prof["max_blobs_per_block"] or 0)
+        cap = max(cap, min(1 << 17, max(4096, vol_j.size // 1024)))
+        fast = str(prof["log_dtype"]).lower() == "bfloat16"
+        # chunk the threshold axis to bound vmapped intermediates
+        per_thr = len(sigmas) * vol_j.size * 5
+        k_chunk = int(max(1, min(8, (2 << 30) // max(per_thr, 1))))
         out = []
-        for k in range(len(thresholds)):
-            raw = raws[k][valids[k]].copy()
-            if not raw.shape[0]:
-                out.append(None)
-                continue
-            raw[:, 3] *= math.sqrt(3)   # radius = sigma * sqrt(3)
-            out.append(blobs_mod.Blobs(raw).format_blobs(0))
+        for c0 in range(0, len(thresholds), k_chunk):
+            chunk = list(thresholds[c0:c0 + k_chunk])
+            n_real = len(chunk)
+            chunk += [chunk[-1]] * (k_chunk - n_real)   # pad: one shape
+            raws, valids = detector.blob_log_multi(
+                vol_j, sigmas, np.asarray(chunk, np.float32),
+                float(prof["overlap"]), cap, fast=fast)
+            raws = np.asarray(raws)
+            valids = np.asarray(valids)
+            for k in range(n_real):
+                raw = raws[k][valids[k]].copy()
+                if not raw.shape[0]:
+                    out.append(None)
+                    continue
+                raw[:, 3] *= math.sqrt(3)   # radius = sigma * sqrt(3)
+                out.append(blobs_mod.Blobs(raw).format_blobs(0))
         return out
 
     return fn
+
+
+#: profile keys the batched-threshold path honors; a grid or base
+#: profile touching detection keys OUTSIDE this set must use the plain
+#: per-combination path (the multi path would silently ignore them)
+MULTI_SUPPORTED_KEYS = frozenset((
+    "detection_threshold", "min_sigma_factor", "max_sigma_factor",
+    "num_sigma", "overlap", "max_blobs_per_block", "log_dtype"))
+
+
+def multi_path_applicable(vol, grid_keys, profile) -> bool:
+    """True when :func:`make_fn_detect_multi` reproduces the plain
+    path's semantics: single-channel ROI-scale volume, every swept key
+    supported, and no base-profile feature the single-shot path skips
+    (isotropic resampling, spectral unmixing, border exclusion)."""
+    if vol.ndim != 3 or vol.size > (16 << 20):
+        return False
+    if not set(grid_keys) <= MULTI_SUPPORTED_KEYS:
+        return False
+    for key in ("isotropic", "spectral_unmixing", "exclude_border"):
+        if profile.get(key):
+            return False
+    return True
 
 
 def parse_grid_stats(df: pd.DataFrame) -> pd.DataFrame:
@@ -194,9 +233,10 @@ def grid_search_from_cli(rc) -> pd.DataFrame:
         return blobs
 
     fn_multi = None
-    if vol.ndim == 3 and vol.size <= (64 << 20):
-        # single-channel ROI-scale sweep: run every threshold value of
-        # a combination through ONE multi-threshold program
+    if multi_path_applicable(vol, hyperparams.keys(), rc.roi_profile):
+        # single-channel ROI-scale sweep with only supported keys: run
+        # every threshold value of a combination through ONE
+        # multi-threshold program
         fn_multi = make_fn_detect_multi(vol, res, rc.roi_profile)
 
     df = grid_search(
