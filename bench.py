@@ -480,6 +480,52 @@ def bench_bigvol_e2e(shape=(1024, 1024, 1024), n_blobs=6000, seed=2):
             pass
 
 
+def bench_grid_sweep(shape=(64, 192, 192), n_thresholds=8, reps=3):
+    """Hyperparameter-sweep throughput: K detection thresholds through
+    ONE multi-threshold program (``detector.blob_log_multi`` — shared
+    LoG pyramid, vmapped harvests) vs K sequential ``blob_log`` runs
+    (each threshold is a separate compiled program there). Returns
+    ``[K, multi_ms_per_thr, seq_ms_per_thr, speedup]`` at steady state
+    (compiles cached for both paths; the multi path additionally saves
+    K-1 multi-minute remote compiles on a COLD cache, not measured
+    here).
+    """
+    import jax
+    import jax.numpy as jnp
+    from magellanmapper_tpu.cv import detector
+
+    vol = make_volume(shape, n_blobs=300, seed=4)
+    x = jnp.asarray(vol)
+    sigmas = tuple(np.linspace(2.0, 4.0, 8))
+    thresholds = np.linspace(0.05, 0.4, n_thresholds).astype(np.float32)
+    cap = 8192
+
+    # warm both paths
+    r, v = detector.blob_log_multi(x, sigmas, thresholds, 0.5, cap)
+    np.asarray(v)
+    for thr in thresholds:
+        np.asarray(detector.blob_log(x, sigmas, float(thr), 0.5, cap)[1])
+
+    best_multi = best_seq = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _, v = detector.blob_log_multi(x, sigmas, thresholds, 0.5, cap)
+        np.asarray(v)
+        dt = time.perf_counter() - t0
+        best_multi = dt if best_multi is None else min(best_multi, dt)
+        t0 = time.perf_counter()
+        outs = [detector.blob_log(x, sigmas, float(thr), 0.5, cap)[1]
+                for thr in thresholds]
+        np.asarray(outs[-1])
+        np.asarray(outs[0])
+        dt = time.perf_counter() - t0
+        best_seq = dt if best_seq is None else min(best_seq, dt)
+    k = len(thresholds)
+    return [k, round(best_multi / k * 1e3, 1),
+            round(best_seq / k * 1e3, 1),
+            round(best_seq / best_multi, 2)]
+
+
 def _reg_bench_fixture(shape):
     """Shared fixed/moving pair for the plain and sharded reg_ips
     benches — both MUST measure the identical workload."""
@@ -595,6 +641,10 @@ def phase_bigvol():
     return {"bigvol": bench_bigvol_e2e()}
 
 
+def phase_grid():
+    return {"grid": bench_grid_sweep()}
+
+
 def phase_probe():
     bw, tf = bench_device_capability()
     return {"bw": bw, "tf": tf}
@@ -610,13 +660,14 @@ PHASES = (
     ("gauntlet", phase_gauntlet, 1200),
     ("groupwise", phase_groupwise, 900),
     ("bigvol", phase_bigvol, 900),
+    ("grid", phase_grid, 480),
     ("probe", phase_probe, 240),
 )
 
 _EXTRA_KEYS = (
     "blobs", "cpu", "blk_e2e", "blk_dev", "blk_dev_np", "blk_blobs",
     "blk_split", "dens", "reg_ips", "reg_ips_sh", "reg_wall",
-    "reg_dsc", "gauntlet", "groupwise", "bigvol", "bw", "tf")
+    "reg_dsc", "gauntlet", "groupwise", "bigvol", "grid", "bw", "tf")
 
 
 def render_line(r):

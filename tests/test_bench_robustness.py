@@ -44,9 +44,11 @@ class TestRenderLine:
                 "passes": True},
             "groupwise": [127.3, 4, 0.818, 0.905],
             "bigvol": [2.25, 18.42, 5987, 1.08],
+            "grid": [8, 3.2, 28.5, 8.9],
             "bw": 84.9, "tf": 37.8,
-            "done": ["headline", "block", "reg_ips", "reg_full",
-                     "gauntlet", "groupwise", "bigvol", "probe"]}
+            "done": ["headline", "block", "reg_ips", "reg_ips_sh",
+                     "reg_full", "gauntlet", "groupwise", "bigvol",
+                     "grid", "probe"]}
 
     def test_full_line_under_capture_window(self):
         """< 1500 chars fully populated: fits the driver's 2000-char
