@@ -317,6 +317,35 @@ class TestCLITruthDB:
         df = pd.read_csv(str(tmp_path / "samp_verify.csv"))
         assert df["sens"][0] > 0.5
 
+    def test_grid_search_cli_end_to_end(self, tmp_path):
+        """--grid_search gridtest over a truth DB: the CSV carries one
+        ROC row per threshold with monotone detections (this ROI-scale
+        sweep routes through the batched multi-threshold program)."""
+        from magellanmapper_tpu.io import sqlite
+        base, centers = make_volume(tmp_path, n=10, seed=4)
+        db = sqlite.load_db(str(tmp_path / "truth.db"))
+        exp = db.select_or_insert_experiment("samp")
+        roi_id, _ = db.select_or_insert_roi(exp, 0, (0, 0, 0),
+                                            (40, 40, 24))
+        truth = np.column_stack([
+            centers, np.full(len(centers), 3.0),
+            np.ones(len(centers)), np.ones(len(centers)),
+            np.zeros(len(centers))])
+        db.insert_blobs(roi_id, truth)
+        db.close()
+        df = cli.main([
+            "--img", base, "--grid_search", "gridtest",
+            "--roi_profile", "4xnuc",
+            "--truth_db", str(tmp_path / "truth.db")])
+        csv_path = base + "_gridsearch.csv"
+        assert os.path.exists(csv_path)
+        assert len(df) == 4      # gridtest sweeps 4 thresholds
+        assert set(mlearn.GRID_SEARCH_STATS) <= set(df.columns)
+        by_thr = df.sort_values("detection_threshold")
+        n_det = (by_thr["TP"] + by_thr["FP"]).to_numpy()
+        assert (np.diff(n_det) <= 0).all()   # higher thr, fewer blobs
+        assert by_thr.iloc[0]["SENS"] > 0.5
+
 
 class TestCLIEdgeImages:
     def test_make_edge_images_writes_set(self, tmp_path):
