@@ -593,9 +593,17 @@ def phase_headline():
     sigmas = np.linspace(2.0, 4.0, 8)
     vol = make_volume(shape)
     tpu_mvox, n_blobs = bench_tpu(vol, sigmas, 0.1, 0.5, 8192)
-    cpu_mvox = bench_cpu_baseline(vol, sigmas, 0.1, 0.5)
-    return {"tpu_mvox": round(tpu_mvox, 2), "blobs": n_blobs,
-            "cpu": round(cpu_mvox, 3)}
+    return {"tpu_mvox": round(tpu_mvox, 2), "blobs": n_blobs}
+
+
+def phase_cpu_base():
+    """Device-independent scipy baseline (the vs_baseline denominator)
+    — its own phase so a tunnel outage cannot take it down with the
+    headline measurement."""
+    shape = (128, 256, 256)
+    sigmas = np.linspace(2.0, 4.0, 8)
+    vol = make_volume(shape)
+    return {"cpu": round(bench_cpu_baseline(vol, sigmas, 0.1, 0.5), 3)}
 
 
 def phase_block():
@@ -651,7 +659,12 @@ def phase_probe():
 
 
 #: (name, fn, timeout_s) in priority order; the probe is LAST
+#: phases that never touch the device (skip the backend check, and a
+#: dead tunnel cannot hang them)
+NO_DEVICE_PHASES = frozenset(("cpu_base",))
+
 PHASES = (
+    ("cpu_base", phase_cpu_base, 300),
     ("headline", phase_headline, 600),
     ("block", phase_block, 720),
     ("reg_ips", phase_reg_ips, 420),
@@ -688,18 +701,22 @@ def _run_phase_child(name, out_path):
     _enable_compile_cache()
     res = {}
     try:
-        import jax
-        if os.environ.get("BENCH_FORCE_CPU"):
-            # test hook: env vars alone cannot beat the sitecustomize
-            # axon pre-import; the config update can
-            jax.config.update("jax_platforms", "cpu")
-        if jax.default_backend() == "cpu" and not os.environ.get(
-                "BENCH_ALLOW_CPU"):
+        fn = dict((n, f) for n, f, _ in PHASES)[name]
+        if name in NO_DEVICE_PHASES:
+            return_cpu_ok = True
+        else:
+            import jax
+            if os.environ.get("BENCH_FORCE_CPU"):
+                # test hook: env vars alone cannot beat the
+                # sitecustomize axon pre-import; the config update can
+                jax.config.update("jax_platforms", "cpu")
+            return_cpu_ok = (jax.default_backend() != "cpu"
+                             or bool(os.environ.get("BENCH_ALLOW_CPU")))
+        if not return_cpu_ok:
             # recording CPU throughput as the TPU metric would be worse
             # than recording nothing
             res = {"error": "cpu_fallback"}
         else:
-            fn = dict((n, f) for n, f, _ in PHASES)[name]
             res = fn()
     except Exception as exc:  # noqa: BLE001 — report, parent decides
         res = {"error": f"{type(exc).__name__}: {exc}"}

@@ -119,7 +119,28 @@ class TestHangingPhase:
 
 
 class TestPhaseOrder:
-    def test_probe_is_last_and_headline_first(self):
+    def test_probe_is_last_and_headline_leads_device_phases(self):
         names = [n for n, _, _ in bench.PHASES]
-        assert names[0] == "headline"
+        # the device-free cpu baseline runs first (a dead tunnel cannot
+        # hang it); headline is the first DEVICE phase; probe is last
+        assert names[0] == "cpu_base"
+        assert "cpu_base" in bench.NO_DEVICE_PHASES
+        device_names = [n for n in names
+                        if n not in bench.NO_DEVICE_PHASES]
+        assert device_names[0] == "headline"
         assert names[-1] == "probe"
+
+    def test_cpu_base_phase_runs_without_device(self, tmp_path):
+        """The device-free phase must produce its number even when the
+        backend would be refused (no BENCH_ALLOW_CPU)."""
+        out_path = str(tmp_path / "cpu.json")
+        env = dict(os.environ)
+        env.pop("BENCH_ALLOW_CPU", None)
+        env["BENCH_FORCE_CPU"] = "1"
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"),
+             "--phase", "cpu_base", "--out", out_path],
+            timeout=300, env=env, check=True)
+        with open(out_path) as f:
+            res = json.load(f)
+        assert res.get("cpu", 0) > 0
