@@ -293,6 +293,27 @@ class Vis3DCanvas:
             self._depth = None
         self.ax.imshow(img)
         self.ax.set_axis_off()
+        if self.vis3d.surfaces:
+            # arbitrary mesh actors in the TPU scene: depth-occluded
+            # vertex splats through the same camera as the blob overlay
+            # (Mayavi surface actors; the mpl mode renders full
+            # Poly3DCollections)
+            from magellanmapper_tpu.ops import render3d
+            depth = (self._depth if self._depth is not None
+                     else np.full(self.render_hw, np.inf, np.float32))
+            for verts, _faces in self.vis3d.surfaces:
+                verts = np.asarray(verts)
+                if not len(verts):
+                    continue
+                step = max(1, len(verts) // 2000)
+                pts = render3d.render_blobs_overlay(
+                    depth, verts[::step], np.asarray(roi).shape,
+                    self._azim, self._elev, out_hw=self.render_hw,
+                    zoom=self._zoom)
+                vis = pts[:, 2] > 0
+                if vis.any():
+                    self.ax.scatter(pts[vis, 1], pts[vis, 0], s=2,
+                                    c="orange", alpha=0.6)
         if self.vis3d.blobs is not None and len(self.vis3d.blobs):
             pts = self.project_blobs()
             vis = pts[:, 2] > 0

@@ -345,6 +345,34 @@ class TestVis3DCanvasRaycast:
         p = cv3b.project_blobs()
         assert cv3b.pick_blob(p[0, 0], p[0, 1]) is None
 
+    def test_surface_actor_splats_with_occlusion(self, sphere_vis):
+        """Mesh actors in the raycast scene: front-facing vertices splat
+        (scatter points beyond the blob overlay), and a mesh fully
+        inside the isosurface stays hidden."""
+        from magellanmapper_tpu.cv import cv_nd
+        from magellanmapper_tpu.ops import render3d
+        vol = np.asarray(sphere_vis.roi)
+        # small cube mesh OUTSIDE the sphere along the view direction
+        view = np.asarray(render3d.camera_basis(-60.0, 30.0)[0])
+        c = np.asarray([11.5, 11.5, 11.5]) - view * 10.0
+        cube = np.zeros_like(vol)
+        z, y, x = (int(v) for v in np.clip(c, 2, 20))
+        cube[z-1:z+2, y-1:y+2, x-1:x+2] = 1.0
+        sphere_vis.surfaces.append(cv_nd.surface_net_mesh(cube, 0.5))
+        cv3 = self._canvas(sphere_vis, "isosurface")
+        n_front = sum(len(col.get_offsets())
+                      for col in cv3.ax.collections)
+        assert n_front > 0
+        # a mesh buried at the sphere's center is fully occluded
+        sphere_vis.surfaces.clear()
+        buried = np.zeros_like(vol)
+        buried[10:13, 10:13, 10:13] = 1.0
+        sphere_vis.surfaces.append(cv_nd.surface_net_mesh(buried, 0.5))
+        cv3b = self._canvas(sphere_vis, "isosurface")
+        n_hidden = sum(len(col.get_offsets())
+                       for col in cv3b.ax.collections)
+        assert n_hidden == 0
+
     def test_confirm_flow_persists_through_editor_db(
             self, sphere_vis, tmp_path):
         """Pick -> 'c' confirm cycle -> editor.save(db): the same DB
