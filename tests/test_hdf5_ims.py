@@ -329,6 +329,35 @@ class TestReadIms:
         np.testing.assert_array_equal(arr[1], vols[1])
         assert meta["resolutions"] == pytest.approx((2.5, 3.0, 2.0))
 
+    def test_resolution_level_selects_pyramid(self, tmp_path):
+        rng = np.random.default_rng(7)
+        full = rng.integers(0, 60000, (4, 8, 8), dtype=np.uint16)
+        half = full[::2, ::2, ::2]
+        b = H5Builder()
+
+        def chan(vol):
+            attrs = {f"ImageSize{ax}": _s1(str(s))
+                     for ax, s in zip("ZYX", vol.shape)}
+            pad = [-(-s // c) * c for s, c in zip(vol.shape, (2, 4, 4))]
+            p = np.zeros(pad, vol.dtype)
+            p[tuple(slice(0, s) for s in vol.shape)] = vol
+            return b.group(
+                {"Data": b.dataset(p, chunk=(2, 4, 4), gzip=True)},
+                attrs=attrs)
+
+        rl0 = b.group({"TimePoint 0": b.group(
+            {"Channel 0": chan(full)})})
+        rl1 = b.group({"TimePoint 0": b.group(
+            {"Channel 0": chan(half)})})
+        root = b.group({"DataSet": b.group(
+            {"ResolutionLevel 0": rl0, "ResolutionLevel 1": rl1})})
+        path = tmp_path / "pyr.ims"
+        path.write_bytes(b.finish(root))
+        arr0, _ = hdf5.read_ims(str(path), resolution_level=0)
+        arr1, _ = hdf5.read_ims(str(path), resolution_level=1)
+        np.testing.assert_array_equal(arr0, full)
+        np.testing.assert_array_equal(arr1, half)
+
     def test_missing_channels_raise(self, tmp_path):
         b = H5Builder()
         tp = b.group({})
