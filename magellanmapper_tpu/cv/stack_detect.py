@@ -344,7 +344,7 @@ def _blob_log_impl(
         roi: jax.Array, sigmas: Tuple[float, ...], threshold: float,
         overlap: float, capacity: int,
         fast: bool = False, fused: bool = False
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Un-jitted LoG detection body (see ``detector.blob_log``).
 
     ``fast=True`` (profile ``log_dtype="bfloat16"``) runs the LoG convs
@@ -354,6 +354,12 @@ def _blob_log_impl(
     ``fused=True`` routes peak finding through the fused Pallas kernels
     (requires a 128-aligned x extent and must not be under ``vmap`` —
     the manual-DMA kernel has no batching rule; use ``lax.scan``).
+
+    Returns ``(raw, valid, peak_count)``. ``peak_count`` is the
+    PRE-prune peak count: overlap pruning runs after the capacity cut,
+    so post-prune ``valid.sum()`` can drop below ``capacity`` on a
+    truncated block and mask the overflow — the dispatcher's retry
+    logic must gate on ``peak_count >= capacity`` instead.
     """
     from magellanmapper_tpu.ops import filters
     prec = jax.lax.Precision.DEFAULT if fast else None
@@ -366,7 +372,8 @@ def _blob_log_impl(
     coords = coords4[:, 1:].astype(jnp.float32)
     valid = peaks.prune_overlapping_blobs_auto(
         coords, sig, valid, overlap, ndim=roi.ndim)
-    return jnp.concatenate([coords, sig[:, None]], axis=1), valid
+    return (jnp.concatenate([coords, sig[:, None]], axis=1), valid,
+            count)
 
 
 @functools.partial(
@@ -386,7 +393,7 @@ def _detect_batch(
         return _blob_log_impl(vol, sigmas, threshold, overlap, capacity,
                               fast=fast)
 
-    return jax.vmap(one)(batch)
+    return jax.vmap(one)(batch)   # (raws, valids, peak_counts)
 
 
 def _preproc_one(vol, denoise_shape, preproc_items, max_thresh=None,
@@ -437,13 +444,13 @@ def _detect_batch_fused(
         vol = _preproc_one(
             vol, denoise_shape, preproc_items,
             fused_tiles=jax.default_backend() not in ("cpu",))
-        raw, valid = _blob_log_impl(
+        raw, valid, count = _blob_log_impl(
             vol, sigmas, threshold, overlap, capacity, fast=fast,
             fused=True)
-        return None, (raw, valid)
+        return None, (raw, valid, count)
 
-    _, (raws, valids) = jax.lax.scan(body, None, batch)
-    return raws, valids
+    _, (raws, valids, counts) = jax.lax.scan(body, None, batch)
+    return raws, valids, counts
 
 
 @functools.partial(
@@ -473,13 +480,13 @@ def _detect_batch_resident(
             vol, (st[0], st[1], st[2]), block_shape)
         blk = _preproc_one(
             blk, denoise_shape, preproc_items, fused_tiles=fused)
-        raw, valid = _blob_log_impl(
+        raw, valid, count = _blob_log_impl(
             blk, sigmas, threshold, overlap, capacity, fast=fast,
             fused=fused)
-        return None, (raw, valid)
+        return None, (raw, valid, count)
 
-    _, (raws, valids) = jax.lax.scan(body, None, starts)
-    return raws, valids
+    _, (raws, valids, counts) = jax.lax.scan(body, None, starts)
+    return raws, valids, counts
 
 
 def _window_for_block(
@@ -583,14 +590,14 @@ def _retry_overflow(retry, fallback, dispatch, store_block, capacity,
             len(retry), cap)
         still = []
         for i in range(0, len(retry), batch_size):
-            batch_coords, starts, raw_b, valid_b = dispatch(
+            batch_coords, starts, raw_b, valid_b, count_b = dispatch(
                 retry[i:i + batch_size], cap)
             raw_b = np.asarray(raw_b)
             valid_b = np.asarray(valid_b)
+            count_b = np.asarray(count_b)
             for bi, coord in enumerate(batch_coords):
                 raw = raw_b[bi][valid_b[bi]]
-                if (int(valid_b[bi].sum()) >= cap
-                        and cap < max_capacity):
+                if int(count_b[bi]) >= cap and cap < max_capacity:
                     still.append(coord)
                     fallback[coord] = (starts[bi], raw)
                     continue
@@ -797,8 +804,9 @@ def detect_blobs_blocks(
 
         def dispatch(batch_coords, cap=capacity):
             starts, stacked = gather_batch(batch_coords)
-            raw_b, valid_b = dispatch_device(starts, stacked, cap)
-            return batch_coords, starts, raw_b, valid_b
+            raw_b, valid_b, count_b = dispatch_device(
+                starts, stacked, cap)
+            return batch_coords, starts, raw_b, valid_b, count_b
 
         def store_block(coord, wstart, raw):
             """Format device rows, shift to absolute, keep in-block blobs."""
@@ -876,16 +884,20 @@ def detect_blobs_blocks(
                             rel = np.concatenate(
                                 [rel, np.repeat(
                                     rel[-1:], batch_size - n, 0)])
-                        raw_b, valid_b = _detect_batch_resident(
-                            sl_dev, jnp.asarray(rel), bshape, sigmas,
-                            thr, ovl, capacity, denoise_shape, prep,
-                            fast=fast_flag, fused=use_fused)
-                        pending.append((bc, st_abs, n, raw_b, valid_b))
+                        raw_b, valid_b, count_b = \
+                            _detect_batch_resident(
+                                sl_dev, jnp.asarray(rel), bshape,
+                                sigmas, thr, ovl, capacity,
+                                denoise_shape, prep,
+                                fast=fast_flag, fused=use_fused)
+                        pending.append(
+                            (bc, st_abs, n, raw_b, valid_b, count_b))
                     del sl_dev
-                for bc, st, n, rb, vb in pending:
+                for bc, st, n, rb, vb, cb in pending:
                     t0 = time.time()
                     out.append((bc, st, np.asarray(rb)[:n],
-                                np.asarray(vb)[:n]))
+                                np.asarray(vb)[:n],
+                                np.asarray(cb)[:n]))
                     pull_s += time.time() - t0
             return out, stage_s, pull_s
 
@@ -917,10 +929,10 @@ def detect_blobs_blocks(
             total_pull_s += pull_s
             retry = []
             fallback = {}
-            for batch_coords, starts, raw_b, valid_b in results:
+            for batch_coords, starts, raw_b, valid_b, count_b in results:
                 for bi, coord in enumerate(batch_coords):
                     raw = raw_b[bi][valid_b[bi]]
-                    if int(valid_b[bi].sum()) >= capacity:
+                    if int(count_b[bi]) >= capacity:
                         retry.append(coord)
                         fallback[coord] = (starts[bi], raw)
                         continue
@@ -940,36 +952,41 @@ def detect_blobs_blocks(
             in_flight = collections.deque()
             for i in range(len(batches)):
                 starts, stacked = futs.pop(i).result()
-                raw_b, valid_b = dispatch_device(
+                raw_b, valid_b, count_b = dispatch_device(
                     starts, stacked, capacity)
-                in_flight.append((batches[i], starts, raw_b, valid_b))
+                in_flight.append(
+                    (batches[i], starts, raw_b, valid_b, count_b))
                 if next_gather < len(batches):
                     futs[next_gather] = pool.submit(
                         timed_gather, batches[next_gather])
                     next_gather += 1
                 if len(in_flight) > 2:
-                    bc, st, rb, vb = in_flight.popleft()
+                    bc, st, rb, vb, cb = in_flight.popleft()
                     t0 = time.time()
                     results.append((bc, st, np.asarray(rb),
-                                    np.asarray(vb)))
+                                    np.asarray(vb), np.asarray(cb)))
                     pull_s += time.time() - t0
             while in_flight:
-                bc, st, rb, vb = in_flight.popleft()
+                bc, st, rb, vb, cb = in_flight.popleft()
                 t0 = time.time()
-                results.append((bc, st, np.asarray(rb), np.asarray(vb)))
+                results.append((bc, st, np.asarray(rb), np.asarray(vb),
+                                np.asarray(cb)))
                 pull_s += time.time() - t0
         total_gather_s += sum(gather_s)
         total_pull_s += pull_s
 
         retry = []
         fallback = {}
-        for batch_coords, starts, raw_b, valid_b in results:
+        for batch_coords, starts, raw_b, valid_b, count_b in results:
             for bi, coord in enumerate(batch_coords):
                 raw = raw_b[bi][valid_b[bi]]
-                if int(valid_b[bi].sum()) >= capacity:
-                    # full buffer = possible truncation; re-detect this
-                    # block at doubled capacity (reference semantics:
-                    # dynamic lists never truncate, stack_detect.py:169)
+                if int(count_b[bi]) >= capacity:
+                    # full PRE-prune peak buffer = possible truncation;
+                    # re-detect at doubled capacity (reference
+                    # semantics: dynamic lists never truncate,
+                    # stack_detect.py:169). Post-prune valid counts can
+                    # sit below capacity on a truncated block, so the
+                    # gate uses the pre-prune count.
                     retry.append(coord)
                     fallback[coord] = (starts[bi], raw)
                     continue

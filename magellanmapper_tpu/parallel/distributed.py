@@ -80,7 +80,7 @@ def detect_blobs_blocks_sharded(
             stacked = np.concatenate([stacked, pad])
         with mesh:
             batch = jax.device_put(jnp.asarray(stacked), sharding)
-            raw_b, valid_b = stack_detect._detect_batch(
+            raw_b, valid_b, _count_b = stack_detect._detect_batch(
                 batch, sigmas, float(settings["detection_threshold"]),
                 float(settings["overlap"]), capacity, None, None)
         raw_b = np.asarray(raw_b)[:n_real]

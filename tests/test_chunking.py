@@ -181,6 +181,33 @@ class TestStackDetect:
         assert (vol.nbytes <= t_slab["h2d_bytes"]
                 < t_gather["h2d_bytes"])
 
+    def test_slab_mode_overflow_retry(self, monkeypatch):
+        """A capacity overflow in slab mode re-detects through the
+        gather dispatch path at doubled capacity — no blobs lost."""
+        vol, _ = _nuclei_volume(31, (50, 70, 70), 40)
+        prof = self._profile()
+        res = (1.0, 1.0, 1.0)
+        full, _ = stack_detect.detect_blobs_blocks(
+            vol, prof, res, preprocess=False)
+        # tiny initial capacity: every block overflows and retries
+        prof["max_blobs_per_block"] = None
+        monkeypatch.setattr(
+            stack_detect, "_RESIDENT_BYTES_BUDGET", 900_000)
+
+        def tiny_cap(settings, block_voxels):
+            return 4
+        monkeypatch.setattr(stack_detect, "_choose_capacity", tiny_cap)
+        prof["max_blobs_per_block"] = None
+        retried, _ = stack_detect.detect_blobs_blocks(
+            vol, prof, res, preprocess=False)
+        assert retried is not None
+        # retry recovered the full population (capacity doubled until
+        # blocks fit; same final blob set)
+        assert len(retried) == len(full)
+        np.testing.assert_allclose(
+            np.sort(retried, axis=0), np.sort(full, axis=0),
+            rtol=1e-5, atol=1e-5)
+
     def test_slab_path_with_preproc_matches(self, monkeypatch):
         """Slab carving must compose with per-denoise-unit preproc the
         same way whole-volume residency does."""
