@@ -181,6 +181,26 @@ class TestStackDetect:
         assert (vol.nbytes <= t_slab["h2d_bytes"]
                 < t_gather["h2d_bytes"])
 
+    def test_slab_mode_multichannel_matches(self, monkeypatch):
+        """Slab staging per channel on a (Z, Y, X, C) stack: channel
+        views are strided, so the slab reads must still be exact."""
+        v0, _ = _nuclei_volume(37, (50, 70, 70), 30)
+        v1, _ = _nuclei_volume(41, (50, 70, 70), 25)
+        stack = np.stack([v0, v1], axis=-1)
+        prof = self._profile()
+        res = (1.0, 1.0, 1.0)
+        full, _ = stack_detect.detect_blobs_blocks(
+            stack, prof, res, preprocess=False)
+        monkeypatch.setattr(
+            stack_detect, "_RESIDENT_BYTES_BUDGET", 900_000)
+        slab, t = stack_detect.detect_blobs_blocks(
+            stack, prof, res, preprocess=False)
+        np.testing.assert_allclose(
+            np.sort(slab, axis=0), np.sort(full, axis=0),
+            rtol=1e-5, atol=1e-5)
+        # both channels shipped via slabs
+        assert t["h2d_bytes"] >= stack.nbytes
+
     def test_slab_mode_overflow_retry(self, monkeypatch):
         """A capacity overflow in slab mode re-detects through the
         gather dispatch path at doubled capacity — no blobs lost."""
