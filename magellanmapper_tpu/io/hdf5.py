@@ -379,8 +379,27 @@ def read_ims(path: str, resolution_level: int = 0,
     extents come from the DataSetInfo/Image attributes (Imaris pads the
     stored datasets to chunk multiples); ``resolutions`` derive from
     the ExtMin/ExtMax bounding box when present.
+
+    The pure-Python reader handles the profile libhdf5 defaults (and
+    hence Imaris writers) emit; files written with ``libver='latest'``
+    bounds (v2 object headers etc.) fall back to the system libhdf5
+    via ctypes (``io.hdf5_native``) when that library is present.
     """
-    f = Hdf5File(path)
+    try:
+        return _read_ims_from(Hdf5File(path), path, resolution_level,
+                              timepoint)
+    except NotImplementedError:
+        from magellanmapper_tpu.io import hdf5_native
+        if not hdf5_native.available():
+            raise
+        with hdf5_native.NativeHdf5File(path) as f:
+            return _read_ims_from(f, path, resolution_level,
+                                  timepoint)
+
+
+def _read_ims_from(f, path: str, resolution_level: int,
+                   timepoint: int) -> Tuple[np.ndarray, Dict]:
+    """IMS tree walk over either HDF5 engine (pure or native)."""
     base = (f"DataSet/ResolutionLevel {resolution_level}/"
             f"TimePoint {timepoint}")
     channels = [c for c in f.list_group(base)

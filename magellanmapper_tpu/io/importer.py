@@ -223,7 +223,8 @@ def import_ims(
     restricted HDF5 reader (``io.hdf5``): symbol-table groups,
     contiguous/chunked + gzip/shuffle storage — the profile libhdf5
     defaults (and hence Imaris writers) emit. libhdf5-'latest' files
-    stay gated with guidance."""
+    (v2 object headers) fall back to the system libhdf5 through
+    ctypes (``io.hdf5_native``) when the library is present."""
     from magellanmapper_tpu.io import hdf5
     arr, meta = hdf5.read_ims(path, resolution_level=resolution_level)
     res = resolutions or meta.get("resolutions")
@@ -491,9 +492,10 @@ def assign_metadata(img5d, md: Dict) -> None:
 # | ND2 (chunk-map, uncompressed)  | yes (pure Python)   | io.nd2         |
 # | OIB (OLE2) / OIF + .files dir  | yes (pure Python)   | io.oib         |
 # | IMS (HDF5, libhdf5 defaults)   | yes (pure Python)   | io.hdf5        |
-# | ND2 (legacy/compressed),       | gated (needs        | start_jvm gate |
-# |   IMS ('latest'-format), SLD,  |  javabridge+JVM)    |                |
-# |   JPEG-XR CZI, OME exotic      |                     |                |
+# | IMS (libhdf5-'latest' format)  | yes (ctypes system  | io.hdf5_native |
+# |                                |  libhdf5 fallback)  |                |
+# | ND2 (legacy/compressed), SLD,  | gated (needs        | start_jvm gate |
+# |   JPEG-XR CZI, OME exotic      |  javabridge+JVM)    |                |
 #
 # The gate raises with guidance instead of silently failing; install
 # javabridge/python-bioformats on a JVM-equipped host to lift it.
