@@ -8,9 +8,11 @@ containers are read natively instead:
  - **CZI** (ZISRAW): segment stream of 32-byte-headed blocks;
    ``ZISRAWSUBBLOCK`` segments carry a ``DV`` directory entry with
    per-dimension start/size/stored-size, followed by XML metadata and
-   pixel data. Uncompressed, zlib, and zstd (Zstd0/Zstd1 incl. hi-lo
-   byte unpacking, via ctypes ``libzstd``) subblocks are supported;
-   JPEG-XR blocks raise a clear error. Pyramid subblocks (nonzero
+   pixel data. Uncompressed, zlib, zstd (Zstd0/Zstd1 incl. hi-lo
+   byte unpacking, via ctypes ``libzstd``) and JPEG (baseline JFIF
+   via the native ``jpegcodec`` shim over the system libjpeg)
+   subblocks are supported; JPEG-XR blocks raise a clear error
+   (no decoder exists in this image). Pyramid subblocks (nonzero
    pyramid type or stored size < logical size) are skipped so only the
    level-0 mosaic is assembled.
  - **LIF**: 0x70-tagged binary chunks — one UTF-16 XML header
@@ -46,6 +48,7 @@ _CZI_PIXEL_TYPES = {
 }
 
 _CZI_COMP_UNCOMPRESSED = 0
+_CZI_COMP_JPEG = 1          # baseline JFIF stream per subblock
 _CZI_COMP_ZLIB = 2          # "LZW" slot unused; 2 = zlib in practice
 _CZI_COMP_JPEGXR = 4
 _CZI_COMP_ZSTD0 = 5         # raw zstd frame
@@ -172,6 +175,19 @@ def _parse_subblock(f) -> Optional[Dict]:
         raw = _decompress_zstd(raw, n_bytes)
     elif compression == _CZI_COMP_ZSTD1:
         raw = _decode_zstd1(raw, n_bytes)
+    elif compression == _CZI_COMP_JPEG:
+        from magellanmapper_tpu import native
+        plane = native.jpeg_decode(raw)
+        if plane is None:
+            raise ValueError(
+                "JPEG CZI subblocks need the native jpegcodec "
+                "(make -C magellanmapper_tpu/native, links the "
+                "system libjpeg)")
+        raw = plane.tobytes()
+        if len(raw) != n_bytes:
+            raise ValueError(
+                f"JPEG subblock decoded to {len(raw)} bytes, "
+                f"expected {n_bytes}")
     elif compression != _CZI_COMP_UNCOMPRESSED:
         raise ValueError(
             f"unsupported CZI compression id {compression} (JPEG-XR "
@@ -288,8 +304,10 @@ def write_czi(path: str, image: np.ndarray,
     Not a full Zeiss writer — just enough structure (file segment,
     metadata XML, one DV subblock) for interchange tests and for
     :func:`read_czi` round trips. ``compression`` may be ``none``,
-    ``zlib``, ``zstd0``, ``zstd1`` or ``zstd1hilo`` (Zstd1 with hi-lo
-    byte-plane packing, 16-bit data only).
+    ``zlib``, ``zstd0``, ``zstd1``, ``zstd1hilo`` (Zstd1 with hi-lo
+    byte-plane packing, 16-bit data only) or ``jpeg`` (single-plane
+    uint8 only — Zeiss emits one JFIF stream per 2D subblock; lossy,
+    quality 100).
     """
     img = np.asarray(image)
     if img.ndim == 3:
@@ -330,6 +348,16 @@ def write_czi(path: str, image: np.ndarray,
         packed = np.concatenate([words[0::2], words[1::2]]).tobytes()
         comp_id, data = (
             _CZI_COMP_ZSTD1, b"\x03\x01\x01" + _compress_zstd(packed))
+    elif compression == "jpeg":
+        if img.dtype != np.uint8 or nz != 1 or nc != 1:
+            raise ValueError(
+                "jpeg CZI subblocks are per-plane 8-bit: need a "
+                "(1, Y, X) uint8 volume")
+        from magellanmapper_tpu import native
+        enc = native.jpeg_encode(img[0, :, :, 0], quality=100)
+        if enc is None:
+            raise ValueError("native jpegcodec unavailable")
+        comp_id, data = _CZI_COMP_JPEG, enc
     else:
         raise ValueError(f"unknown compression {compression!r}")
 

@@ -488,6 +488,8 @@ def assign_metadata(img5d, md: Dict) -> None:
 # | Plane-per-file directories     | yes                 | import_dir     |
 # | MHD/MHA, NRRD, NIfTI           | yes                 | io.sitk_io     |
 # | CZI (uncompressed/zlib/zstd)   | yes (pure Python)   | io.czi_lif     |
+# | CZI (JPEG subblocks)           | yes (native shim    | io.czi_lif +   |
+# |                                |  over sys libjpeg)  | native/jpegcodec|
 # | LIF                            | yes (pure Python)   | io.czi_lif     |
 # | ND2 (chunk-map, uncompressed)  | yes (pure Python)   | io.nd2         |
 # | OIB (OLE2) / OIF + .files dir  | yes (pure Python)   | io.oib         |

@@ -169,3 +169,100 @@ def lzw_decode(data: bytes, max_out: int) -> Optional[bytes]:
 def packbits_decode(data: bytes, max_out: int) -> Optional[bytes]:
     """PackBits decode in C (None -> caller's Python fallback)."""
     return _tiff_decode("tiff_packbits_decode", data, max_out)
+
+
+# -- JPEG codec (libjpegcodec.so over the system libjpeg) -------------------
+#
+# CZI compression id 1 stores baseline JFIF streams (ZISRAW spec);
+# the reference reaches them through Bioformats' JPEGCodec on a JVM
+# (magmap/io/importer.py:97-156). Returns None when the shim (or the
+# system libjpeg it links) is unavailable so callers gate honestly.
+
+_JPEG_LIB_PATH = os.path.join(
+    os.path.dirname(__file__), "libjpegcodec.so")
+_jpeg_lib = None
+
+
+def _load_jpeg():
+    global _jpeg_lib
+    if _jpeg_lib is not None:
+        return _jpeg_lib
+    if not os.path.exists(_JPEG_LIB_PATH):
+        import subprocess
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.dirname(__file__)],
+                capture_output=True, timeout=120, check=False)
+        except (OSError, subprocess.TimeoutExpired):
+            pass
+    if not os.path.exists(_JPEG_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_JPEG_LIB_PATH)
+        lib.jpegcodec_info.restype = ctypes.c_int
+        lib.jpegcodec_info.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_ulong,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.jpegcodec_decode.restype = ctypes.c_long
+        lib.jpegcodec_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_ulong,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_ulong]
+        lib.jpegcodec_encode.restype = ctypes.c_long
+        lib.jpegcodec_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_ulong]
+        _jpeg_lib = lib
+    except OSError as exc:  # pragma: no cover - build/platform issue
+        _logger.warning("libjpegcodec load failed: %s", exc)
+        _jpeg_lib = None
+    return _jpeg_lib
+
+
+def jpeg_available() -> bool:
+    """True when the JPEG shim is built and loadable."""
+    return _load_jpeg() is not None
+
+
+def jpeg_decode(data: bytes) -> Optional[np.ndarray]:
+    """Decode a JFIF stream to ``(h, w)`` or ``(h, w, ncomp)`` uint8;
+    None when the shim is unavailable; ValueError on a bad stream."""
+    lib = _load_jpeg()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, np.uint8)
+    sp = src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    w = ctypes.c_int(0)
+    h = ctypes.c_int(0)
+    nc = ctypes.c_int(0)
+    if lib.jpegcodec_info(sp, len(data), ctypes.byref(w),
+                          ctypes.byref(h), ctypes.byref(nc)) != 0:
+        raise ValueError("corrupt JPEG stream")
+    dst = np.empty(h.value * w.value * nc.value, np.uint8)
+    n = lib.jpegcodec_decode(
+        sp, len(data),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), dst.size)
+    if n != dst.size:
+        raise ValueError("JPEG decode failed")
+    return (dst.reshape(h.value, w.value) if nc.value == 1
+            else dst.reshape(h.value, w.value, nc.value))
+
+
+def jpeg_encode(img: np.ndarray, quality: int = 95) -> Optional[bytes]:
+    """Encode ``(h, w)`` or ``(h, w, 3)`` uint8 to a JFIF stream;
+    None when the shim is unavailable."""
+    lib = _load_jpeg()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, np.uint8)
+    ncomp = 1 if img.ndim == 2 else img.shape[2]
+    cap = img.size + (1 << 16)
+    dst = np.empty(cap, np.uint8)
+    n = lib.jpegcodec_encode(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        img.shape[1], img.shape[0], ncomp, quality,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n < 0:
+        raise ValueError("JPEG encode failed")
+    return dst[:n].tobytes()

@@ -275,3 +275,86 @@ class TestLifResolutions:
         arr, meta = czi_lif.read_lif(path)
         np.testing.assert_array_equal(arr, data)
         assert meta["resolutions"] == pytest.approx((1.5, 0.3, 0.25))
+
+
+class TestCziJpeg:
+    """CZI compression id 1 (baseline JFIF per 2D subblock), decoded
+    through the native jpegcodec shim over the system libjpeg."""
+
+    @pytest.fixture(autouse=True)
+    def _need_codec(self):
+        from magellanmapper_tpu import native
+        if not native.jpeg_available():
+            pytest.skip("native jpegcodec not built")
+
+    def test_jpeg_subblocks_spec_stream(self, tmp_path):
+        """Two per-plane JPEG subblocks assemble into a Z stack; the
+        JFIF payloads come from libjpeg itself, the surrounding
+        segment stream is built byte-by-byte from the ZISRAW spec."""
+        from magellanmapper_tpu import native
+        # piecewise-constant planes: q100 baseline JPEG keeps these
+        # within +-2 of the source
+        planes = [np.full((8, 16), v, np.uint8) for v in (40, 200)]
+        planes[0][:4, :8] = 90
+        planes[1][4:, 8:] = 120
+        segs = _segment(b"ZISRAWFILE", b"\x00" * 512)
+        for z, plane in enumerate(planes):
+            sb = _subblock_payload(
+                native.jpeg_encode(plane, quality=100),
+                [(b"C", 0, 1), (b"Z", z, 1), (b"Y", 0, 8),
+                 (b"X", 0, 16)],
+                pixel_type=0, compression=1)
+            segs += _segment(b"ZISRAWSUBBLOCK", sb)
+        path = tmp_path / "jpeg.czi"
+        path.write_bytes(segs)
+        img, _ = czi_lif.read_czi(str(path))
+        assert img.shape == (2, 8, 16)
+        assert img.dtype == np.uint8
+        for z, plane in enumerate(planes):
+            assert np.abs(img[z].astype(int) - plane.astype(int)
+                          ).max() <= 2
+
+    def test_jpeg_write_read_round_trip(self, tmp_path):
+        data = np.full((1, 12, 20), 7, np.uint8)
+        data[0, 3:9, 5:15] = 180
+        path = tmp_path / "rt.czi"
+        czi_lif.write_czi(str(path), data, compression="jpeg")
+        img, _ = czi_lif.read_czi(str(path))
+        assert img.shape == (1, 12, 20)
+        assert np.abs(img.astype(int) - data.astype(int)).max() <= 2
+
+    def test_jpeg_writer_rejects_nonplane(self, tmp_path):
+        with pytest.raises(ValueError, match="per-plane 8-bit"):
+            czi_lif.write_czi(
+                str(tmp_path / "bad.czi"),
+                np.zeros((2, 4, 4), np.uint8), compression="jpeg")
+        with pytest.raises(ValueError, match="per-plane 8-bit"):
+            czi_lif.write_czi(
+                str(tmp_path / "bad16.czi"),
+                np.zeros((1, 4, 4), np.uint16), compression="jpeg")
+
+    def test_jpeg_size_mismatch_raises(self, tmp_path):
+        """A JFIF stream whose decoded extent disagrees with the DV
+        dims must fail loudly, not assemble garbage."""
+        from magellanmapper_tpu import native
+        enc = native.jpeg_encode(np.zeros((4, 4), np.uint8))
+        sb = _subblock_payload(
+            enc, [(b"C", 0, 1), (b"Z", 0, 1), (b"Y", 0, 8),
+                  (b"X", 0, 8)],
+            pixel_type=0, compression=1)
+        path = tmp_path / "mismatch.czi"
+        path.write_bytes(_segment(b"ZISRAWFILE", b"\x00" * 512)
+                         + _segment(b"ZISRAWSUBBLOCK", sb))
+        with pytest.raises(ValueError, match="decoded to"):
+            czi_lif.read_czi(str(path))
+
+    def test_jpeg_corrupt_stream_raises(self, tmp_path):
+        sb = _subblock_payload(
+            b"\xff\xd8 not really a jpeg",
+            [(b"C", 0, 1), (b"Z", 0, 1), (b"Y", 0, 4), (b"X", 0, 4)],
+            pixel_type=0, compression=1)
+        path = tmp_path / "corrupt.czi"
+        path.write_bytes(_segment(b"ZISRAWFILE", b"\x00" * 512)
+                         + _segment(b"ZISRAWSUBBLOCK", sb))
+        with pytest.raises(ValueError):
+            czi_lif.read_czi(str(path))
