@@ -492,12 +492,14 @@ def assign_metadata(img5d, md: Dict) -> None:
 # |                                |  over sys libjpeg)  | native/jpegcodec|
 # | LIF                            | yes (pure Python)   | io.czi_lif     |
 # | ND2 (chunk-map, uncompressed)  | yes (pure Python)   | io.nd2         |
+# | ND2 (legacy JP2 container)     | yes (ctypes system  | io.nd2 +       |
+# |                                |  libopenjp2)        | io.jp2k        |
 # | OIB (OLE2) / OIF + .files dir  | yes (pure Python)   | io.oib         |
 # | IMS (HDF5, libhdf5 defaults)   | yes (pure Python)   | io.hdf5        |
 # | IMS (libhdf5-'latest' format)  | yes (ctypes system  | io.hdf5_native |
 # |                                |  libhdf5 fallback)  |                |
-# | ND2 (legacy/compressed), SLD,  | gated (needs        | start_jvm gate |
-# |   JPEG-XR CZI, OME exotic      |  javabridge+JVM)    |                |
+# | ND2 (compressed chunk-map),    | gated (needs        | start_jvm gate |
+# |   SLD, JPEG-XR CZI, OME exotic |  javabridge+JVM)    |                |
 #
 # The gate raises with guidance instead of silently failing; install
 # javabridge/python-bioformats on a JVM-equipped host to lift it.

@@ -23,9 +23,13 @@ pure-Python fallback) is directly readable:
    per pixel.
 
 Scope (documented in the importer format matrix): uncompressed planes
-only — ``eCompression`` 0/1 (lossless/lossy) raises with guidance, as
-do legacy (pre-chunk-map) files; frame sequences map to Z (single
-timepoint), matching the lightsheet stacks this framework targets.
+only in the chunk-map container — ``eCompression`` 0/1
+(lossless/lossy) raises with guidance; frame sequences map to Z
+(single timepoint), matching the lightsheet stacks this framework
+targets. Legacy (pre-chunk-map) files are JP2 containers and are read
+by :func:`_read_nd2_legacy` through the system libopenjp2
+(``io.jp2k``); Nikon's proprietary metadata boxes are undocumented
+and skipped.
 """
 
 from __future__ import annotations
@@ -39,6 +43,8 @@ import numpy as np
 CHUNK_MAGIC = 0x0ABECEDA
 CHUNK_HEADER = struct.Struct("<IIQ")
 CHUNKMAP_SIGNATURE = b"ND2 CHUNK MAP SIGNATURE 0000001!"
+#: legacy (pre-chunk-map) ND2 files are JP2 containers
+JP2_SIGNATURE = (b"\x00\x00\x00\x0cjP  \r\n\x87\n")
 
 #: lite-variant type tags (ELxLiteVariantType)
 _T_BOOL, _T_I32, _T_U32, _T_I64, _T_U64, _T_F64 = 1, 2, 3, 4, 5, 6
@@ -164,7 +170,15 @@ def read_nd2(path: str) -> Tuple[np.ndarray, Dict]:
     interleaved multi-component pixels; frame sequences map to Z.
     ``meta`` carries the raw attribute dict plus ``resolutions`` when a
     calibration (um/px) is present.
+
+    Legacy (pre-chunk-map) ND2 files are JP2 containers and dispatch
+    to :func:`_read_nd2_legacy` (frames decoded from ``jp2c``
+    codestream boxes via the system libopenjp2).
     """
+    with open(path, "rb") as f:
+        head = f.read(12)
+    if head == JP2_SIGNATURE:
+        return _read_nd2_legacy(path)
     entries = read_chunkmap(path)
     with open(path, "rb") as f:
         attrs_entry = entries.get(b"ImageAttributesLV!")
@@ -243,4 +257,93 @@ def read_nd2(path: str) -> Tuple[np.ndarray, Dict]:
         um = _find_key(cal, "dCalibration")
         if um:
             meta["resolutions"] = (float(um), float(um), float(um))
+    return arr, meta
+
+
+# -- legacy (pre-chunk-map) ND2: a JP2 container ----------------------------
+
+def _jp2_boxes(data: bytes, start: int, end: int):
+    """Yield ``(type, payload_start, payload_end)`` for each ISO
+    box in ``data[start:end]`` (ISO 15444-1 I.4: u32-BE length +
+    4CC type, length 1 -> u64 XLBox, length 0 -> to end)."""
+    pos = start
+    while pos + 8 <= end:
+        ln, = struct.unpack_from(">I", data, pos)
+        btype = data[pos + 4:pos + 8]
+        hdr = 8
+        if ln == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated JP2 XLBox header")
+            ln, = struct.unpack_from(">Q", data, pos + 8)
+            hdr = 16
+        elif ln == 0:
+            ln = end - pos
+        if ln < hdr or pos + ln > end:
+            raise ValueError("corrupt JP2 box structure")
+        yield btype, pos + hdr, pos + ln
+        pos += ln
+
+
+def _jp2_capture_res_um(data: bytes, lo: int, hi: int):
+    """``resc`` capture-resolution box -> (y_um, x_um) per pixel.
+    Fields (ISO 15444-1 I.5.3.7.1): VRcN VRcD HRcN HRcD u16-BE then
+    VRcE HRcE i8 exponents; values are grid points per meter."""
+    if hi - lo < 10:
+        return None
+    vn, vd, hn, hd = struct.unpack_from(">HHHH", data, lo)
+    ve, he = struct.unpack_from(">bb", data, lo + 8)
+    if not (vn and vd and hn and hd):
+        return None
+    v_ppm = vn / vd * 10.0 ** ve
+    h_ppm = hn / hd * 10.0 ** he
+    return 1e6 / v_ppm, 1e6 / h_ppm
+
+
+def _read_nd2_legacy(path: str) -> Tuple[np.ndarray, Dict]:
+    """Read a legacy ND2 (JP2 container; NIS-Elements pre-2012).
+
+    Frames live in ``jp2c`` codestream boxes in acquisition order and
+    decode through the system libopenjp2 (``io.jp2k``); geometry comes
+    from the codestreams, calibration from the standard JP2 capture-
+    resolution box when present. Nikon's proprietary metadata boxes
+    are undocumented and skipped. Reference path: Bioformats
+    LegacyND2Reader on a JVM (``magmap/io/importer.py:97-156``)."""
+    from magellanmapper_tpu.io import jp2k
+    if not jp2k.available():
+        raise NotImplementedError(
+            "legacy ND2 frames are JPEG 2000 codestreams; no "
+            "libopenjp2 available to decode them (or use the "
+            "Bioformats/JVM path)")
+    with open(path, "rb") as f:
+        data = f.read()
+    frames = []
+    res_um = None
+    for btype, lo, hi in _jp2_boxes(data, 0, len(data)):
+        if btype == b"jp2c":
+            frames.append((lo, hi))
+        elif btype == b"jp2h":
+            for sub, slo, shi in _jp2_boxes(data, lo, hi):
+                if sub == b"res ":
+                    for rsub, rlo, rhi in _jp2_boxes(data, slo, shi):
+                        if rsub == b"resc" and res_um is None:
+                            res_um = _jp2_capture_res_um(
+                                data, rlo, rhi)
+    if not frames:
+        raise ValueError(f"no jp2c codestream boxes in {path}")
+    planes = [jp2k.decode(data[lo:hi]) for lo, hi in frames]
+    shapes = {p.shape for p in planes}
+    if len(shapes) != 1:
+        raise ValueError(
+            f"inconsistent legacy ND2 frame shapes: {sorted(shapes)}")
+    arr = np.stack(planes)                       # (Z, Y, X[, C])
+    comp = 1 if arr.ndim == 3 else arr.shape[-1]
+    if arr.ndim == 4:
+        arr = np.moveaxis(arr, -1, 0)            # (C, Z, Y, X)
+        if comp == 1:
+            arr = arr[0]
+    meta: Dict = {"attributes": {}, "sequence_count": len(frames),
+                  "components": comp, "legacy": True}
+    if res_um is not None:
+        y_um, x_um = res_um
+        meta["resolutions"] = (float(y_um), float(y_um), float(x_um))
     return arr, meta
