@@ -250,9 +250,16 @@ class NativeHdf5File:
         elif cls in (H5T_INTEGER, H5T_FLOAT):
             if cls == H5T_INTEGER:
                 signed = lib.H5Tget_sign(tid) != H5T_SGN_NONE
-                dt = np.dtype(f"{'i' if signed else 'u'}{size}")
+                kind = "i" if signed else "u"
             else:
-                dt = np.dtype(f"f{size}")
+                kind = "f"
+            try:
+                dt = np.dtype(f"{kind}{size}")
+            except TypeError:
+                dt = None
+            if dt is None or dt not in _NATIVE_BY_DTYPE:
+                raise NotImplementedError(
+                    f"HDF5 {kind}{size}-byte datatype")
             arr = np.empty(count, dtype=dt)
             _check(reader(_global(_NATIVE_BY_DTYPE[dt]),
                           arr.ctypes.data), "read(num)")
@@ -395,6 +402,9 @@ class NativeHdf5Writer:
                       shuffle: bool = False) -> None:
         lib = self._lib
         arr = np.ascontiguousarray(arr)
+        if arr.dtype not in _NATIVE_BY_DTYPE:
+            raise NotImplementedError(
+                f"HDF5 write of dtype {arr.dtype}")
         mem = _global(_NATIVE_BY_DTYPE[arr.dtype])
         dims = (hsize_t * arr.ndim)(*arr.shape)
         sid = lib.H5Screate_simple(arr.ndim, dims, None)
@@ -445,17 +455,19 @@ class NativeHdf5Writer:
                 mem = _global(_NATIVE_BY_DTYPE[arr.dtype])
                 tid = -1
             dims = (hsize_t * max(arr.ndim, 1))(*(arr.shape or (1,)))
-            sid = (lib.H5Screate_simple(arr.ndim, dims, None)
-                   if arr.ndim else lib.H5Screate(0))  # H5S_SCALAR
-            aid = lib.H5Acreate2(oid, name.encode(), mem, sid,
-                                 H5P_DEFAULT, H5P_DEFAULT)
-            with _Handle(lib, sid, "H5Sclose"), \
-                    _Handle(lib, aid, "H5Aclose"):
-                _check(hid_t(aid), f"H5Acreate2 {name}")
-                _check(lib.H5Awrite(aid, mem, arr.ctypes.data),
-                       f"H5Awrite {name}")
-            if tid > 0:
-                lib.H5Tclose(tid)
+            try:
+                sid = (lib.H5Screate_simple(arr.ndim, dims, None)
+                       if arr.ndim else lib.H5Screate(0))  # H5S_SCALAR
+                aid = lib.H5Acreate2(oid, name.encode(), mem, sid,
+                                     H5P_DEFAULT, H5P_DEFAULT)
+                with _Handle(lib, sid, "H5Sclose"), \
+                        _Handle(lib, aid, "H5Aclose"):
+                    _check(hid_t(aid), f"H5Acreate2 {name}")
+                    _check(lib.H5Awrite(aid, mem, arr.ctypes.data),
+                           f"H5Awrite {name}")
+            finally:
+                if tid > 0:
+                    lib.H5Tclose(tid)
 
     def close(self):
         if getattr(self, "_fid", -1) > 0:

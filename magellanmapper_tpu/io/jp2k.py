@@ -164,7 +164,7 @@ def _probe_numlayers_offset(lib) -> int:
 def _codec_for(data: bytes) -> int:
     if data[:12] == JP2_SIGNATURE:
         return OPJ_CODEC_JP2
-    if data[:4] == J2K_SOC[:4] or data[:2] == J2K_SOC[:2]:
+    if data[:2] == J2K_SOC[:2]:    # SOC marker opens a raw codestream
         return OPJ_CODEC_J2K
     raise ValueError("not a JPEG 2000 codestream or JP2 container")
 
@@ -238,6 +238,10 @@ def encode(img: np.ndarray, codec_format: int = OPJ_CODEC_J2K,
         raise ImportError("no system libopenjp2 found")
     nl_off = _probe_numlayers_offset(lib)
     img = np.asarray(img)
+    if img.dtype.kind not in "iu" or img.dtype.itemsize > 2:
+        raise ValueError(
+            f"JPEG 2000 encode needs <=16-bit integer samples, got "
+            f"{img.dtype}")
     if img.ndim == 2:
         img = img[..., None]
     h, w, ncomp = img.shape
