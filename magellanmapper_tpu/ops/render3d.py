@@ -155,6 +155,20 @@ def render_volume(
                 else jnp.asarray(light_dir, jnp.float32))
         ldir = ldir / jnp.maximum(jnp.linalg.norm(ldir), 1e-6)
 
+    acc, trans = _composite_volume_rays(
+        vol, origins, dirs, dt, vmin, span, gamma, opacity, col,
+        ldir, n_steps)
+    return jnp.clip(acc + trans[..., None] * bgc[None, None], 0.0, 1.0)
+
+
+def _composite_volume_rays(vol, origins, dirs, dt, vmin, span, gamma,
+                           opacity, col, ldir, n_steps: int):
+    """Front-to-back emission-absorption over an (H, W) ray front;
+    shared by the single-device renderer and the film-sharded
+    ``render_volume_sharded`` (whose shards see only their film rows).
+    Returns the accumulated ``(color, transmittance)`` pair."""
+    shaded = ldir is not None
+
     def step(carry, i):
         acc, trans = carry
         pts = origins + dirs * (i * dt)
@@ -171,11 +185,79 @@ def render_volume(
         trans = trans * (1.0 - a)
         return (acc, trans), None
 
-    acc0 = jnp.zeros(out_hw + (3,), jnp.float32)
-    tr0 = jnp.ones(out_hw, jnp.float32)
+    # derive the carry from `origins` so it inherits the shard-varying
+    # axis under shard_map (a fresh zeros() is unvarying and scan then
+    # rejects the carry-type mismatch)
+    acc0 = jnp.zeros_like(origins)
+    tr0 = jnp.ones_like(origins[..., 0])
     (acc, trans), _ = jax.lax.scan(
         step, (acc0, tr0), jnp.arange(n_steps, dtype=jnp.float32))
-    return jnp.clip(acc + trans[..., None] * bgc[None, None], 0.0, 1.0)
+    return acc, trans
+
+
+def render_volume_sharded(
+        vol: jax.Array, mesh, azim_deg, elev_deg,
+        vmin=0.0, vmax=1.0, out_hw: Tuple[int, int] = (512, 512),
+        n_steps: int = 256, zoom=1.0, opacity=0.05, gamma=1.0,
+        color=(1.0, 1.0, 1.0), bg=(0.0, 0.0, 0.0),
+        shaded: bool = False,
+        light_dir: Optional[Sequence[float]] = None,
+        perspective: bool = False,
+        axis_name: Optional[str] = None) -> jax.Array:
+    """:func:`render_volume` with the film rows sharded over a device
+    mesh — rays are independent, so each device composites its own
+    row block against the replicated volume with NO collectives (the
+    ICI cost is one all-gather of the final (H/n, W, 3) tiles when the
+    caller assembles the image). This is the scale-out path for big
+    films/volumes; the single-device renderer stays the reference.
+
+    ``out_hw[0]`` must divide by the mesh axis size. Matches the
+    single-device output exactly (same op order per ray).
+    Reference analog: Mayavi renders on one host GPU
+    (``/root/reference/magmap/gui/vis_3d.py:21``); this is the
+    mesh-native redesign rather than a port.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = axis_name or mesh.axis_names[0]
+    n = mesh.shape[axis]
+    if out_hw[0] % n:
+        raise ValueError(
+            f"film height {out_hw[0]} not divisible by mesh axis "
+            f"{axis!r} of size {n}")
+    vol = vol.astype(jnp.float32)
+    view0 = camera_basis(azim_deg, elev_deg)[0]
+    origins, dirs, radius = _ray_grid(
+        vol.shape, azim_deg, elev_deg, out_hw, jnp.float32(zoom),
+        perspective)
+    dt = 2.0 * radius / n_steps
+    col = jnp.asarray(color, jnp.float32)
+    bgc = jnp.asarray(bg, jnp.float32)
+    span = jnp.maximum(jnp.float32(vmax) - jnp.float32(vmin), 1e-6)
+    if shaded:
+        ldir = (-view0 if light_dir is None
+                else jnp.asarray(light_dir, jnp.float32))
+        ldir = ldir / jnp.maximum(jnp.linalg.norm(ldir), 1e-6)
+    else:
+        # constant placeholder: shard_map specs are positional, and
+        # the static `shaded` closure picks the code path
+        ldir = jnp.zeros((3,), jnp.float32)
+
+    def tile(vol_r, orig_s, dirs_s, dt_r, span_r, col_r, ldir_r):
+        acc, trans = _composite_volume_rays(
+            vol_r, orig_s, dirs_s, dt_r, vmin, span_r, gamma,
+            opacity, col_r, ldir_r if shaded else None, n_steps)
+        return jnp.clip(
+            acc + trans[..., None] * bgc[None, None], 0.0, 1.0)
+
+    dirs_spec = P(axis, None, None) if perspective else P(None, None,
+                                                          None)
+    fn = jax.shard_map(
+        tile, mesh=mesh,
+        in_specs=(P(), P(axis, None, None), dirs_spec, P(), P(), P(),
+                  P()),
+        out_specs=P(axis, None, None))
+    return fn(vol, origins, dirs, jnp.float32(dt), span, col, ldir)
 
 
 @functools.partial(

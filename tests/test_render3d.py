@@ -320,3 +320,50 @@ class TestBlobOverlay:
         pts = render3d.render_blobs_overlay(
             depth, front[None], SHAPE, azim, elev, out_hw=(64, 64))
         assert pts[0, 2] == 1.0
+
+
+class TestShardedRender:
+    """Film-row-sharded volume rendering over a device mesh."""
+
+    @staticmethod
+    def _mesh(n=4):
+        import jax
+        from jax.sharding import Mesh
+        devs = np.asarray(jax.devices()[:n])
+        return Mesh(devs, ("dp",))
+
+    @staticmethod
+    def _vol():
+        z, y, x = np.ogrid[:24, :24, :24]
+        vol = np.exp(-(((z - 12.0) ** 2 + (y - 12.0) ** 2
+                        + (x - 12.0) ** 2) / 40.0)).astype(np.float32)
+        return jnp.asarray(vol)
+
+    def test_matches_single_device_ortho(self):
+        vol = self._vol()
+        mesh = self._mesh()
+        kw = dict(vmin=0.0, vmax=1.0, out_hw=(64, 48), n_steps=48,
+                  zoom=1.2, opacity=0.08, color=(0.9, 0.6, 0.2))
+        ref = np.asarray(render3d.render_volume(
+            vol, 30.0, 20.0, **kw))
+        got = np.asarray(render3d.render_volume_sharded(
+            vol, mesh, 30.0, 20.0, **kw))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+        assert ref.max() > 0.05   # scene is non-trivial
+
+    def test_matches_single_device_perspective_shaded(self):
+        vol = self._vol()
+        mesh = self._mesh()
+        kw = dict(out_hw=(64, 64), n_steps=40, perspective=True,
+                  shaded=True, opacity=0.1, bg=(0.1, 0.0, 0.0))
+        ref = np.asarray(render3d.render_volume(
+            vol, -45.0, 55.0, **kw))
+        got = np.asarray(render3d.render_volume_sharded(
+            vol, mesh, -45.0, 55.0, **kw))
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    def test_indivisible_film_height_raises(self):
+        with pytest.raises(ValueError, match="not divisible"):
+            render3d.render_volume_sharded(
+                self._vol(), self._mesh(), 0.0, 0.0, out_hw=(65, 64))
