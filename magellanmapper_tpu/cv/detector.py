@@ -131,6 +131,45 @@ def blob_log_multi(
     return jax.vmap(one)(jnp.asarray(thresholds, jnp.float32))
 
 
+def blob_log_multi_sharded(
+        roi: jax.Array, sigmas: Tuple[float, ...],
+        thresholds, overlap: float, capacity: int, mesh,
+        fast: bool = False, axis_name: Optional[str] = None
+        ) -> Tuple[np.ndarray, np.ndarray]:
+    """:func:`blob_log_multi` with the threshold axis sharded over a
+    device mesh: one replicated LoG pyramid, per-device harvest/prune
+    of its threshold shard (GSPMD partitions the ``vmap`` axis — the
+    sweep is embarrassingly parallel, so no collectives run). An
+    8-point sweep on an 8-device mesh costs ~one single-threshold
+    harvest of wall-clock on top of the shared pyramid.
+
+    The threshold list pads to a mesh-axis multiple by repeating the
+    last value; only the real rows return. Output is host-side
+    ``(K, capacity, 4)`` rows + ``(K, capacity)`` validity, matching
+    :func:`blob_log_multi`. Reference analog: ``mlearn.grid_search``
+    re-runs full detections serially per hyperparameter setting
+    (``/root/reference/magmap/stats/mlearn.py:31``)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = axis_name or mesh.axis_names[0]
+    n = mesh.shape[axis]
+    thr = list(np.asarray(thresholds, np.float32))
+    k_real = len(thr)
+    if not k_real:
+        raise ValueError("no thresholds")
+    thr += [thr[-1]] * ((-k_real) % n)
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P(axis))
+    fn = jax.jit(
+        lambda r, t: blob_log_multi(
+            r, sigmas, t, overlap, capacity, fast=fast),
+        in_shardings=(rep, shd), out_shardings=(shd, shd))
+    raws, valids = fn(
+        jax.device_put(jnp.asarray(roi, jnp.float32), rep),
+        jax.device_put(jnp.asarray(thr, jnp.float32), shd))
+    return np.asarray(raws)[:k_real], np.asarray(valids)[:k_real]
+
+
 def detect_blobs(
         roi: np.ndarray,
         settings,

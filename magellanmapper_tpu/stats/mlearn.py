@@ -102,7 +102,7 @@ def grid_search(
     return pd.DataFrame(rows)
 
 
-def make_fn_detect_multi(vol, res, base_profile=None):
+def make_fn_detect_multi(vol, res, base_profile=None, mesh=None):
     """Build a :func:`grid_search` ``fn_detect_multi``: all threshold
     values of one combination run through a single compiled
     multi-threshold program (:func:`cv.detector.blob_log_multi` — one
@@ -112,7 +112,12 @@ def make_fn_detect_multi(vol, res, base_profile=None):
     Thresholds run in padded chunks sized so the vmapped per-threshold
     intermediates (``~num_sigma * vol.size * 5`` bytes each) stay
     inside the HBM budget; the whole-volume capacity scales with
-    ``vol.size`` (the blocked path allots its capacity per block)."""
+    ``vol.size`` (the blocked path allots its capacity per block).
+
+    With ``mesh``, each chunk's threshold axis shards over the mesh
+    (:func:`cv.detector.blob_log_multi_sharded`): the per-threshold
+    HBM budget and the harvest wall-clock both divide by the device
+    count."""
     import math
 
     import jax.numpy as jnp
@@ -137,16 +142,27 @@ def make_fn_detect_multi(vol, res, base_profile=None):
         cap = max(cap, min(1 << 17, max(4096, vol_j.size // 1024)))
         fast = str(prof["log_dtype"]).lower() == "bfloat16"
         # chunk the threshold axis to bound vmapped intermediates
+        # (per-device budget when the chunk shards over a mesh)
+        n_dev = 1
+        if mesh is not None:
+            # sharding rides the mesh's first axis
+            n_dev = int(mesh.shape[mesh.axis_names[0]])
         per_thr = len(sigmas) * vol_j.size * 5
         k_chunk = int(max(1, min(8, (2 << 30) // max(per_thr, 1))))
+        k_chunk *= n_dev
         out = []
         for c0 in range(0, len(thresholds), k_chunk):
             chunk = list(thresholds[c0:c0 + k_chunk])
             n_real = len(chunk)
             chunk += [chunk[-1]] * (k_chunk - n_real)   # pad: one shape
-            raws, valids = detector.blob_log_multi(
-                vol_j, sigmas, np.asarray(chunk, np.float32),
-                float(prof["overlap"]), cap, fast=fast)
+            if mesh is not None:
+                raws, valids = detector.blob_log_multi_sharded(
+                    vol_j, sigmas, np.asarray(chunk, np.float32),
+                    float(prof["overlap"]), cap, mesh, fast=fast)
+            else:
+                raws, valids = detector.blob_log_multi(
+                    vol_j, sigmas, np.asarray(chunk, np.float32),
+                    float(prof["overlap"]), cap, fast=fast)
             raws = np.asarray(raws)
             valids = np.asarray(valids)
             for k in range(n_real):

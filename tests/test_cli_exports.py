@@ -843,3 +843,64 @@ class TestRemainingFlagState:
         with pytest.raises(SystemExit) as e:
             cli.process_cli_args(["--version"])
         assert e.value.code == 0
+
+    def test_blob_log_multi_sharded_matches_unsharded(self):
+        """Thresholds sharded over a dp mesh (GSPMD over the vmap
+        axis) must reproduce the single-device sweep, including the
+        pad-to-mesh-multiple path (5 thresholds on 4 devices)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+        from magellanmapper_tpu.cv import detector
+        rng2 = np.random.default_rng(7)
+        vol = np.zeros((20, 24, 24), np.float32)
+        for z, y, x in rng2.integers(5, 18, (10, 3)):
+            zz, yy, xx = np.ogrid[:20, :24, :24]
+            vol += np.exp(-((zz - z) ** 2 + (yy - y) ** 2
+                            + (xx - x) ** 2) / 6.0)
+        vol = np.clip(vol, 0, None) / vol.max()
+        sigmas = tuple(np.linspace(1.5, 3.0, 3))
+        thresholds = [0.05, 0.1, 0.2, 0.35, 0.6]   # 5 on 4 devices
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("dp",))
+        raws_s, valids_s = detector.blob_log_multi_sharded(
+            jnp.asarray(vol), sigmas, thresholds, 0.5, 128, mesh)
+        assert raws_s.shape == (5, 128, 4)
+        raws, valids = detector.blob_log_multi(
+            jnp.asarray(vol), sigmas, np.asarray(thresholds), 0.5,
+            128)
+        for k in range(len(thresholds)):
+            a = raws_s[k][valids_s[k]]
+            b = np.asarray(raws[k])[np.asarray(valids[k])]
+            np.testing.assert_allclose(
+                np.sort(a, axis=0), np.sort(b, axis=0), atol=1e-5)
+
+    def test_grid_search_mesh_matches_plain(self):
+        """make_fn_detect_multi(mesh=...) produces the same grid-search
+        frame as the unsharded batched path."""
+        import jax
+        from jax.sharding import Mesh
+        from magellanmapper_tpu.settings.roi_prof import ROIProfile
+        rng2 = np.random.default_rng(8)
+        vol = np.zeros((16, 20, 20), np.float32)
+        for z, y, x in rng2.integers(4, 14, (6, 3)):
+            zz, yy, xx = np.ogrid[:16, :20, :20]
+            vol += np.exp(-((zz - z) ** 2 + (yy - y) ** 2
+                            + (xx - x) ** 2) / 5.0)
+        vol = np.clip(vol, 0, None) / vol.max()
+        prof = ROIProfile()
+        prof["min_sigma_factor"] = 1.5
+        prof["max_sigma_factor"] = 3.0
+        prof["num_sigma"] = 3
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("dp",))
+        fn_plain = mlearn.make_fn_detect_multi(vol, (1.0,) * 3, prof)
+        fn_mesh = mlearn.make_fn_detect_multi(
+            vol, (1.0,) * 3, prof, mesh=mesh)
+        a = fn_plain({}, [0.05, 0.2, 0.5])
+        b = fn_mesh({}, [0.05, 0.2, 0.5])
+        assert len(a) == len(b) == 3
+        for pa, pb in zip(a, b):
+            if pa is None or pb is None:
+                assert pa is None and pb is None
+                continue
+            np.testing.assert_allclose(
+                np.sort(pa, axis=0), np.sort(pb, axis=0), atol=1e-5)
