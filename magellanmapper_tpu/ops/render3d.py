@@ -287,7 +287,19 @@ def render_isosurface(
         vol.shape, azim_deg, elev_deg, out_hw, jnp.float32(zoom),
         perspective)
     dt = 2.0 * radius / n_steps
-    lvl = jnp.float32(level)
+    ldir = (-view if light_dir is None
+            else jnp.asarray(light_dir, jnp.float32))
+    return _march_isosurface(
+        vol, origins, dirs, dt, jnp.float32(level), view, ldir,
+        n_steps, specular, shininess, color, bg)
+
+
+def _march_isosurface(vol, origins, dirs, dt, lvl, view, ldir,
+                      n_steps: int, specular, shininess, color, bg):
+    """First-crossing ray march + Blinn-Phong shading over an (H, W)
+    ray front; shared by the single-device renderer and the
+    film-sharded :func:`render_isosurface_sharded` (carries derive
+    from ``origins`` so they inherit the shard-varying axis)."""
 
     def step(carry, i):
         t_hit, s_prev, hit = carry
@@ -302,10 +314,10 @@ def render_isosurface(
         t_hit = jnp.where(crossing, t_ref, t_hit)
         return (t_hit, s, hit | crossing), None
 
-    t0 = jnp.full(out_hw, jnp.inf, jnp.float32)
-    s0 = jnp.zeros(out_hw, jnp.float32)
+    t0 = jnp.full_like(origins[..., 0], jnp.inf)
+    s0 = jnp.zeros_like(origins[..., 0])
     (t_hit, _, hit), _ = jax.lax.scan(
-        step, (t0, s0, jnp.zeros(out_hw, bool)),
+        step, (t0, s0, jnp.zeros_like(origins[..., 0], dtype=bool)),
         jnp.arange(n_steps, dtype=jnp.float32))
 
     pts = origins + dirs * jnp.where(hit, t_hit, 0.0)[..., None]
@@ -313,8 +325,6 @@ def render_isosurface(
     n = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-6)
     # normals face the camera (gradient sign depends on inside/outside)
     n = n * -jnp.sign(jnp.sum(n * dirs, axis=-1, keepdims=True))
-    ldir = (-view if light_dir is None
-            else jnp.asarray(light_dir, jnp.float32))
     ldir = ldir / jnp.maximum(jnp.linalg.norm(ldir), 1e-6)
     lam = jnp.clip(jnp.sum(n * ldir[None, None], axis=-1), 0.0, 1.0)
     half = ldir - view
@@ -328,6 +338,52 @@ def render_isosurface(
     rgb = jnp.where(hit[..., None], jnp.clip(shade, 0.0, 1.0),
                     bgc[None, None])
     return rgb, jnp.where(hit, t_hit, jnp.inf)
+
+
+def render_isosurface_sharded(
+        vol: jax.Array, level, mesh, azim_deg, elev_deg,
+        out_hw: Tuple[int, int] = (512, 512), n_steps: int = 256,
+        zoom=1.0, color=(0.8, 0.8, 0.85), bg=(0.0, 0.0, 0.0),
+        light_dir: Optional[Sequence[float]] = None,
+        specular=0.4, shininess=24.0, perspective: bool = False,
+        axis_name: Optional[str] = None
+) -> Tuple[jax.Array, jax.Array]:
+    """:func:`render_isosurface` with the film rows sharded over a
+    device mesh (see :func:`render_volume_sharded` — independent rays,
+    replicated volume, no collectives). Returns the same
+    ``(rgb, depth)`` pair, exactly matching the single-device
+    renderer."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = axis_name or mesh.axis_names[0]
+    n = mesh.shape[axis]
+    if out_hw[0] % n:
+        raise ValueError(
+            f"film height {out_hw[0]} not divisible by mesh axis "
+            f"{axis!r} of size {n}")
+    vol = vol.astype(jnp.float32)
+    view = camera_basis(azim_deg, elev_deg)[0]
+    origins, dirs, radius = _ray_grid(
+        vol.shape, azim_deg, elev_deg, out_hw, jnp.float32(zoom),
+        perspective)
+    dt = 2.0 * radius / n_steps
+    ldir = (-view if light_dir is None
+            else jnp.asarray(light_dir, jnp.float32))
+
+    def tile(vol_r, orig_s, dirs_s, dt_r, lvl_r, view_r, ldir_r):
+        return _march_isosurface(
+            vol_r, orig_s, dirs_s, dt_r, lvl_r, view_r, ldir_r,
+            n_steps, specular, shininess, color, bg)
+
+    dirs_spec = P(axis, None, None) if perspective else P(None, None,
+                                                          None)
+    fn = jax.shard_map(
+        tile, mesh=mesh,
+        in_specs=(P(), P(axis, None, None), dirs_spec, P(), P(), P(),
+                  P()),
+        out_specs=(P(axis, None, None), P(axis, None)))
+    return fn(vol, origins, dirs, jnp.float32(dt), jnp.float32(level),
+              view, ldir)
 
 
 # ---------------------------------------------------------------------------

@@ -367,3 +367,39 @@ class TestShardedRender:
         with pytest.raises(ValueError, match="not divisible"):
             render3d.render_volume_sharded(
                 self._vol(), self._mesh(), 0.0, 0.0, out_hw=(65, 64))
+
+    def test_isosurface_matches_single_device_ortho(self):
+        vol = self._vol()
+        mesh = self._mesh()
+        kw = dict(out_hw=(64, 48), n_steps=64, zoom=1.1,
+                  color=(0.7, 0.8, 0.9), specular=0.5)
+        rgb_ref, d_ref = render3d.render_isosurface(
+            vol, 0.5, 30.0, 20.0, **kw)
+        rgb, d = render3d.render_isosurface_sharded(
+            vol, 0.5, mesh, 30.0, 20.0, **kw)
+        np.testing.assert_allclose(
+            np.asarray(rgb), np.asarray(rgb_ref), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(d), np.asarray(d_ref), rtol=1e-5, atol=1e-5)
+        d_ref = np.asarray(d_ref)
+        assert np.isfinite(d_ref).any() and np.isinf(d_ref).any()
+
+    def test_isosurface_matches_single_device_perspective_lit(self):
+        vol = self._vol()
+        mesh = self._mesh()
+        kw = dict(out_hw=(64, 64), n_steps=48, perspective=True,
+                  light_dir=(-1.0, 0.5, 0.25), bg=(0.05, 0.0, 0.1))
+        rgb_ref, d_ref = render3d.render_isosurface(
+            vol, 0.4, -45.0, 55.0, **kw)
+        rgb, d = render3d.render_isosurface_sharded(
+            vol, 0.4, mesh, -45.0, 55.0, **kw)
+        np.testing.assert_allclose(
+            np.asarray(rgb), np.asarray(rgb_ref), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(d), np.asarray(d_ref), rtol=1e-5, atol=1e-5)
+
+    def test_isosurface_indivisible_film_height_raises(self):
+        with pytest.raises(ValueError, match="not divisible"):
+            render3d.render_isosurface_sharded(
+                self._vol(), 0.5, self._mesh(), 0.0, 0.0,
+                out_hw=(65, 64))
