@@ -348,14 +348,16 @@ def volumes_by_id(
         groups: Optional[Dict] = None,
         max_level: Optional[int] = None,
         combine_sides: bool = True,
-        out_path: Optional[str] = None) -> "pd.DataFrame":
+        out_path: Optional[str] = None,
+        mesh=None) -> "pd.DataFrame":
     """Regional metrics for each sample's registered image set
     (reference ``register.volumes_by_id :1613``).
 
     For every sample path, loads the registered atlas/annotation (plus
     heat map when present), measures per-label metrics, optionally remaps
     to an ontology level, and concatenates across samples with a Sample
-    column.
+    column. With ``mesh`` the voxel pass shards over the device mesh
+    (per-device segment sums + one psum).
     """
     from magellanmapper_tpu.atlas import ontology
     from magellanmapper_tpu.stats import vols
@@ -382,7 +384,7 @@ def volumes_by_id(
             pass
         df = vols.measure_labels_metrics(
             atlas, labels, heat_map=heat, combine_sides=combine_sides,
-            labels_ref=ref, level=max_level)
+            labels_ref=ref, level=max_level, mesh=mesh)
         if unit_factor:
             df["Volume"] = df["Volume"] / unit_factor
         df.insert(0, "Sample", os.path.basename(path))

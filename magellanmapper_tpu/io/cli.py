@@ -991,7 +991,8 @@ def _vol_stats(rc: RunConfig):
     if ref_path:
         ref = ontology.LabelsRef(str(ref_path)).load()
     df = vols.measure_labels_metrics(
-        atlas, labels, heat_map=heat, labels_ref=ref)
+        atlas, labels, heat_map=heat, labels_ref=ref,
+        mesh=_reg_mesh(rc))
     out_csv = (rc.prefix or os.path.splitext(path)[0]) + "_vols.csv"
     df.to_csv(out_csv, index=False)
     return df

@@ -48,6 +48,42 @@ def _segment_stats(ids: jnp.ndarray, intensity: jnp.ndarray,
             seg(heat), seg(heat * heat))
 
 
+def _segment_stats_sharded(codes: np.ndarray, intensity: np.ndarray,
+                           heat: np.ndarray, num_segments: int, mesh):
+    """:func:`_segment_stats` with the voxels sharded over a device
+    mesh: each device segment-sums its flat shard, then the per-label
+    partials ride ICI in one ``psum`` — exact (sums commute), so the
+    result matches the single-device path bit-for-bit up to float
+    summation order. Whole-brain label volumes are tens of GB
+    (reference ``vols.measure_labels_metrics :814`` farms one label per
+    ``mp.Pool`` worker); here the volume never has to fit one chip."""
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    pad = (-len(codes)) % n_dev
+    if pad:
+        # zero-padding lands in segment 0 (background), dropped by the
+        # caller, so parity is preserved
+        codes = np.concatenate([codes, np.zeros(pad, codes.dtype)])
+        intensity = np.concatenate(
+            [intensity, np.zeros(pad, intensity.dtype)])
+        heat = np.concatenate([heat, np.zeros(pad, heat.dtype)])
+
+    def tile(c, i, h):
+        ones = jnp.ones_like(i)
+        seg = lambda x: jax.ops.segment_sum(
+            x, c, num_segments=num_segments)
+        parts = (seg(ones), seg(i), seg(i * i), seg(h), seg(h * h))
+        return tuple(jax.lax.psum(p, axes) for p in parts)
+
+    fn = jax.jit(jax.shard_map(
+        tile, mesh=mesh, in_specs=(P(axes), P(axes), P(axes)),
+        out_specs=(P(),) * 5))
+    return fn(jnp.asarray(codes), jnp.asarray(intensity),
+              jnp.asarray(heat))
+
+
 def _dense_code(labels_flat: np.ndarray, label_ids: np.ndarray):
     """Map label values to dense [0, n) codes (0 reserved for background /
     unlisted labels)."""
@@ -73,7 +109,8 @@ def measure_labels_metrics(
         level: Optional[int] = None,
         blobs: Optional[np.ndarray] = None,
         cluster_eps: float = 20.0,
-        cluster_minpts: int = 5) -> pd.DataFrame:
+        cluster_minpts: int = 5,
+        mesh=None) -> pd.DataFrame:
     """Measure per-label metrics (reference ``measure_labels_metrics``).
 
     Args:
@@ -95,6 +132,10 @@ def measure_labels_metrics(
             region is DBSCAN-clustered here with
             ``cluster_eps``/``cluster_minpts`` (profile
             ``dbscan_eps``/``dbscan_minpts``).
+        mesh: optional ``jax.sharding.Mesh``; when given, the voxel
+            pass runs sharded over the mesh (per-device segment sums +
+            one psum over ICI) so whole-brain volumes scale past one
+            chip's HBM. Exact parity with the single-device path.
 
     Returns:
         DataFrame with one row per label, reference column names.
@@ -124,9 +165,14 @@ def measure_labels_metrics(
     heat = (np.zeros(flat_labels.shape, np.float32) if heat_map is None
             else np.asarray(heat_map, np.float32).reshape(-1))
 
-    counts, s1, s2, h1, h2 = (np.asarray(x) for x in _segment_stats(
-        jnp.asarray(codes), jnp.asarray(intensity), jnp.asarray(heat),
-        n + 1))
+    if mesh is not None:
+        stats_dev = _segment_stats_sharded(
+            codes, intensity, heat, n + 1, mesh)
+    else:
+        stats_dev = _segment_stats(
+            jnp.asarray(codes), jnp.asarray(intensity),
+            jnp.asarray(heat), n + 1)
+    counts, s1, s2, h1, h2 = (np.asarray(x) for x in stats_dev)
     counts, s1, s2, h1, h2 = (x[1:] for x in (counts, s1, s2, h1, h2))
 
     vox_vol = float(np.prod(spacing)) if spacing is not None else 1.0

@@ -224,3 +224,55 @@ class TestClusterMetricsInRegionalEngine:
         labels = np.full((4, 4, 4), 3, np.int32)
         df = vols.measure_labels_metrics(None, labels)
         assert np.isnan(df.iloc[0]["NucCluster"])
+
+
+class TestShardedVols:
+    """Mesh-sharded regional stats must match the single-device path."""
+
+    @staticmethod
+    def _mesh_1d(n=8):
+        import jax
+        from jax.sharding import Mesh
+        return Mesh(np.asarray(jax.devices()[:n]), ("dp",))
+
+    @staticmethod
+    def _vol(shape=(9, 10, 11)):
+        rng = np.random.default_rng(7)
+        labels = rng.integers(-3, 4, shape).astype(np.int32)
+        atlas = rng.random(shape).astype(np.float32) * 10
+        heat = rng.integers(0, 4, shape).astype(np.int32)
+        return atlas, labels, heat
+
+    def test_parity_1d_mesh_with_padding(self):
+        # 9*10*11 = 990 voxels is not divisible by 8 devices, so the
+        # pad-to-segment-0 path is exercised
+        atlas, labels, heat = self._vol()
+        ref = vols.measure_labels_metrics(
+            atlas, labels, heat_map=heat, spacing=(2.0, 1.0, 1.0))
+        df = vols.measure_labels_metrics(
+            atlas, labels, heat_map=heat, spacing=(2.0, 1.0, 1.0),
+            mesh=self._mesh_1d())
+        pd.testing.assert_frame_equal(df, ref, rtol=1e-5, atol=1e-6)
+
+    def test_parity_3d_mesh_split_sides(self):
+        from magellanmapper_tpu.parallel import mesh as mesh_mod
+        atlas, labels, heat = self._vol((8, 8, 8))
+        ref = vols.measure_labels_metrics(
+            atlas, labels, heat_map=heat, combine_sides=False)
+        df = vols.measure_labels_metrics(
+            atlas, labels, heat_map=heat, combine_sides=False,
+            mesh=mesh_mod.make_mesh(8, dp=2, sp=2, spy=2))
+        pd.testing.assert_frame_equal(df, ref, rtol=1e-5, atol=1e-6)
+
+    def test_volumes_by_id_forwards_mesh(self, tmp_path):
+        from magellanmapper_tpu.atlas import register as register_mod
+        from magellanmapper_tpu.io import sitk_io
+        atlas, labels, _ = self._vol((8, 8, 8))
+        base = str(tmp_path / "samp")
+        sitk_io.write_registered_image(
+            atlas, base, "atlasVolume.mhd", spacing=(1, 1, 1))
+        sitk_io.write_registered_image(
+            labels, base, "annotation.mhd", spacing=(1, 1, 1))
+        ref = register_mod.volumes_by_id([base])
+        df = register_mod.volumes_by_id([base], mesh=self._mesh_1d())
+        pd.testing.assert_frame_equal(df, ref, rtol=1e-5, atol=1e-6)
