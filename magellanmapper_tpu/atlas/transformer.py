@@ -46,10 +46,12 @@ def transpose_img(
         plane: Optional[str] = None,
         rescale: Optional[float] = None,
         target_size: Optional[Sequence[int]] = None,
-        chunk_z: int = 64) -> str:
+        chunk_z: int = 64, mesh=None) -> str:
     """Transpose and/or rescale a whole image, streaming z-chunks from the
     source memmap through device resize into a memmapped output
-    (reference ``transformer.transpose_img :152``).
+    (reference ``transformer.transpose_img :152``). With ``mesh`` the
+    resize runs sharded over the device mesh
+    (:func:`magellanmapper_tpu.ops.resize.resize_sharded`).
 
     Returns the output image path base.
     """
@@ -92,6 +94,11 @@ def transpose_img(
             vol[ti], perm + tuple(range(3, vol[ti].ndim)))
         if out_shape == shape_tp:
             out[ti] = moved
+            continue
+        if mesh is not None:
+            out[ti] = np.asarray(resize_ops.resize_sharded(
+                jnp.asarray(np.asarray(moved, np.float32)), out_shape,
+                mesh))
             continue
         # two-pass separable resize (bilinear is separable, so yx-then-z
         # equals joint trilinear exactly): pass 1 resizes yx per z-chunk

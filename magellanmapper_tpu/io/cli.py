@@ -417,7 +417,8 @@ def process_file(rc: RunConfig):
         rescale = rc.transform.get("rescale")
         return transformer.transpose_img(
             path, plane=rc.plane,
-            rescale=float(rescale) if rescale else None)
+            rescale=float(rescale) if rescale else None,
+            mesh=_reg_mesh(rc))
 
     if proc is ProcessTypes.PREPROCESS:
         from magellanmapper_tpu.atlas import transformer

@@ -35,6 +35,53 @@ def resize(
     return out.astype(dtype) if order == 0 else out
 
 
+def resize_sharded(
+        vol: jax.Array, shape: Sequence[int], mesh, order: int = 1,
+        axis_name=None) -> jax.Array:
+    """:func:`resize` with the volume sharded over a device mesh.
+
+    Linear/nearest resize is separable, so the 3D resize runs as three
+    1D passes with a transpose-style reshard in the middle (the
+    distributed-FFT recipe): the z and y passes run with x sharded
+    (both are local — they mix only unsharded axes), then one reshard
+    to z-sharded makes the x pass local too. XLA inserts the
+    all-to-all; the output comes back z-sharded, ready for z-slab
+    streaming. Scales whole-brain resize (reference ``Downsampler``
+    mp.Pool, ``magmap/atlas/transformer.py:21``) across chips'
+    aggregate HBM bandwidth.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if axis_name is None:
+        # largest mesh axis carries the shards
+        axis_name = max(mesh.shape, key=lambda k: mesh.shape[k])
+    out_shape = tuple(int(s) for s in shape)
+    if len(out_shape) != 3 or vol.ndim < 3:
+        return resize(vol, shape, order=order)  # sharding is 3D-only
+    trailing = (None,) * (vol.ndim - 3)
+    shard_x = NamedSharding(mesh, P(None, None, axis_name, *trailing))
+    shard_z = NamedSharding(mesh, P(axis_name, None, None, *trailing))
+    method = "nearest" if order == 0 else "linear"
+    dtype = vol.dtype
+
+    def f(v):
+        if order:
+            v = v.astype(jnp.float32)
+        v = jax.lax.with_sharding_constraint(v, shard_x)
+        for ax, target in ((0, out_shape[0]), (1, out_shape[1])):
+            s = list(v.shape)
+            s[ax] = target
+            v = jax.image.resize(v, tuple(s), method=method)
+        v = jax.lax.with_sharding_constraint(v, shard_z)
+        s = list(v.shape)
+        s[2] = out_shape[2]
+        v = jax.image.resize(v, tuple(s), method=method)
+        v = jax.lax.with_sharding_constraint(v, shard_z)
+        return v.astype(dtype) if order == 0 else v
+
+    return jax.jit(f)(vol)
+
+
 def rescale(
         vol: jax.Array, factor: Union[float, Sequence[float]],
         order: int = 1) -> jax.Array:

@@ -102,3 +102,53 @@ class TestTransformer:
         vol = rng.random((1, 8, 16, 16)).astype(np.float32)
         out = transformer.preprocess_img(vol, ["saturate", "rotate90"])
         assert out.shape[0] == 1
+
+
+class TestShardedResize:
+    """Transpose-style sharded resize must match the single-device op."""
+
+    @staticmethod
+    def _mesh(n=8):
+        import jax
+        from jax.sharding import Mesh
+        return Mesh(np.asarray(jax.devices()[:n]), ("sp",))
+
+    def test_parity_linear_odd_sizes(self):
+        import jax.numpy as jnp
+        from magellanmapper_tpu.ops import resize as resize_ops
+        rng = np.random.default_rng(11)
+        # odd extents: neither input nor output divisible by 8 devices
+        vol = jnp.asarray(rng.random((13, 21, 17)).astype(np.float32))
+        out_shape = (9, 30, 11)
+        ref = np.asarray(resize_ops.resize(vol, out_shape))
+        got = np.asarray(resize_ops.resize_sharded(
+            vol, out_shape, self._mesh()))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_parity_nearest_labels_multichannel(self):
+        import jax.numpy as jnp
+        from magellanmapper_tpu.ops import resize as resize_ops
+        rng = np.random.default_rng(12)
+        labels = jnp.asarray(
+            rng.integers(0, 9, (10, 12, 14, 2)).astype(np.int32))
+        out_shape = (20, 6, 28)
+        ref = np.asarray(resize_ops.resize(labels, out_shape, order=0))
+        got = np.asarray(resize_ops.resize_sharded(
+            labels, out_shape, self._mesh(), order=0))
+        np.testing.assert_array_equal(got, ref)
+        assert got.dtype == np.int32
+
+    def test_transpose_img_with_mesh(self, tmp_path, rng):
+        arr = rng.random((1, 16, 32, 32)).astype(np.float32)
+        base = str(tmp_path / "vol_mesh.npy")
+        np_io.write_npy(base, arr, resolutions=[[2.0, 1.0, 1.0]])
+        out_path = transformer.transpose_img(
+            base, rescale=0.5, mesh=self._mesh())
+        out5d = np_io.read_file(out_path)
+        assert out5d.img.shape == (1, 8, 16, 16)
+        import jax.numpy as jnp
+        from magellanmapper_tpu.ops import resize as resize_ops
+        ref = np.asarray(resize_ops.resize(
+            jnp.asarray(arr[0]), (8, 16, 16)))
+        np.testing.assert_allclose(
+            np.asarray(out5d.img[0]), ref, atol=1e-5)
