@@ -125,6 +125,20 @@ class TestShardedResize:
             vol, out_shape, self._mesh()))
         np.testing.assert_allclose(got, ref, atol=1e-5)
 
+    def test_output_stays_distributed(self):
+        # with a z extent divisible by the mesh, the result must come
+        # back z-sharded (ready for slab streaming), not gathered
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from magellanmapper_tpu.ops import resize as resize_ops
+        mesh = self._mesh()
+        vol = jnp.zeros((13, 21, 17), jnp.float32)
+        out = resize_ops.resize_sharded(vol, (16, 30, 11), mesh)
+        want = NamedSharding(mesh, P("sp", None, None))
+        assert out.sharding.is_equivalent_to(want, out.ndim), \
+            out.sharding
+
     def test_parity_nearest_labels_multichannel(self):
         import jax.numpy as jnp
         from magellanmapper_tpu.ops import resize as resize_ops
