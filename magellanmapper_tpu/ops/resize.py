@@ -9,6 +9,7 @@ border handling.
 
 from __future__ import annotations
 
+import functools as _functools
 from typing import Sequence, Union
 
 import jax
@@ -59,12 +60,23 @@ def resize_sharded(
     if len(out_shape) != 3 or vol.ndim < 3:
         return resize(vol, shape, order=order)  # sharding is 3D-only
     trailing = (None,) * (vol.ndim - 3)
+    return _resize_sharded_fn(out_shape, mesh, axis_name,
+                              vol.ndim - 3, order)(vol)
+
+
+@_functools.cache
+def _resize_sharded_fn(out_shape, mesh, axis_name, n_trailing, order):
+    """Build (and cache — remote compiles cost minutes) the jitted
+    transpose-style sharded resize for one output-shape/mesh/order."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    trailing = (None,) * n_trailing
     shard_x = NamedSharding(mesh, P(None, None, axis_name, *trailing))
     shard_z = NamedSharding(mesh, P(axis_name, None, None, *trailing))
     method = "nearest" if order == 0 else "linear"
-    dtype = vol.dtype
 
     def f(v):
+        dtype = v.dtype
         if order:
             v = v.astype(jnp.float32)
         v = jax.lax.with_sharding_constraint(v, shard_x)
@@ -79,7 +91,7 @@ def resize_sharded(
         v = jax.lax.with_sharding_constraint(v, shard_z)
         return v.astype(dtype) if order == 0 else v
 
-    return jax.jit(f)(vol)
+    return jax.jit(f)
 
 
 def rescale(
