@@ -324,10 +324,11 @@ def bench_reg_gauntlet(shape=(160, 240, 200)):
 
     Two seeded atlas-scale anatomy/deformation pairs (smooth FFD on top
     of an affine, gamma+bias+noise modality gap, 24-region annotation)
-    plus a truncated-specimen partial-overlap case. Per-pair gates:
-    overlap DSC >= 0.95, label-transfer median >= 0.90, worst region
-    min >= 0.80 OR p10 >= 0.85, B-spline stage gain >= 0.05. Compact
-    rows: [dsc, label_median, label_min, bspline_gain, warp_err_vox,
+    plus a truncated-specimen partial-overlap case. Per-pair gates
+    (gauntlet.gates_pass): overlap DSC >= 0.95, label-transfer median
+    >= 0.90, worst region min >= 0.80 OR p10 >= 0.85, B-spline stage
+    gain >= 0.05 OR gap closure >= 0.5. Compact rows: [dsc,
+    label_median, label_min, bspline_gain, gap_closure, warp_err_vox,
     gt_disp_vox] per pair.
     """
     from magellanmapper_tpu.atlas import gauntlet
@@ -341,6 +342,7 @@ def bench_reg_gauntlet(shape=(160, 240, 200)):
             round(r["dsc"], 4), round(r["label_dsc_median"], 3),
             round(r["label_dsc_min"], 3),
             round(r["bspline_dsc_gain"], 3),
+            round(r["bspline_gap_closure"], 2),
             round(r["warp_err_vox"], 2), round(r["gt_disp_vox"], 2)]
     return {"wall_s": round(suite["wall_s"], 1), "pairs": rows,
             "passes": bool(suite["passes"])}

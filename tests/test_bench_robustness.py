@@ -38,9 +38,12 @@ class TestRenderLine:
             "reg_wall": 57.41, "reg_dsc": 0.9784,
             "gauntlet": {
                 "wall_s": 423.4, "pairs": {
-                    "seed0": [0.9891, 0.96, 0.801, 0.051, 1.62, 16.4],
-                    "seed10": [0.9876, 0.955, 0.812, 0.048, 1.71, 15.9],
-                    "trunc0": [0.9712, 0.941, 0.803, 0.062, 2.05, 14.2]},
+                    "seed0": [0.9891, 0.96, 0.801, 0.051, 0.82,
+                              1.62, 16.4],
+                    "seed10": [0.9876, 0.955, 0.812, 0.048, 0.76,
+                               1.71, 15.9],
+                    "trunc0": [0.9712, 0.941, 0.803, 0.062, 0.68,
+                               2.05, 14.2]},
                 "passes": True},
             "groupwise": [127.3, 4, 0.818, 0.905],
             "bigvol": [2.25, 18.42, 5987, 1.08],

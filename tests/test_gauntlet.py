@@ -195,3 +195,41 @@ class TestBuildAndScore:
         assert suite["passes"] == all(
             r["passes"] for r in suite["pairs"].values())
         assert suite["wall_s"] > 0
+
+
+class TestGates:
+    """Gate semantics (atlas/gauntlet.py gates_pass): each clause and
+    its alternative, pinned on the shapes seen in real runs."""
+
+    BASE = dict(dsc=0.98, label_median=0.95, label_min=0.85,
+                label_p10=0.90, gain=0.06, closure=0.6)
+
+    def _pass(self, **over):
+        return gauntlet.gates_pass(**{**self.BASE, **over})
+
+    def test_all_good_passes(self):
+        assert self._pass()
+
+    def test_dsc_and_median_are_hard_gates(self):
+        assert not self._pass(dsc=0.94)
+        assert not self._pass(label_median=0.89)
+
+    def test_worst_region_min_or_p10(self):
+        # seed0-shaped: min 0.77 but p10 healthy -> pass
+        assert self._pass(label_min=0.77, label_p10=0.90)
+        # both tails bad -> fail
+        assert not self._pass(label_min=0.77, label_p10=0.84)
+
+    def test_bspline_gain_or_gap_closure(self):
+        # seed10-shaped: affine already at 0.944 caps absolute gain,
+        # but the B-spline closes 76% of the residual -> pass
+        assert self._pass(gain=0.042, closure=0.76)
+        # neither absolute gain nor closure -> deformable stage idle
+        assert not self._pass(gain=0.01, closure=0.2)
+
+    def test_gap_closure_helper(self):
+        assert gauntlet.bspline_gap_closure(0.944, 0.042) == pytest.approx(
+            0.75, abs=0.01)
+        assert gauntlet.bspline_gap_closure(None, 0.1) == 0.0
+        # dsc_affine ~ 1.0 must not divide by zero
+        assert gauntlet.bspline_gap_closure(1.0, 0.0) == 0.0
